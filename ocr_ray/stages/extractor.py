@@ -1,0 +1,172 @@
+"""Extraction stages: the scorer/proposer/decoder chain as Ray Data
+operators (A1/A2/A4/A5/M4-M10/D1-D2 analogs, SURVEY.md §2).
+
+Two granularities:
+
+- ``SpanExtractor`` — the fused actor-pool stage used by the production
+  pipeline: normalized turn batch in -> flat span rows out. One pass per
+  turn, no intermediate serialization. State (rule tables, compiled
+  regexes) is built once per actor in ``__init__`` and the per-batch work
+  calls the shared semantic core (ocr_ray.extract), which guarantees
+  parity with the oracle.
+- ``UnitScorer`` — the standalone scorer stage (A1 analog) that emits the
+  dense unit/score table, used by operator-level conformance tests and
+  the fixture queries (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import config as C
+from ..extract import extract_turn, propose_spans, score_units
+from ..segment import segment
+
+__all__ = ["SpanExtractor", "UnitScorer"]
+
+SPAN_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("span_idx", pa.int32()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("text", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+UNIT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("unit_idx", pa.int32()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("geo_start", pa.int64()),
+        ("geo_end", pa.int64()),
+        ("tag", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+class SpanExtractor:
+    """Fused per-turn extraction chain as an actor-pool ``map_batches``
+    stage. ``__init__`` runs once per actor (reference analog: model-weight
+    load, test_img.py:46-53); ``__call__`` runs per batch.
+
+    Emits the golden-span schema (FIXTURES.md §2) plus a per-actor drop
+    counter snapshot retrievable through the ``counters`` column of the
+    lineage sidecar (see ocr_ray.state.lineage).
+    """
+
+    def __init__(self) -> None:
+        # Touch the rule tables so any config error surfaces at actor start,
+        # not first batch; regexes in ocr_ray.segment are compiled at import.
+        self._tag_weights = dict(C.TAG_WEIGHTS)
+        self.counters: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch.column("conv_id").to_pylist()
+        turn_idxs = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+
+        out_conv: list[str] = []
+        out_turn: list[int] = []
+        out_sidx: list[int] = []
+        out_start: list[int] = []
+        out_end: list[int] = []
+        out_text: list[str] = []
+        out_score: list[float] = []
+
+        for cid, tix, text in zip(conv_ids, turn_idxs, texts):
+            if not text:
+                continue
+            for span in extract_turn(text, self.counters):
+                out_conv.append(cid)
+                out_turn.append(tix)
+                out_sidx.append(span["span_idx"])
+                out_start.append(span["start"])
+                out_end.append(span["end"])
+                out_text.append(span["text"])
+                out_score.append(span["score"])
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_conv, pa.string()),
+                pa.array(out_turn, pa.int32()),
+                pa.array(out_sidx, pa.int32()),
+                pa.array(out_start, pa.int64()),
+                pa.array(out_end, pa.int64()),
+                pa.array(out_text, pa.string()),
+                pa.array(out_score, pa.float64()),
+            ],
+            schema=SPAN_SCHEMA,
+        )
+
+
+class UnitScorer:
+    """Standalone dense-unit scorer (A1 analog): turn batch in -> exploded
+    unit table with per-unit geometry and confidence."""
+
+    def __init__(self) -> None:
+        self.counters: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids = batch.column("conv_id").to_pylist()
+        turn_idxs = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        kinds = (
+            batch.column("kind").to_pylist()
+            if "kind" in batch.column_names
+            else [None] * len(texts)
+        )
+
+        rows: dict[str, list] = {k: [] for k in UNIT_SCHEMA.names}
+        for cid, tix, text, kind in zip(conv_ids, turn_idxs, texts, kinds):
+            if not text:
+                continue
+            units = segment(text, kind)
+            scores = score_units(units)
+            for i, (u, s) in enumerate(zip(units, scores)):
+                rows["conv_id"].append(cid)
+                rows["turn_idx"].append(tix)
+                rows["unit_idx"].append(i)
+                rows["start"].append(u.start)
+                rows["end"].append(u.end)
+                rows["geo_start"].append(u.geo_start)
+                rows["geo_end"].append(u.geo_end)
+                rows["tag"].append(u.tag)
+                rows["score"].append(float(s))
+        return pa.Table.from_arrays(
+            [pa.array(rows[f.name], f.type) for f in UNIT_SCHEMA],
+            schema=UNIT_SCHEMA,
+        )
+
+
+def propose_only(batch: pa.Table) -> pa.Table:
+    """Stateless propose/NMS/order stage (M4-M8 + D1/D2) without decode —
+    for conformance fixtures: turn batch in -> (start, end, score) spans."""
+    from ..textnorm import normalize_text
+
+    rows: dict[str, list] = {
+        "conv_id": [], "turn_idx": [], "span_idx": [],
+        "start": [], "end": [], "score": [],
+    }
+    for cid, tix, text in zip(
+        batch.column("conv_id").to_pylist(),
+        batch.column("turn_idx").to_pylist(),
+        batch.column("text").to_pylist(),
+    ):
+        norm = normalize_text(text or "")
+        units = segment(norm)
+        spans = propose_spans(units, score_units(units), len(norm)) if units else []
+        for i, (s, e, sc) in enumerate(spans):
+            rows["conv_id"].append(cid)
+            rows["turn_idx"].append(tix)
+            rows["span_idx"].append(i)
+            rows["start"].append(s)
+            rows["end"].append(e)
+            rows["score"].append(sc)
+    return pa.Table.from_pydict(rows)

@@ -1,0 +1,74 @@
+"""Text normalization + alphabet codec + CTC-style collapse.
+
+Shared by the oracle and the Ray operators (parity contract, SURVEY.md §7.4).
+
+- BOM / zero-width stripping replays reference DataPreprocess/DataGen.py:59-62
+  verbatim (F12 in SURVEY.md §2.8).
+- The silent skip of characters outside CHAR_VECTOR replays the label encoder
+  (reference DataPreprocess/DataGen.py:28-45, M11).
+- ``ctc_collapse`` replays greedy CTC decoding semantics — merge adjacent
+  repeats, drop blanks (reference Module/RecognitionLoss.py:33-38, CTC.py:9-40,
+  A5 in SURVEY.md §2.3) — at token granularity.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from .config import BLANK_TOKEN, CHAR_TO_INDEX
+
+# Reference DataGen.py:59-62 strips the UTF-8 BOM and the zero-width joiner
+# (it operates on raw bytes; we operate on str so the set is their decoded
+# forms plus the zero-width space family commonly found in transcripts).
+_STRIP_CHARS = {
+    "﻿",  # BOM / zero-width no-break space
+    "‍",  # zero-width joiner
+    "​",  # zero-width space
+    "‌",  # zero-width non-joiner
+}
+_STRIP_TABLE = {ord(c): None for c in _STRIP_CHARS}
+
+
+def normalize_text(text: str) -> str:
+    """Deterministic payload normalizer (M1/F12 analog):
+    NFC unicode normalization, BOM/zero-width strip, CRLF -> LF."""
+    if not text:
+        return ""
+    text = unicodedata.normalize("NFC", text)
+    text = text.translate(_STRIP_TABLE)
+    return text.replace("\r\n", "\n").replace("\r", "\n")
+
+
+def encode_token(token: str) -> str:
+    """Project a token onto the engine alphabet: characters outside
+    CHAR_VECTOR are silently skipped (reference DataGen.py:28-45 skips
+    unknown chars without error; spaces are stripped at DataGen.py:30).
+    A token that loses every character becomes the blank token."""
+    kept = [c for c in token if c in CHAR_TO_INDEX]
+    if not kept:
+        return BLANK_TOKEN
+    return "".join(kept)
+
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokenization; token order is emission order for the
+    CTC-style collapse (time axis analog)."""
+    return text.split()
+
+
+def ctc_collapse(tokens: list[str], blanks: frozenset[str] = frozenset()) -> list[str]:
+    """Greedy-CTC collapse over a token sequence: merge adjacent equal
+    tokens, then drop blanks (merge_repeated=True then blank removal,
+    reference Module/RecognitionLoss.py:33-38).
+
+    ``blanks`` is the decoder's boilerplate-token set in addition to the
+    empty BLANK_TOKEN; membership is checked AFTER repeat merging, matching
+    CTC decode order (repeats merge first, blanks drop second).
+    """
+    out: list[str] = []
+    prev: str | None = None
+    for tok in tokens:
+        if tok != prev:
+            out.append(tok)
+        prev = tok
+    return [t for t in out if t != BLANK_TOKEN and t not in blanks]

@@ -1,0 +1,86 @@
+"""End-to-end per-turn parity: Ray Data pipeline vs the single-process
+reference-semantics oracle on the deterministic synthetic corpus
+(SURVEY.md §5 engine test plan; north-rule per-turn text equality)."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_ray.corpus import turns_table_for_convs
+from ocr_ray.oracle import extract_table
+
+
+@pytest.fixture(scope="module")
+def turns_path(tmp_path_factory):
+    table = turns_table_for_convs(list(range(40)))
+    path = tmp_path_factory.mktemp("turns")
+    pq.write_table(table, os.path.join(str(path), "turns.parquet"))
+    return str(path)
+
+
+def _golden(turns_path: str) -> pd.DataFrame:
+    table = pq.read_table(os.path.join(turns_path, "turns.parquet"))
+    rows = extract_table(table.to_pylist())
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("salted", [True, False])
+def test_pipeline_matches_oracle(ray_session, turns_path, salted):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extract_spans, reconcile
+
+    spans = extract_spans(
+        rd.read_parquet(turns_path, columns=["conv_id", "turn_idx", "text"])
+    )
+    df = (
+        reconcile(spans, salted=salted)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    gdf = _golden(turns_path)
+    assert len(df) == len(gdf)
+    merged = df.merge(
+        gdf, on=["conv_id", "turn_idx", "span_idx"], suffixes=("_ray", "_orc")
+    )
+    assert len(merged) == len(gdf)
+    # exact per-turn text + offset + score equality (north rule)
+    assert (merged.text_ray == merged.text_orc).all()
+    assert (merged.start_ray == merged.start_orc).all()
+    assert (merged.end_ray == merged.end_orc).all()
+    assert (merged.score_ray == merged.score_orc).all()
+    # span_seq: dense 0..n-1 per conversation under stable turn ordering
+    seq_ok = (
+        df.sort_values(["conv_id", "turn_idx", "span_idx"])
+        .groupby("conv_id")["span_seq"]
+        .apply(lambda s: (s.to_numpy() == range(len(s))).all())
+    )
+    assert seq_ok.all()
+
+
+def test_mega_conversation_salting(ray_session, turns_path):
+    """conv-00000000 is a mega-conversation (MEGA_TURNS turns): the salted
+    reconciliation must still produce a dense, correctly ordered ordinal."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extract_spans, reconcile
+
+    df = (
+        reconcile(
+            extract_spans(
+                rd.read_parquet(turns_path, columns=["conv_id", "turn_idx", "text"])
+            ),
+            salted=True,
+        )
+        .to_pandas()
+    )
+    mega = df[df.conv_id == "conv-00000000"].sort_values(["turn_idx", "span_idx"])
+    assert len(mega) > 200  # mega conv produced many spans
+    assert mega.span_seq.tolist() == list(range(len(mega)))
