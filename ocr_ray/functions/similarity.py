@@ -1,0 +1,187 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+list<float>, label).
+
+- ``knn_brute``: exact cosine top-k. The query matrix is broadcast once via
+  ray.put; every batch computes a (batch x n_query) matmul and emits only
+  its per-batch top-k candidates (partial top-k combiner), so the final
+  reduce sees n_blocks*k rows, not the corpus. This is the scale path for
+  "small query set x huge corpus".
+- ``knn_ivf``: IVF-style bucketed ANN — seeded k-means-lite centroids
+  (fixed iterations on a deterministic sample), per-vector nearest-centroid
+  assignment, search restricted to the ``n_probe`` closest buckets.
+  Verified against knn_brute recall in pytest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+__all__ = ["default_queries", "knn_brute", "knn_ivf"]
+
+_SEED = 42
+
+
+def _to_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def default_queries(embs: rd.Dataset, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the n lowest vec_ids (query_ids, unit rows)."""
+    head = (
+        embs.sort("vec_id").limit(n).to_pandas()
+    )
+    ids = head["vec_id"].to_numpy()
+    mat = _unit(np.array(head["embedding"].tolist(), dtype=np.float64))
+    return ids, mat
+
+
+def knn_brute(
+    embs: rd.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine) with cosine rounded to 6 dp;
+    self-matches excluded; ties broken by neighbor_id (deterministic).
+    """
+    qref = ray.put((query_ids, query_mat.T))  # ship once, read per task
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qt = ray.get(qref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        mat = _unit(_to_matrix(batch))
+        cos = mat @ qt  # (batch, n_query)
+        rows_q, rows_n, rows_c = [], [], []
+        kk = min(k + 1, cos.shape[0])
+        for j, qid in enumerate(qids):
+            cj = cos[:, j]
+            top = np.argpartition(-cj, kk - 1)[:kk] if cj.size > kk else np.arange(cj.size)
+            for i in top:
+                if ids[i] == qid:
+                    continue
+                rows_q.append(qid)
+                rows_n.append(ids[i])
+                rows_c.append(cj[i])
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows_q, pa.int64()),
+                pa.array(rows_n, pa.int64()),
+                pa.array(np.asarray(rows_c, dtype=np.float64)),
+            ],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+    partials = embs.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        out.append(g.head(k))
+    res = pd.concat(out, ignore_index=True) if out else partials
+    res["cosine"] = np.round(res["cosine"], 6)
+    return res
+
+
+def knn_ivf(
+    embs: rd.Dataset,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k: k-means-lite (10 fixed Lloyd
+    iterations, seeded init on the lowest-vec_id sample) -> assign ->
+    probe the n_probe nearest buckets only.
+
+    Scale path: the centroid table is tiny and broadcast; assignment is one
+    matmul per batch; only probed buckets' vectors are scanned per query.
+    """
+    sample = embs.sort("vec_id").limit(train_sample).to_pandas()
+    train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
+    rng = np.random.RandomState(_SEED)
+    cent = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
+    for _ in range(10):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = train[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    cref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _unit(_to_matrix(batch))
+        a = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), pa.array(a), pa.array(list(mat), pa.list_(pa.float64()))],
+            names=["vec_id", "bucket", "unit"],
+        )
+
+    assigned = embs.map_batches(assign_batch, batch_format="pyarrow")
+
+    # probe set per query
+    probes = {
+        int(qid): set(np.argsort(-(query_mat[j] @ cent.T))[:n_probe].tolist())
+        for j, qid in enumerate(query_ids)
+    }
+    pref = ray.put((query_ids, query_mat.T, probes))
+
+    def probe_topk(batch: pa.Table) -> pa.Table:
+        qids, qt, probes_ = ray.get(pref)
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        buckets = np.asarray(batch.column("bucket"), dtype=np.int32)
+        col = batch.column("unit")
+        flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float64)
+        mat = flat.reshape(len(col), -1)
+        rows_q, rows_n, rows_c = [], [], []
+        for j, qid in enumerate(qids):
+            mask = np.isin(buckets, list(probes_[int(qid)]))
+            if not mask.any():
+                continue
+            cj = mat[mask] @ qt[:, j]
+            sub_ids = ids[mask]
+            kk = min(k + 1, cj.size)
+            top = np.argpartition(-cj, kk - 1)[:kk] if cj.size > kk else np.arange(cj.size)
+            for i in top:
+                if sub_ids[i] == qid:
+                    continue
+                rows_q.append(qid)
+                rows_n.append(sub_ids[i])
+                rows_c.append(cj[i])
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows_q, pa.int64()),
+                pa.array(rows_n, pa.int64()),
+                pa.array(np.asarray(rows_c, dtype=np.float64)),
+            ],
+            names=["query_id", "neighbor_id", "cosine"],
+        )
+
+    partials = assigned.map_batches(probe_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        out.append(g.head(k))
+    res = pd.concat(out, ignore_index=True) if out else partials
+    res["cosine"] = np.round(res["cosine"], 6)
+    return res

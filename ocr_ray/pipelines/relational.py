@@ -1,0 +1,320 @@
+"""Relational pipelines over the TPC-H-ish testdata tables, Ray-Data-first.
+
+These exercise the engine's generic operator surface (filter / project /
+computed columns / broadcast join / grouped aggregation / sort / limit /
+distinct); each has an exact DuckDB SQL twin in __ray_entry__.
+
+Float determinism: money/quantity aggregates are computed on integer cents
+(round(x*100) as int64) inside vectorized map_batches and divided back at
+the end, so Ray and DuckDB produce bit-identical doubles regardless of
+summation order (the driver compares value hashes).
+
+Broadcast joins: the dimension side (customer / nation / region) is read
+once driver-side, shipped with ray.put, and merged per batch — no shuffle
+(SURVEY.md §2.4 J-ops pattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+__all__ = [
+    "q1_pricing_summary",
+    "top_customers",
+    "region_customer_stats",
+    "events_by_type",
+    "events_user_daily",
+    "part_filter",
+    "orders_priority_count",
+    "order_revenue_topk",
+    "distinct_event_types",
+    "supplier_nation_stats",
+]
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """round(x*100) as int64 — exact-integer money math."""
+    return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    sum qty / base price / discounted price, avg qty, row count.
+    Pre-aggregation happens inside Ray's grouped aggregate (per-block
+    partials then combine) over integer cents."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        qty_c = _cents(t["l_quantity"])
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])  # discount in hundredths
+        disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.Table.from_arrays(
+            [t["l_returnflag"].combine_chunks(), t["l_linestatus"].combine_chunks(),
+             qty_c, price_c, disc_price],
+            names=["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_price_c4"],
+        )
+
+    agg = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("disc_price_c4", alias_name="sum_disc_c4"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["sum_qty_c"] / 100.0,
+            "sum_base_price": agg["sum_price_c"] / 100.0,
+            "sum_disc_price": agg["sum_disc_c4"] / 10000.0,
+            "avg_qty": agg["sum_qty_c"] / agg["n"] / 100.0,
+            "n": agg["n"],
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k customers by total order value: grouped sum over orders, then
+    broadcast-join the (small) customer dimension, sort desc, limit."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(), _cents(t["o_totalprice"])],
+            names=["o_custkey", "price_c"],
+        )
+
+    agg = (
+        orders.map_batches(widen, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_c", alias_name="revenue_c"), Count(alias_name="n_orders"))
+    )
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(cust_ref)
+        df["c_name"] = [names.get(ck, "") for ck in df["o_custkey"]]
+        return df
+
+    top = (
+        agg.map_batches(attach, batch_format="pandas")
+        .sort(["revenue_c", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["revenue"] = top["revenue_c"] / 100.0
+    return top[["o_custkey", "c_name", "revenue", "n_orders"]]
+
+
+def region_customer_stats(sf_dir: str) -> pd.DataFrame:
+    """Customers per region: two-hop broadcast join (customer -> nation ->
+    region, both dimension sides shipped once) + grouped aggregation."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
+        )
+    )
+    ref = ray.put(nk_to_region)
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "r_name": df["c_nationkey"].map(lut),
+                "acct_c": np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    agg = (
+        cust.map_batches(widen, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("acct_c", alias_name="acct_c"))
+        .to_pandas()
+    )
+    agg["sum_acctbal"] = agg["acct_c"] / 100.0
+    agg["avg_acctbal"] = agg["acct_c"] / agg["n_customers"] / 100.0
+    return agg[["r_name", "n_customers", "sum_acctbal", "avg_acctbal"]].sort_values(
+        "r_name"
+    ).reset_index(drop=True)
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), _cents(t["value"])],
+            names=["event_type", "value_c"],
+        )
+
+    agg = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_c", alias_name="value_c"),
+            Min("value_c", alias_name="min_c"),
+            Max("value_c", alias_name="max_c"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"],
+            "sum_value": agg["value_c"] / 100.0,
+            "avg_value": agg["value_c"] / agg["n"] / 100.0,
+            "min_value": agg["min_c"] / 100.0,
+            "max_value": agg["max_c"] / 100.0,
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_user_daily(sf_dir: str) -> pd.DataFrame:
+    """Per (user, day) event counts — computed day key inside map_batches,
+    then grouped count (the windowed-aggregate building block)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.Table.from_arrays(
+            [t["user_id"].combine_chunks(), day, _cents(t["value"])],
+            names=["user_id", "day", "value_c"],
+        )
+
+    agg = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
+        .to_pandas()
+    )
+    agg["sum_value"] = agg["value_c"] / 100.0
+    return agg[["user_id", "day", "n", "sum_value"]].sort_values(
+        ["user_id", "day"]
+    ).reset_index(drop=True)
+
+
+def part_filter(sf_dir: str) -> pd.DataFrame:
+    """Vectorized filter + projection (predicate inside map_batches)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice", "p_brand"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["p_size"], 25), pc.greater(t["p_retailprice"], 950.0)
+        )
+        return t.filter(mask).select(["p_partkey", "p_name", "p_size", "p_retailprice"])
+
+    df = ds.map_batches(flt, batch_format="pyarrow").to_pandas()
+    if df.empty:  # preserve schema on empty results
+        df = pd.DataFrame(columns=["p_partkey", "p_name", "p_size", "p_retailprice"])
+    return df.sort_values("p_partkey").reset_index(drop=True)
+
+
+def orders_priority_count(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderpriority"])
+
+    return (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
+def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Per-order discounted revenue, top-k: pre-aggregated grouped sum of
+    exact integer 1e-4 units, sort desc, limit."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.Table.from_arrays(
+            [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
+        )
+
+    top = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .sort(["rev_c4", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["revenue"] = top["rev_c4"] / 10000.0
+    return top[["l_orderkey", "revenue"]]
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "n_name": df["s_nationkey"].map(lut),
+                "acct_c": np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+
+    agg = (
+        ds.map_batches(widen, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("acct_c", alias_name="acct_c"))
+        .to_pandas()
+    )
+    agg["sum_acctbal"] = agg["acct_c"] / 100.0
+    return agg[["n_name", "n_suppliers", "sum_acctbal"]].sort_values(
+        "n_name"
+    ).reset_index(drop=True)
