@@ -1,0 +1,109 @@
+"""Text-analysis operator tests (brute-force cross-checks for the
+heuristic operators that have no SQL oracle)."""
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_ray.functions.textstats import (
+    LangId,
+    collapse_docs_batch,
+    fingerprint_batch,
+    quality_batch,
+    token_stats_batch,
+    winnow_batch,
+)
+
+
+def _batch(texts):
+    return pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_token_stats():
+    out = token_stats_batch(_batch(["a b  c", "", "single"])).to_pylist()
+    assert [r["n_tokens"] for r in out] == [3, 0, 1]
+    assert out[0]["n_chars"] == 6
+
+
+def test_quality():
+    out = quality_batch(_batch(["the cat and the hat"])).to_pylist()[0]
+    assert out["n_tokens"] == 5
+    assert out["stop_ratio"] == round(3 / 5, 6)
+    assert out["mean_token_len"] == round(15 / 5, 6)
+
+
+def test_fingerprint_canonicalization():
+    out = fingerprint_batch(_batch(["Hello  World", "hello world", "different"])).to_pylist()
+    assert out[0]["fp"] == out[1]["fp"]
+    assert out[0]["fp"] != out[2]["fp"]
+
+
+def test_collapse():
+    out = collapse_docs_batch(_batch(["a a b b b a", ""])).to_pylist()
+    assert out[0]["collapsed"] == "a b a"
+    assert out[1]["collapsed"] == ""
+
+
+def test_winnow_deterministic_and_shape():
+    texts = ["one two three four five six seven eight nine ten"] * 2 + ["short text"]
+    out = winnow_batch(_batch(texts)).to_pylist()
+    assert out[0]["n_grams"] == 6  # 10 tokens, k=5
+    assert out[0] == {**out[1], "doc_id": 0}  # identical text -> identical fingerprint
+    assert out[2]["n_grams"] == 0  # below k tokens -> empty
+
+
+def test_langid_profiles():
+    lid = LangId()
+    assert lid.predict("the cat is in the house and that is that")[0] == "en"
+    assert lid.predict("el perro y la casa de los gatos en madrid")[0] == "es"
+    assert lid.predict("der hund und die katze ist nicht das problem")[0] == "de"
+    assert lid.predict("le chat et les chiens de la maison")[0] == "fr"
+    assert lid.predict("这是一个中文句子没有别的")[0] == "zh"
+    assert lid.predict("")[0] == "und"
+    out = lid(_batch(["the the the", ""])).to_pylist()
+    assert out[0]["pred_lang"] == "en" and out[1]["pred_lang"] == "und"
+
+
+def test_knn_ivf_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import default_queries, knn_brute, knn_ivf
+
+    embs = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    qids, qmat = default_queries(embs, n=4)
+    brute = knn_brute(embs, qids, qmat, k=10)
+    ivf = knn_ivf(embs, qids, qmat, k=10, n_probe=6)
+    recalls = []
+    for qid in qids:
+        b = set(brute[brute.query_id == qid].neighbor_id)
+        a = set(ivf[ivf.query_id == qid].neighbor_id)
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5  # ANN with 6/16 probes
+
+
+def test_knn_brute_is_exact(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import default_queries, knn_brute
+
+    embs = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    qids, qmat = default_queries(embs, n=2)
+    out = knn_brute(embs, qids, qmat, k=5)
+    # brute-force numpy check
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    for j, qid in enumerate(qids):
+        cos = mat @ qmat[j]
+        order = np.argsort(-cos, kind="stable")
+        expected = [int(ids[i]) for i in order if ids[i] != qid][:5]
+        got = out[out.query_id == qid].sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True]
+        ).neighbor_id.tolist()
+        assert got == expected
