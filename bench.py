@@ -1,0 +1,223 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "extract_sf0.1_sec", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": "...", "num_cpus": N,
+     "turns": T, "turns_per_sec": R}
+
+--scaling: run the headline extraction twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warmed)
+input and print both throughputs + scaling efficiency
+(eff = (t_8/t_32)/(32/8); the sandbox stand-in for N vs 4N nodes).
+
+All logs go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(ncpu: int) -> None:
+    import ray
+
+    os.chdir(REPO)  # workers inherit cwd; keep ocr_ray importable
+    os.environ.setdefault("PYTHONPATH", REPO)
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _bench_extract(sf_dir: str) -> tuple[float, int]:
+    """Headline: full extraction + reconciliation, consumed to a sink."""
+    import shutil
+
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.pipelines.extract import run_extraction
+
+    path = ensure_transcripts(sf_dir)  # cached; excluded from timing
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    for root, _, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+    # warm the Ray worker pool (untimed): on a long-lived cluster workers
+    # are already spawned; local mode forks them lazily on first task
+    import ray.data as rd
+
+    rd.range(100_000).map_batches(lambda b: b, batch_format="pyarrow").count()
+    out = f"/tmp/ocr_ray_bench/{os.path.basename(os.path.normpath(sf_dir))}"
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    sec = float("inf")
+    for _ in range(repeats):  # min-of-N: absorb scheduler/VM noise
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_extraction(path, out)
+        sec = min(sec, time.perf_counter() - t0)
+    import pyarrow.parquet as pq
+
+    turns = sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    return sec, turns
+
+
+def _timed(fn, *args) -> float:
+    t0 = time.perf_counter()
+    res = fn(*args)
+    # consume lazy datasets
+    try:
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+    except Exception:  # noqa: BLE001
+        pass
+    return time.perf_counter() - t0
+
+
+def _calibrate(ncpu: int) -> float:
+    """Hardware calibration: mean seconds per fixed raw-Ray string task with
+    every CPU slot busy. The engine is not involved — this measures how much
+    this VM slows ANY per-core string workload as occupancy rises (memory
+    subsystem contention). Used to separate hardware contention from engine
+    overhead in the scaling report."""
+    import ray
+
+    @ray.remote
+    def strwork() -> float:
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"] * 10
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(12000):
+            s = " ".join(words[(i + j) % 60] for j in range(60))
+            toks = s.lower().split()
+            acc += sum(len(t) for t in toks if t != "alpha")
+        return time.perf_counter() - t0
+
+    durations = ray.get([strwork.remote() for _ in range(2 * ncpu)])
+    return sum(durations) / len(durations)
+
+
+def run_bench(ncpu: int) -> dict:
+    _init_ray(ncpu)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    extract_sec, turns = _bench_extract(SF_DIR)
+    per_query = {"extract_spans": round(extract_sec, 3)}
+    query_names = [] if os.environ.get("GRAFT_BENCH_EXTRACT_ONLY") else [
+        "q1_pricing_summary",
+        "order_revenue_topk",
+        "events_user_daily",
+        "dedup_exact",
+        "dedup_minhash",
+        "doc_quality",
+        "knn_brute",
+    ]
+    for name in query_names:
+        per_query[name] = round(_timed(qs[name], SF_DIR), 3)
+    result = {
+        "metric": f"extract_{os.path.basename(os.path.normpath(SF_DIR))}_sec",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": ncpu,
+        "turns": turns,
+        "turns_per_sec": round(turns / extract_sec, 1),
+    }
+    if os.environ.get("GRAFT_BENCH_CALIBRATE"):
+        result["calibration_task_sec"] = round(_calibrate(ncpu), 4)
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 then 32 CPUs (N vs 4N stand-in).
+
+    Uses the dedicated 4x "scaling" corpus (~550k turns): the sandbox's
+    fixed per-run costs (32-worker spawn, sort barriers, driver phases,
+    ~1.5-2 s) would otherwise be ~25% of a 32-CPU sf0.1 run and mask the
+    map-stage scaling a real N vs 4N cluster comparison measures."""
+    scale_dir = os.environ.get("GRAFT_SCALING_DIR", "/root/testdata/scaling")
+    # pre-generate the corpus once so both runs read identical input
+    _init_ray(32)
+    from ocr_ray.corpus import ensure_transcripts
+
+    ensure_transcripts(scale_dir)
+    import ray
+
+    ray.shutdown()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_dir,
+                   GRAFT_BENCH_EXTRACT_ONLY="1", GRAFT_BENCH_CALIBRATE="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    n_lo = int(os.environ.get("GRAFT_SCALING_N", "8"))
+    n_hi = 4 * n_lo
+    lo, hi = run(n_lo), run(n_hi)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cpus": [n_lo, n_hi],
+        f"sec_{n_lo}": t_lo,
+        f"sec_{n_hi}": t_hi,
+        f"turns_per_sec_{n_lo}": lo["turns_per_sec"],
+        f"turns_per_sec_{n_hi}": hi["turns_per_sec"],
+        "sf": lo["sf"],
+        "turns": lo["turns"],
+    }
+    # hardware-contention calibration: identical raw Ray tasks (no engine)
+    # slow down on this single VM as occupancy rises — a multi-node N vs 4N
+    # cluster runs every node at the SAME occupancy, so that term is a
+    # sandbox artifact. hardware_adjusted divides it out.
+    c_lo, c_hi = lo.get("calibration_task_sec"), hi.get("calibration_task_sec")
+    if c_lo and c_hi:
+        inflation = c_hi / c_lo
+        out["calibration_task_sec"] = {str(n_lo): c_lo, str(n_hi): c_hi}
+        out["hw_contention_inflation"] = round(inflation, 3)
+        out["hardware_adjusted_efficiency"] = round(eff * inflation, 3)
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(NCPU)))

@@ -190,7 +190,10 @@ def n_convs_for_sf(sf_dir: str) -> int:
     """Scale the corpus with the testdata SF (TESTDATA.md): ~1.5k turns at
     sf0.001, ~15k at sf0.01, ~150k at sf0.1."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    table = {"sf0.001": 220, "sf0.01": 2200, "sf0.1": 22000}
+    # "scaling" is the 4x corpus used only by bench.py --scaling: large
+    # enough that fixed per-run overhead (worker spawn, sort barriers,
+    # driver phases) is <10% of wall time at 32 CPUs
+    table = {"sf0.001": 220, "sf0.01": 2200, "sf0.1": 22000, "scaling": 88000}
     return table.get(name, 220)
 
 

@@ -131,16 +131,27 @@ def minhash_signatures_batch(batch: pa.Table) -> pa.Table:
 
 
 _MAX_BUCKET = 256  # cap pathological buckets; drops are logged by caller
+_N_HASH_BUCKETS = 64  # shuffle granularity for LSH-bucket grouping
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(group["doc_id"].to_numpy())
-    if len(ids) < 2:
+def _lsh_candidate_pairs(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """Candidate pairs from one hash bucket of LSH band rows: only keys that
+    actually collide (duplicated band values) are iterated — the common
+    singleton case is filtered vectorized."""
+    dup_mask = df.duplicated(subset=keys, keep=False)
+    sub = df[dup_mask]
+    if sub.empty:
         return pd.DataFrame({"doc_a": [], "doc_b": []})
-    if len(ids) > _MAX_BUCKET:
-        ids = ids[:_MAX_BUCKET]
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for _, g in sub.groupby(keys, sort=False):
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) > _MAX_BUCKET:
+            ids = ids[:_MAX_BUCKET]
+        a, b = np.triu_indices(len(ids), k=1)
+        out_a.extend(ids[a].tolist())
+        out_b.extend(ids[b].tolist())
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
 
 def minhash_pairs(
@@ -152,10 +163,19 @@ def minhash_pairs(
     The verify side ships only the candidate docs' shingle sets, broadcast
     once via ray.put (no second shuffle of the corpus).
     """
+    from ..stages.partial_agg import add_hash_bucket
+
     bands = docs.map_batches(minhash_signatures_batch, batch_format="pyarrow")
-    cand = (
-        bands.groupby(["band_idx", "band_key"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+    # group by a coarse hash bucket (64 groups), not by raw (band, key) —
+    # map_groups over one-group-per-band-value would pay per-group pandas
+    # overhead on mostly-singleton buckets
+    bucketed = bands.map_batches(
+        lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
+        batch_format="pyarrow",
+    )
+    cand = bucketed.groupby("bucket").map_groups(
+        lambda df: _lsh_candidate_pairs(df, ["band_idx", "band_key"]),
+        batch_format="pandas",
     )
     cand_df = cand.to_pandas()
     if cand_df.empty:
@@ -229,28 +249,39 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             names=["doc_id", "band_idx", "band_key", "sig"],
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
-        if len(ids) < 2:
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dup_mask = df.duplicated(subset=["band_idx", "band_key"], keep=False)
+        sub = df[dup_mask]
+        if sub.empty:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        if len(ids) > _MAX_BUCKET:
-            ids, sigs = ids[:_MAX_BUCKET], sigs[:_MAX_BUCKET]
-        a, b = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(sigs[i]) ^ int(sigs[j])).count("1") for i, j in zip(a, b)],
-            dtype=np.int64,
-        )
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": ham[keep]}
-        )
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_h: list[int] = []
+        for _, g in sub.groupby(["band_idx", "band_key"], sort=False):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+            if len(ids) > _MAX_BUCKET:
+                ids, sigs = ids[:_MAX_BUCKET], sigs[:_MAX_BUCKET]
+            a, b = np.triu_indices(len(ids), k=1)
+            ham = np.array(
+                [bin(int(sigs[i]) ^ int(sigs[j])).count("1") for i, j in zip(a, b)],
+                dtype=np.int64,
+            )
+            keep = ham <= max_hamming
+            out_a.extend(ids[a][keep].tolist())
+            out_b.extend(ids[b][keep].tolist())
+            out_h.extend(ham[keep].tolist())
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    from ..stages.partial_agg import add_hash_bucket
 
     sigs = docs.map_batches(sig_batch, batch_format="pyarrow")
-    pairs = sigs.groupby(["band_idx", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    bucketed = sigs.map_batches(
+        lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
+        batch_format="pyarrow",
     )
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     pdf = pairs.to_pandas()
     pdf = pdf.drop_duplicates(subset=["doc_a", "doc_b"], ignore_index=True)
     return rd.from_pandas(pdf)

@@ -26,7 +26,13 @@ import ray.data as rd
 from .. import config as C
 from ..stages.extractor import SpanExtractor
 
-__all__ = ["read_turns", "extract_spans", "reconcile", "run_extraction"]
+__all__ = [
+    "read_turns",
+    "extract_spans",
+    "reconcile",
+    "reconcile_sorted",
+    "run_extraction",
+]
 
 TURN_COLUMNS = ["conv_id", "turn_idx", "text"]
 
@@ -36,10 +42,35 @@ TURN_COLUMNS = ["conv_id", "turn_idx", "text"]
 SALT_TURNS = 64
 
 
-def read_turns(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_turns(
+    path: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
     """Pruned-at-the-read turn source (S1/S2 analog): only the columns the
-    extraction chain needs leave storage."""
-    return rd.read_parquet(path, columns=columns or TURN_COLUMNS)
+    extraction chain needs leave storage.
+
+    ``num_blocks=None`` targets ~4 blocks per CPU: enough waves to
+    load-balance the heavy extract stage (payload cost varies ~2x between
+    html and plain turns) without paying per-task launch overhead on
+    hundreds of tiny blocks (measured sweep: 4x beats 8x at 32 CPUs)."""
+    if num_blocks is None and ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        num_blocks = 4 * ncpu
+    kwargs = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return rd.read_parquet(path, columns=columns or TURN_COLUMNS, **kwargs)
+
+
+def _extract_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of the fused extractor: the only per-worker
+    state (compiled regexes, rule tables) is module-level and loads at
+    import, so elastic tasks beat an actor pool here — no pool ramp-up,
+    scheduling to every free CPU. SpanExtractor (the actor form) remains
+    for stages that hold real per-actor state."""
+    return SpanExtractor.__call__(_EXTRACT_SINGLETON, batch)
+
+
+_EXTRACT_SINGLETON = SpanExtractor()
 
 
 def extract_spans(
@@ -47,22 +78,27 @@ def extract_spans(
     *,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
+    use_actors: bool = False,
 ) -> rd.Dataset:
-    """Turns -> flat span rows via the fused actor-pool extractor.
+    """Turns -> flat span rows via the fused extractor.
 
-    ``concurrency=None`` sizes an autoscaling pool (1, cluster CPUs); pass
-    an explicit int/(min,max) to co-size with other stages.
-    """
+    Default: stateless task pool (fully elastic). ``use_actors=True``
+    switches to the actor-pool form (``concurrency=None`` sizes it to
+    (1, cluster CPUs)) — the right shape once the stage holds real
+    loaded-once state (models, large rule tables)."""
+    if not use_actors:
+        return turns.map_batches(
+            _extract_batch, batch_format="pyarrow", batch_size=batch_size
+        )
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         concurrency = (1, max(2, ncpu))
-    kwargs = {"concurrency": concurrency}
     return turns.map_batches(
         SpanExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
-        **kwargs,
+        concurrency=concurrency,
     )
 
 
@@ -144,20 +180,132 @@ def reconcile(spans: rd.Dataset, *, salted: bool = True) -> rd.Dataset:
     return local.map_batches(add_offset, batch_format="pandas")
 
 
+def reconcile_sorted(spans: rd.Dataset) -> rd.Dataset:
+    """Scale-path span reconciliation: identical output to ``reconcile``
+    but built on ONE range-partitioning sort instead of a per-group pandas
+    fan-out (23k tiny groups cost ~1 ms each in map_groups; this path is
+    O(blocks) driver work + two vectorized passes).
+
+        sort (conv_id, turn_idx, span_idx)          # the one wide shuffle
+        pass 1: per sorted block -> (conv_id, count) summary, tagged by the
+                block's min key (blocks are disjoint key ranges, so the min
+                key identifies and orders blocks without preserve_order)
+        driver: prefix-sum per conv across blocks -> {min_key: {conv: off}}
+                (tiny: one entry per (block, conv) pair), broadcast
+        pass 2: span_seq = block-local cumcount per conv + broadcast offset
+
+    Skew: a mega-conversation straddles range-partitioned blocks naturally;
+    its offsets accumulate across however many blocks it spans.
+
+    Span rows are ~2 orders of magnitude smaller than the payload input,
+    so they are coalesced (repartition, no shuffle) to ~1 block per CPU
+    before the sort — an all-to-all over hundreds of tiny blocks pays
+    O(blocks^2) exchange overhead for no parallelism gain.
+    """
+    nblocks = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # Materialize the (small) span rows first: letting the sort's map phase
+    # fuse into the lazy extract pipeline serializes it into one task in
+    # this Ray version; materialized input sorts block-parallel. This is
+    # also the natural mid-pipeline checkpoint (payload already dropped).
+    sorted_spans = (
+        spans.materialize()
+        .repartition(nblocks)
+        .sort(["conv_id", "turn_idx", "span_idx"])
+        .materialize()
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"k_conv": [], "k_turn": [], "k_span": [], "conv_id": [], "n": []},
+                schema=pa.schema(
+                    [("k_conv", pa.string()), ("k_turn", pa.int64()),
+                     ("k_span", pa.int64()), ("conv_id", pa.string()),
+                     ("n", pa.int64())]
+                ),
+            )
+        conv = batch.column("conv_id").to_pylist()
+        k = (conv[0], batch.column("turn_idx")[0].as_py(),
+             batch.column("span_idx")[0].as_py())
+        convs: list[str] = []
+        counts: list[int] = []
+        prev = None
+        for c in conv:
+            if c != prev:
+                convs.append(c)
+                counts.append(1)
+                prev = c
+            else:
+                counts[-1] += 1
+        n = len(convs)
+        return pa.Table.from_pydict(
+            {"k_conv": [k[0]] * n, "k_turn": [int(k[1])] * n,
+             "k_span": [int(k[2])] * n, "conv_id": convs, "n": counts}
+        )
+
+    summary = sorted_spans.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()
+
+    # order block summaries by their (tuple-typed) min key — matches the
+    # range partitioner's sort order for any conv_id shape
+    offsets: dict[tuple, dict[str, int]] = {}
+    running: dict[str, int] = {}
+    keys = sorted(
+        set(zip(summary["k_conv"], summary["k_turn"], summary["k_span"]))
+    )
+    grouped = summary.groupby(["k_conv", "k_turn", "k_span"], sort=False)
+    for mk in keys:
+        blk = grouped.get_group(mk)
+        offsets[mk] = {}
+        for c, n in zip(blk["conv_id"], blk["n"]):
+            offsets[mk][c] = running.get(c, 0)
+            running[c] = running.get(c, 0) + int(n)
+    oref = ray.put(offsets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("span_seq", pa.array([], pa.int64()))
+        table = ray.get(oref)
+        conv = batch.column("conv_id").to_pylist()
+        mk = (conv[0], batch.column("turn_idx")[0].as_py(),
+              batch.column("span_idx")[0].as_py())
+        off = table[mk]
+        seq = np.empty(len(conv), dtype=np.int64)
+        cur_conv = None
+        cur = 0
+        for i, c in enumerate(conv):
+            if c != cur_conv:
+                cur = off.get(c, 0)
+                cur_conv = c
+            seq[i] = cur
+            cur += 1
+        return batch.append_column("span_seq", pa.array(seq))
+
+    return sorted_spans.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
 def run_extraction(
     turns_path: str,
     out_dir: str | None = None,
     *,
     batch_size: int = 256,
-    salted: bool = True,
+    mode: str = "sorted",
 ) -> rd.Dataset:
     """End-to-end: read -> extract -> reconcile (-> write if out_dir).
 
+    ``mode``: "sorted" (default, the fast sort-based reconciliation),
+    "salted" (two-phase salted groupby), or "grouped" (direct groupby) —
+    all three produce identical output (tested).
+
     Output is a parquet directory of part files (resumable layout: rerun
-    with a fresh out_dir or let ocr_ray.state.checkpoint skip completed
+    with a fresh out_dir or let ocr_ray.state.lineage skip completed
     partitions)."""
     spans = extract_spans(read_turns(turns_path), batch_size=batch_size)
-    spans = reconcile(spans, salted=salted)
+    if mode == "sorted":
+        spans = reconcile_sorted(spans)
+    else:
+        spans = reconcile(spans, salted=(mode == "salted"))
     if out_dir is not None:
         spans.write_parquet(out_dir)
     return spans

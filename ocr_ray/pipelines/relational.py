@@ -73,25 +73,21 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
             names=["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_price_c4"],
         )
 
-    agg = (
-        ds.map_batches(widen, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="sum_qty_c"),
-            Sum("price_c", alias_name="sum_price_c"),
-            Sum("disc_price_c4", alias_name="sum_disc_c4"),
-            Count(alias_name="n"),
-        )
-        .to_pandas()
-    )
+    from ..stages.partial_agg import partial_sum_count
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty_c", "price_c", "disc_price_c4"],
+    ).to_pandas()
     out = pd.DataFrame(
         {
             "l_returnflag": agg["l_returnflag"],
             "l_linestatus": agg["l_linestatus"],
-            "sum_qty": agg["sum_qty_c"] / 100.0,
-            "sum_base_price": agg["sum_price_c"] / 100.0,
-            "sum_disc_price": agg["sum_disc_c4"] / 10000.0,
-            "avg_qty": agg["sum_qty_c"] / agg["n"] / 100.0,
+            "sum_qty": agg["qty_c"] / 100.0,
+            "sum_base_price": agg["price_c"] / 100.0,
+            "sum_disc_price": agg["disc_price_c4"] / 10000.0,
+            "avg_qty": agg["qty_c"] / agg["n"] / 100.0,
             "n": agg["n"],
         }
     )
@@ -217,12 +213,13 @@ def events_user_daily(sf_dir: str) -> pd.DataFrame:
             names=["user_id", "day", "value_c"],
         )
 
-    agg = (
-        ds.map_batches(widen, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="value_c"))
-        .to_pandas()
-    )
+    from ..stages.partial_agg import hash_bucket_sum
+
+    # (user, day) cardinality is a large fraction of the row count ->
+    # hash-bucketed combine instead of per-block partials
+    agg = hash_bucket_sum(
+        ds.map_batches(widen, batch_format="pyarrow"), ["user_id", "day"], ["value_c"]
+    ).to_pandas()
     agg["sum_value"] = agg["value_c"] / 100.0
     return agg[["user_id", "day", "n", "sum_value"]].sort_values(
         ["user_id", "day"]
@@ -262,8 +259,15 @@ def orders_priority_count(sf_dir: str) -> pd.DataFrame:
 
 
 def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
-    """Per-order discounted revenue, top-k: pre-aggregated grouped sum of
-    exact integer 1e-4 units, sort desc, limit."""
+    """Per-order discounted revenue, top-k.
+
+    Scale shape: l_orderkey cardinality ~ row count (per-block partials
+    would not shrink the shuffle), so the grouped sum is hash-bucketed
+    (ocr_ray.stages.partial_agg.hash_bucket_sum) and the top-k is a
+    per-block partial top-k followed by a driver-side merge of n_blocks*k
+    candidate rows — no global sort."""
+    from ..stages.partial_agg import hash_bucket_sum
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def widen(t: pa.Table) -> pa.Table:
@@ -274,14 +278,20 @@ def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
             [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
         )
 
-    top = (
-        ds.map_batches(widen, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
-        .sort(["rev_c4", "l_orderkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+    agg = hash_bucket_sum(
+        ds.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
     )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["rev_c4", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    cand = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(
+        ["rev_c4", "l_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
     top["revenue"] = top["rev_c4"] / 10000.0
     return top[["l_orderkey", "revenue"]]
 

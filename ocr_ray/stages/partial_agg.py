@@ -1,0 +1,98 @@
+"""Map-side partial aggregation (combiner) before a grouped shuffle.
+
+The scale rule (SURVEY.md "Aggregation at scale"): a bare
+``groupby(key).aggregate(...)`` shuffles every row; pre-reducing each
+block to one row per (key, agg) first shrinks the all-to-all exchange to
+the key cardinality per block. Sums/counts/min/max are algebraic, so the
+final combine over partials is exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+__all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket"]
+
+
+def add_hash_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> pa.Table:
+    """Append a deterministic ``bucket`` column = hash(keys) % n_buckets.
+
+    Uses pd.util.hash_array (process-independent) — builtin hash() is
+    salted per worker and would scatter one key across buckets."""
+    import numpy as np
+
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in keys:
+        v = pd.util.hash_array(
+            t.column(k).to_numpy(zero_copy_only=False), categorize=False
+        )
+        h = h * np.uint64(1099511628211) + v
+    bucket = ((h * np.uint64(2654435761)) % np.uint64(n_buckets)).astype(np.int64)
+    return t.append_column("bucket", pa.array(bucket))
+
+
+def partial_sum_count(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    count_alias: str = "n",
+) -> rd.Dataset:
+    """groupby(keys).agg(sum(sum_cols), count(*)) with per-block partials.
+
+    Emits one row per key with the summed columns (same names) plus
+    ``count_alias``. Equivalent to a direct grouped aggregate but the
+    shuffle moves per-block partials instead of raw rows.
+    """
+
+    def combine_block(t: pa.Table) -> pa.Table:
+        df = t.select(keys + sum_cols).to_pandas()
+        g = df.groupby(keys, as_index=False, sort=False).agg(
+            {c: "sum" for c in sum_cols}
+        )
+        cnt = df.groupby(keys, as_index=False, sort=False).size()
+        g[count_alias] = cnt["size"].to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(combine_block, batch_format="pyarrow")
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def hash_bucket_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    count_alias: str = "n",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """High-cardinality grouped sum+count: hash-partition on a small bucket
+    key, then ONE vectorized pandas groupby per bucket.
+
+    When key cardinality ~ row count, per-block partials don't shrink the
+    shuffle and Ray's sort-based aggregate pays an O(n log n) sort on the
+    full key column. Shuffling by ``hash(keys) % n_buckets`` instead sorts
+    a 64-value int column and the per-bucket combine is one vectorized
+    groupby — same exact result. Skewed keys spread across buckets by hash.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return add_hash_bucket(t, keys, n_buckets)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False, sort=False).agg(
+            {c: "sum" for c in sum_cols}
+        )
+        cnt = df.groupby(keys, as_index=False, sort=False).size()
+        g[count_alias] = cnt["size"].to_numpy()
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -31,12 +31,25 @@ _STRIP_TABLE = {ord(c): None for c in _STRIP_CHARS}
 
 def normalize_text(text: str) -> str:
     """Deterministic payload normalizer (M1/F12 analog):
-    NFC unicode normalization, BOM/zero-width strip, CRLF -> LF."""
+    NFC unicode normalization, BOM/zero-width strip, CRLF -> LF.
+
+    Fast paths avoid full-string copies on the (dominant) ascii /
+    no-carriage-return payloads; identical output either way."""
     if not text:
         return ""
-    text = unicodedata.normalize("NFC", text)
-    text = text.translate(_STRIP_TABLE)
-    return text.replace("\r\n", "\n").replace("\r", "\n")
+    if not text.isascii():
+        # NFC is a no-op on pure ascii; zero-width chars are non-ascii
+        if unicodedata.is_normalized("NFC", text):
+            pass
+        else:
+            text = unicodedata.normalize("NFC", text)
+        for c in _STRIP_CHARS:
+            if c in text:
+                text = text.translate(_STRIP_TABLE)
+                break
+    if "\r" in text:
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
+    return text
 
 
 def encode_token(token: str) -> str:

@@ -65,6 +65,37 @@ def test_pipeline_matches_oracle(ray_session, turns_path, salted):
     assert seq_ok.all()
 
 
+def test_reconcile_sorted_equals_grouped(ray_session, turns_path):
+    """The sort-based scale path produces identical span_seq to the
+    groupby reference implementation (incl. the mega-conversation that
+    straddles many range-partitioned blocks)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extract_spans, reconcile, reconcile_sorted
+
+    def load():
+        return extract_spans(
+            rd.read_parquet(turns_path, columns=["conv_id", "turn_idx", "text"])
+        )
+
+    a = (
+        reconcile_sorted(load())
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        reconcile(load(), salted=False)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[["conv_id", "turn_idx", "span_idx", "span_seq"]],
+        b[["conv_id", "turn_idx", "span_idx", "span_seq"]],
+    )
+
+
 def test_mega_conversation_salting(ray_session, turns_path):
     """conv-00000000 is a mega-conversation (MEGA_TURNS turns): the salted
     reconciliation must still produce a dense, correctly ordered ordinal."""
