@@ -172,14 +172,63 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(embs, qids, qmat, k=10)
 
 
+def _q_extract_docs(sf_dir: str):
+    """Full extraction chain over the documents table (plain-payload path):
+    doc_id becomes the conversation key; output is SQL-verifiable because
+    the plain path on single-line ascii docs is closed-form (whole-payload
+    span, score 1.0, CTC-collapsed token text)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extract_spans
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def as_turns(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.cast(t["doc_id"], pa.string()),
+             pa.array([0] * t.num_rows, pa.int32()),
+             t["text"].combine_chunks()],
+            names=["conv_id", "turn_idx", "text"],
+        )
+
+    spans = extract_spans(docs.map_batches(as_turns, batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.cast(t["conv_id"], pa.int64()),
+             pc.cast(t["span_idx"], pa.int32()),
+             t["start"].combine_chunks(), t["end"].combine_chunks(),
+             t["text"].combine_chunks(), t["score"].combine_chunks()],
+            names=["doc_id", "span_idx", "start", "end", "text", "score"],
+        )
+
+    return spans.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from ocr_ray.pipelines import joins as J
     from ocr_ray.pipelines import relational as R
+    from ocr_ray.pipelines import streaming as S
 
     return {
         # extraction family (transcript corpus; pytest-oracle checked)
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
         "extract_conv_stats": _q_extract_conv_stats,
+        "extract_docs": _q_extract_docs,
+        # stream-shaped operators over the events log
+        "events_tumbling": S.tumbling_window,
+        "events_sessions": S.session_windows,
+        "events_asof_login": S.asof_last_login,
+        # large-large partitioned hash join
+        "order_lineitem_revenue": J.order_lineitem_revenue,
         # relational operator surface (exact SQL twins)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
@@ -327,5 +376,74 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5({_CANON})
+        """,
+        "extract_docs": """
+            WITH toks AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     unnest(regexp_extract_all(text, '\\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS ord
+              FROM documents
+            ), marked AS (
+              SELECT doc_id, n_chars, tok, ord,
+                     lag(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS prev
+              FROM toks
+            )
+            SELECT doc_id, CAST(0 AS INTEGER) AS span_idx,
+                   CAST(0 AS BIGINT) AS start, CAST(n_chars AS BIGINT) AS "end",
+                   string_agg(tok, ' ' ORDER BY ord) AS text, 1.0 AS score
+            FROM marked
+            WHERE (prev IS NULL OR tok <> prev)
+              AND tok NOT IN ('*', '###', '|', '--')
+            GROUP BY doc_id, n_chars
+            HAVING n_chars >= 10
+        """,
+        "events_tumbling": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
+                   count(*) AS n,
+                   sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events GROUP BY user_id, window_start
+            ORDER BY user_id, window_start
+        """,
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   CAST(floor(epoch(max(ts) - min(ts))) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+        """,
+        "events_asof_login": """
+            WITH w AS (
+              SELECT event_id, user_id, ts, event_type,
+                     max(CASE WHEN event_type = 'login' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS last_login_ts
+              FROM events
+            )
+            SELECT event_id, user_id, ts, last_login_ts
+            FROM w WHERE event_type = 'click' ORDER BY event_id
+        """,
+        "order_lineitem_revenue": """
+            SELECT o.o_orderstatus, count(*) AS n_orders,
+                   sum(li.rev_c4) / 10000.0 AS revenue
+            FROM (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_c4
+              FROM lineitem GROUP BY l_orderkey
+            ) li JOIN orders o ON o.o_orderkey = li.l_orderkey
+            GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
         """,
     }

@@ -1,0 +1,113 @@
+"""Join strategies (SURVEY.md §2.4 — the reference has only parent-key
+gathers; these are the engine's general-purpose joins).
+
+- Broadcast join: dimension side shipped once via ray.put, merged per
+  batch (in relational.py — region_customer_stats, top_customers).
+- Partitioned hash join (here): both sides large -> tag each side, add a
+  deterministic hash bucket on the key, union the two datasets,
+  groupby(bucket), and join the sides pairwise inside each bucket. This is
+  the portable bucket-join pattern; B buckets bound per-task memory, and
+  hot keys can be salted into sub-buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+__all__ = ["bucket_hash_join", "order_lineitem_revenue"]
+
+
+def bucket_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    n_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Generic partitioned hash join of two Datasets on one key column.
+
+    Shuffle cost: one groupby over (left ∪ right) tagged rows. Column sets
+    of the two sides must be disjoint apart from ``on``."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    lcols = [c for c in left.schema().names if c != on]
+    rcols = [c for c in right.schema().names if c != on]
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = add_hash_bucket(t, [on], n_buckets)
+            return t.append_column("__side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    both = left.map_batches(tag("L"), batch_format="pyarrow").union(
+        right.map_batches(tag("R"), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "L"][[on, *lcols]]
+        r = df[df["__side"] == "R"][[on, *rcols]]
+        return l.merge(r, on=on, how=how)
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-large join showcase: lineitem ⋈ orders on orderkey, exact
+    integer-cents revenue by order status.
+
+    Scale shape: pre-aggregate lineitem per orderkey FIRST (hash-bucketed
+    combine — never join raw lineitem rows), then bucket-hash-join against
+    orders, then a tiny grouped sum."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.Table.from_arrays(
+            [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
+        )
+
+    li_agg = hash_bucket_sum(
+        li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
+    ).drop_columns(["n"])
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]),
+        batch_format="pyarrow",
+    )
+
+    joined = bucket_hash_join(li_agg, orders, on="l_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderstatus", as_index=False).agg(
+            rev_c4=("rev_c4", "sum"), n_orders=("l_orderkey", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["rev_c4"] / 10000.0
+    return out[["o_orderstatus", "n_orders", "revenue"]].sort_values(
+        "o_orderstatus"
+    ).reset_index(drop=True)

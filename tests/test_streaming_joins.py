@@ -1,0 +1,113 @@
+"""Windowed/streaming operators and the partitioned hash join vs
+brute-force pandas on the sf0.001 tables."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    return pq.read_table(os.path.join(SF, "events.parquet")).to_pandas()
+
+
+def test_tumbling_window(ray_session):
+    from ocr_ray.pipelines.streaming import tumbling_window
+
+    got = tumbling_window(SF)
+    ev = _events()
+    ev["window_start"] = ev["ts"].dt.strftime("%Y-%m-%d %H:00:00")
+    exp = (
+        ev.groupby(["user_id", "window_start"])
+        .agg(n=("value", "size"), sum_value=("value", lambda v: np.round(v * 100).astype(np.int64).sum() / 100.0))
+        .reset_index()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user_id", "window_start", "n", "sum_value"]].astype({"n": np.int64}),
+        exp.astype({"n": np.int64}),
+        check_dtype=False,
+    )
+
+
+def test_session_windows(ray_session):
+    from ocr_ray.pipelines.streaming import SESSION_GAP_MIN, session_windows
+
+    got = session_windows(SF)
+    ev = _events().sort_values(["user_id", "ts"])
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].to_list()
+        start, n = ts[0], 1
+        prev = ts[0]
+        for t in ts[1:]:
+            if (t - prev).total_seconds() > SESSION_GAP_MIN * 60:
+                rows.append((uid, start, n, int((prev - start).total_seconds())))
+                start, n = t, 1
+            else:
+                n += 1
+            prev = t
+        rows.append((uid, start, n, int((prev - start).total_seconds())))
+    exp = pd.DataFrame(rows, columns=["user_id", "session_start", "n_events", "duration_sec"])
+    exp = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_last_login(ray_session):
+    from ocr_ray.pipelines.streaming import asof_last_login
+
+    got = asof_last_login(SF)
+    ev = _events()
+    clicks = ev[ev.event_type == "click"]
+    assert len(got) == len(clicks)
+    # spot-check each row: last_login_ts is the max login ts <= click ts
+    logins = ev[ev.event_type == "login"]
+    for _, r in got.head(50).iterrows():
+        ls = logins[(logins.user_id == r.user_id) & (logins.ts <= r.ts)]["ts"]
+        if ls.empty:
+            assert pd.isna(r.last_login_ts)
+        else:
+            assert r.last_login_ts == ls.max()
+
+
+def test_bucket_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import bucket_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": ["x", "y", "z", "w", "v"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "b": [10, 20, 30, 40]})
+    got = (
+        bucket_hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_order_lineitem_revenue(ray_session):
+    from ocr_ray.pipelines.joins import order_lineitem_revenue
+
+    got = order_lineitem_revenue(SF)
+    li = pq.read_table(os.path.join(SF, "lineitem.parquet")).to_pandas()
+    orders = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    li["rev_c4"] = (
+        np.round(li.l_extendedprice * 100).astype(np.int64)
+        * (100 - np.round(li.l_discount * 100).astype(np.int64))
+    )
+    per_order = li.groupby("l_orderkey", as_index=False)["rev_c4"].sum()
+    j = per_order.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    exp = (
+        j.groupby("o_orderstatus")
+        .agg(n_orders=("l_orderkey", "size"), revenue=("rev_c4", lambda v: v.sum() / 10000.0))
+        .reset_index()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
