@@ -172,6 +172,24 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(embs, qids, qmat, k=10)
 
 
+def _q_extract_metrics(sf_dir: str):
+    """Drop/dead-letter counter rollup over the transcript corpus
+    (reason, total) — every deterministic drop in the chain is logged."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.stages.extractor import metrics_batch
+
+    turns = rd.read_parquet(ensure_transcripts(sf_dir), columns=["text"])
+    return (
+        turns.map_batches(metrics_batch, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Sum("count", alias_name="total"))
+    )
+
+
 def _q_extract_docs(sf_dir: str):
     """Full extraction chain over the documents table (plain-payload path):
     doc_id becomes the conversation key; output is SQL-verifiable because
@@ -223,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_units": _q_extract_units,
         "extract_conv_stats": _q_extract_conv_stats,
         "extract_docs": _q_extract_docs,
+        "extract_metrics": _q_extract_metrics,
         # stream-shaped operators over the events log
         "events_tumbling": S.tumbling_window,
         "events_sessions": S.session_windows,

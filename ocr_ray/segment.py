@@ -70,10 +70,19 @@ def detect_kind(text: str) -> str:
     return PAYLOAD_PLAIN
 
 
+_NON_GOOD_RE = re.compile(r"[^0-9a-zA-Z ]")
+
+
 def _density(s: str) -> float:
-    """Fraction of alphanumeric+space chars — the unit text-density feature."""
+    """Fraction of alphanumeric+space chars — the unit text-density feature.
+
+    Ascii fast path (regex count of the complement) is exact: ascii
+    isalnum() == [0-9a-zA-Z]; the unicode fall-back keeps isalnum()
+    semantics for non-ascii payloads."""
     if not s:
         return 0.0
+    if s.isascii():
+        return (len(s) - len(_NON_GOOD_RE.findall(s))) / len(s)
     good = sum(1 for c in s if c.isalnum() or c == " ")
     return good / len(s)
 

@@ -83,7 +83,15 @@ class SpanExtractor:
         for cid, tix, text in zip(conv_ids, turn_idxs, texts):
             if not text:
                 continue
-            for span in extract_turn(text, self.counters):
+            try:
+                spans = extract_turn(text, self.counters)
+            except Exception:  # noqa: BLE001 — dead-letter, never kill the task
+                # per-row error capture: the reference's blanket try/except
+                # kills the whole generator (DataGen.py:576-580); the engine
+                # drops the single row and counts it instead
+                self.counters["error_rows"] = self.counters.get("error_rows", 0) + 1
+                continue
+            for span in spans:
                 out_conv.append(cid)
                 out_turn.append(tix)
                 out_sidx.append(span["span_idx"])
@@ -143,6 +151,37 @@ class UnitScorer:
             [pa.array(rows[f.name], f.type) for f in UNIT_SCHEMA],
             schema=UNIT_SCHEMA,
         )
+
+
+def metrics_batch(batch: pa.Table) -> pa.Table:
+    """Audit stage: re-run the extraction chain counting every deterministic
+    drop (SURVEY.md §7.4 'silent-drop semantics ... deterministic and
+    logged') plus dead-lettered error rows. Emits (reason, count) partial
+    rows per batch; aggregate with groupby(reason).sum."""
+    counters: dict[str, int] = {}
+    turns = 0
+    empty = 0
+    errors = 0
+    spans = 0
+    for text in batch.column("text").to_pylist():
+        turns += 1
+        if not text:
+            empty += 1
+            continue
+        try:
+            spans += len(extract_turn(text, counters))
+        except Exception:  # noqa: BLE001
+            errors += 1
+    counters["turns_in"] = turns
+    counters["empty_payloads"] = empty
+    counters["error_rows"] = errors
+    counters["spans_out"] = spans
+    return pa.Table.from_pydict(
+        {
+            "reason": list(counters.keys()),
+            "count": pa.array(list(counters.values()), pa.int64()),
+        }
+    )
 
 
 def propose_only(batch: pa.Table) -> pa.Table:

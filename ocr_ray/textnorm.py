@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import unicodedata
 
-from .config import BLANK_TOKEN, CHAR_TO_INDEX
+import re
+
+from .config import BLANK_TOKEN, CHAR_TO_INDEX, CHAR_VECTOR
 
 # Reference DataGen.py:59-62 strips the UTF-8 BOM and the zero-width joiner
 # (it operates on raw bytes; we operate on str so the set is their decoded
@@ -52,11 +54,19 @@ def normalize_text(text: str) -> str:
     return text
 
 
+_ALLOWED_RE = re.compile("[" + re.escape(CHAR_VECTOR) + "]*\\Z")
+
+
 def encode_token(token: str) -> str:
     """Project a token onto the engine alphabet: characters outside
     CHAR_VECTOR are silently skipped (reference DataGen.py:28-45 skips
     unknown chars without error; spaces are stripped at DataGen.py:30).
-    A token that loses every character becomes the blank token."""
+    A token that loses every character becomes the blank token.
+
+    Fast path: the (dominant) all-alphabet token passes a single C regex
+    fullmatch and is returned unchanged."""
+    if _ALLOWED_RE.fullmatch(token):
+        return token if token else BLANK_TOKEN
     kept = [c for c in token if c in CHAR_TO_INDEX]
     if not kept:
         return BLANK_TOKEN

@@ -96,6 +96,58 @@ def test_reconcile_sorted_equals_grouped(ray_session, turns_path):
     )
 
 
+def test_dead_letter_rows(ray_session, monkeypatch):
+    """A poisoned payload is dropped and counted, not fatal (the
+    reference's generator dies on any record error, DataGen.py:576-580)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages import extractor as ex
+
+    real = ex.extract_turn
+
+    def poisoned(text, counters=None):
+        if text == "BOOM":
+            raise ValueError("poison")
+        return real(text, counters)
+
+    monkeypatch.setattr(ex, "extract_turn", poisoned)
+    inst = ex.SpanExtractor()
+    batch = pa.Table.from_pylist(
+        [
+            {"conv_id": "c", "turn_idx": 0, "text": "good content words here"},
+            {"conv_id": "c", "turn_idx": 1, "text": "BOOM"},
+            {"conv_id": "c", "turn_idx": 2, "text": "more good content words"},
+        ]
+    )
+    out = inst(batch)
+    assert set(out.column("turn_idx").to_pylist()) == {0, 2}
+    assert inst.counters["error_rows"] == 1
+
+
+def test_extract_metrics_counters(ray_session):
+    import pyarrow as pa
+
+    from ocr_ray.stages.extractor import metrics_batch
+
+    batch = pa.Table.from_pylist(
+        [
+            {"text": "good content words in this line"},
+            {"text": ""},
+            {"text": "xy"},  # below MIN_TEXT_SIZE
+        ]
+    )
+    out = dict(
+        zip(
+            metrics_batch(batch).column("reason").to_pylist(),
+            metrics_batch(batch).column("count").to_pylist(),
+        )
+    )
+    assert out["turns_in"] == 3
+    assert out["empty_payloads"] == 1
+    assert out["drop_min_text_size"] == 1
+    assert out["spans_out"] >= 1
+
+
 def test_mega_conversation_salting(ray_session, turns_path):
     """conv-00000000 is a mega-conversation (MEGA_TURNS turns): the salted
     reconciliation must still produce a dense, correctly ordered ordinal."""
