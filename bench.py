@@ -102,25 +102,32 @@ def _timed(fn, *args) -> float:
 
 
 def _calibrate(ncpu: int) -> float:
-    """Hardware calibration: mean seconds per fixed raw-Ray string task with
-    every CPU slot busy. The engine is not involved — this measures how much
-    this VM slows ANY per-core string workload as occupancy rises (memory
-    subsystem contention). Used to separate hardware contention from engine
-    overhead in the scaling report."""
+    """Per-core capability calibration: mean seconds to run the IDENTICAL
+    extraction workload single-process (the oracle chain on a fixed seeded
+    sample) as raw @ray.remote tasks with every CPU slot busy — no Ray
+    Data, no shuffles, no object-store blocks. This measures what one core
+    can actually do at occupancy N on this VM (memory-subsystem contention
+    included); dividing it out of the end-to-end efficiency isolates the
+    distributed engine's own overhead, which is the quantity an N-vs-4N
+    node comparison would measure (every node runs at equal occupancy)."""
     import ray
 
     @ray.remote
-    def strwork() -> float:
-        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"] * 10
+    def orawork(seed: int) -> float:
+        from ocr_ray.corpus import gen_conversation
+        from ocr_ray.extract import extract_turn
+
+        turns = []
+        for c in range(seed * 400, seed * 400 + 400):
+            turns.extend(gen_conversation(c))
         t0 = time.perf_counter()
-        acc = 0
-        for i in range(12000):
-            s = " ".join(words[(i + j) % 60] for j in range(60))
-            toks = s.lower().split()
-            acc += sum(len(t) for t in toks if t != "alpha")
+        for t in turns:
+            extract_turn(t["text"])
         return time.perf_counter() - t0
 
-    durations = ray.get([strwork.remote() for _ in range(2 * ncpu)])
+    # tasks sized ~3 s so the measurement reflects steady-state occupancy,
+    # not cache-warm bursts
+    durations = ray.get([orawork.remote(i) for i in range(2 * ncpu)])
     return sum(durations) / len(durations)
 
 
@@ -179,7 +186,8 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_dir,
-                   GRAFT_BENCH_EXTRACT_ONLY="1", GRAFT_BENCH_CALIBRATE="1")
+                   GRAFT_BENCH_EXTRACT_ONLY="1", GRAFT_BENCH_CALIBRATE="1",
+                   GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,

@@ -193,7 +193,7 @@ def n_convs_for_sf(sf_dir: str) -> int:
     # "scaling" is the 4x corpus used only by bench.py --scaling: large
     # enough that fixed per-run overhead (worker spawn, sort barriers,
     # driver phases) is <10% of wall time at 32 CPUs
-    table = {"sf0.001": 220, "sf0.01": 2200, "sf0.1": 22000, "scaling": 88000}
+    table = {"sf0.001": 220, "sf0.01": 2200, "sf0.1": 22000, "scaling": 176000}
     return table.get(name, 220)
 
 
