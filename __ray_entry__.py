@@ -172,6 +172,51 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(embs, qids, qmat, k=10)
 
 
+def _q_extract_propose(sf_dir: str):
+    """Operator-level propose/NMS/order stage in isolation (M4-M8 + D1/D2,
+    FIXTURES.md §3): spans with offsets + confidence, no decode."""
+    import ray.data as rd
+
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.stages.extractor import propose_only
+
+    turns = rd.read_parquet(ensure_transcripts(sf_dir),
+                            columns=["conv_id", "turn_idx", "text"])
+    return turns.map_batches(propose_only, batch_format="pyarrow")
+
+
+def _q_extract_assistant(sf_dir: str):
+    """Role-filtered extraction (predicate pushed down to parquet row
+    groups at the read)."""
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.pipelines.extract import extract_spans, read_turns
+
+    turns = read_turns(ensure_transcripts(sf_dir), roles=["assistant"])
+    return extract_spans(turns.drop_columns(["role"]))
+
+
+def _q_docs_quality_filter(sf_dir: str):
+    """Quality-gate filter over documents: keep docs passing fixed
+    thresholds (the training-data curation shape). SQL-verified."""
+    import pyarrow as pa
+
+    from ocr_ray.functions.textstats import quality_batch
+
+    scored = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["n_tokens"], 10),
+                    pc.less_equal(t["stop_ratio"], 0.5)),
+            pc.greater_equal(t["mean_token_len"], 2.0),
+        )
+        return t.filter(mask).select(["doc_id", "n_tokens", "stop_ratio"])
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
 def _q_extract_metrics(sf_dir: str):
     """Drop/dead-letter counter rollup over the transcript corpus
     (reason, total) — every deterministic drop in the chain is logged."""
@@ -242,6 +287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_conv_stats": _q_extract_conv_stats,
         "extract_docs": _q_extract_docs,
         "extract_metrics": _q_extract_metrics,
+        "extract_propose": _q_extract_propose,
+        "extract_assistant": _q_extract_assistant,
+        "docs_quality_filter": _q_docs_quality_filter,
         # stream-shaped operators over the events log
         "events_tumbling": S.tumbling_window,
         "events_sessions": S.session_windows,
@@ -415,6 +463,23 @@ def oracle_sql() -> dict[str, str]:
               AND tok NOT IN ('*', '###', '|', '--')
             GROUP BY doc_id, n_chars
             HAVING n_chars >= 10
+        """,
+        "docs_quality_filter": """
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            ), q AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     round(CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                       len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+                         / CAST(len(toks) AS DOUBLE) END, 6) AS stop_ratio,
+                     round(CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                       list_sum(list_transform(toks, x -> length(x)))
+                         / CAST(len(toks) AS DOUBLE) END, 6) AS mean_token_len
+              FROM t
+            )
+            SELECT doc_id, n_tokens, stop_ratio FROM q
+            WHERE n_tokens >= 10 AND stop_ratio <= 0.5 AND mean_token_len >= 2.0
         """,
         "events_tumbling": """
             SELECT user_id, strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,

@@ -1,0 +1,98 @@
+"""Command-line entry point — the surface a `ray job submit` deployment
+drives (north rule: `ray job submit` on fixed-size clusters):
+
+    python -m ocr_ray.cli extract --input <turns_dir> --output <dir> [--resume]
+    python -m ocr_ray.cli metrics --input <turns_dir>
+    python -m ocr_ray.cli gen-corpus --sf sf0.01
+
+On a cluster: `ray job submit --working-dir . -- python -m ocr_ray.cli
+extract ...` — the module only calls ray.init when no session exists
+(the job driver usually owns it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    if args.resume:
+        from .state.lineage import CheckpointedExtraction
+
+        results = CheckpointedExtraction(args.input, args.output).execute()
+        print(json.dumps({"mode": "resume", "partitions": results}, default=str))
+        return 0
+    from .pipelines.extract import run_extraction
+
+    ds = run_extraction(args.input, args.output)
+    print(json.dumps({"mode": "direct", "output": args.output}))
+    return 0
+
+
+def cmd_metrics(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from .stages.extractor import metrics_batch
+
+    turns = rd.read_parquet(args.input, columns=["text"])
+    out = (
+        turns.map_batches(metrics_batch, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Sum("count", alias_name="total"))
+        .to_pandas()
+    )
+    print(json.dumps(dict(zip(out["reason"], out["total"].astype(int)))))
+    return 0
+
+
+def cmd_gen_corpus(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .corpus import ensure_transcripts
+
+    path = ensure_transcripts(f"/root/testdata/{args.sf}")
+    print(json.dumps({"corpus": path}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run the extraction pipeline")
+    pe.add_argument("--input", required=True, help="turns parquet file/dir")
+    pe.add_argument("--output", required=True, help="output directory")
+    pe.add_argument("--resume", action="store_true",
+                    help="checkpointed per-partition run (skip completed)")
+    pe.set_defaults(fn=cmd_extract)
+
+    pm = sub.add_parser("metrics", help="drop/dead-letter counter rollup")
+    pm.add_argument("--input", required=True)
+    pm.set_defaults(fn=cmd_metrics)
+
+    pg = sub.add_parser("gen-corpus", help="generate the synthetic corpus")
+    pg.add_argument("--sf", default="sf0.001")
+    pg.set_defaults(fn=cmd_gen_corpus)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

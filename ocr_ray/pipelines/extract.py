@@ -42,10 +42,18 @@ TURN_COLUMNS = ["conv_id", "turn_idx", "text"]
 SALT_TURNS = 64
 
 
+def write_spans_csv(spans: rd.Dataset, out_dir: str) -> None:
+    """CSV sink — the result.txt analog (S5, reference test_img.py:121-132
+    writes one CSV line per surviving box). Parquet is the primary sink;
+    this exists for reference-shaped consumers."""
+    spans.write_csv(out_dir)
+
+
 def read_turns(
     path: str,
     columns: list[str] | None = None,
     num_blocks: int | None = None,
+    roles: list[str] | None = None,
 ) -> rd.Dataset:
     """Pruned-at-the-read turn source (S1/S2 analog): only the columns the
     extraction chain needs leave storage.
@@ -53,11 +61,23 @@ def read_turns(
     ``num_blocks=None`` targets ~4 blocks per CPU: enough waves to
     load-balance the heavy extract stage (payload cost varies ~2x between
     html and plain turns) without paying per-task launch overhead on
-    hundreds of tiny blocks (measured sweep: 4x beats 8x at 32 CPUs)."""
+    hundreds of tiny blocks (measured sweep: 4x beats 8x at 32 CPUs).
+
+    ``roles`` pushes a row filter down to the parquet row groups (e.g.
+    extract only assistant turns without scanning user/tool payloads).
+    """
     if num_blocks is None and ray.is_initialized():
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         num_blocks = 4 * ncpu
     kwargs = {"override_num_blocks": num_blocks} if num_blocks else {}
+    if roles is not None:
+        import pyarrow.compute as pc
+
+        kwargs["filter"] = pc.field("role").isin(roles)
+        cols = list(columns or TURN_COLUMNS)
+        if "role" not in cols:
+            cols.append("role")
+        return rd.read_parquet(path, columns=cols, **kwargs)
     return rd.read_parquet(path, columns=columns or TURN_COLUMNS, **kwargs)
 
 

@@ -1,0 +1,66 @@
+"""CLI surface, CSV sink, and role-filtered read tests."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from ocr_ray.corpus import turns_table_for_convs
+
+
+def _write_turns(tmp_path) -> str:
+    d = str(tmp_path / "turns")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(turns_table_for_convs(list(range(8))), os.path.join(d, "t.parquet"))
+    return d
+
+
+def test_cli_extract_and_metrics(ray_session, tmp_path, capsys):
+    from ocr_ray.cli import main
+
+    turns = _write_turns(tmp_path)
+    out = str(tmp_path / "out")
+    assert main(["extract", "--input", turns, "--output", out]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["mode"] == "direct"
+    assert any(f.endswith(".parquet") for f in os.listdir(out))
+
+    assert main(["metrics", "--input", turns]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["turns_in"] > 0 and m["spans_out"] > 0
+
+
+def test_cli_resume(ray_session, tmp_path, capsys):
+    from ocr_ray.cli import main
+
+    turns = _write_turns(tmp_path)
+    out = str(tmp_path / "ckpt")
+    assert main(["extract", "--input", turns, "--output", out, "--resume"]) == 0
+    assert main(["extract", "--input", turns, "--output", out, "--resume"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(p.get("skipped") for p in rec["partitions"])
+
+
+def test_csv_sink(ray_session, tmp_path):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extract_spans, write_spans_csv
+
+    turns = _write_turns(tmp_path)
+    out = str(tmp_path / "csv")
+    write_spans_csv(extract_spans(rd.read_parquet(turns, columns=["conv_id", "turn_idx", "text"])), out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+    header = open(os.path.join(out, files[0])).readline().strip()
+    assert [c.strip('"') for c in header.split(",")[:3]] == [
+        "conv_id", "turn_idx", "span_idx",
+    ]
+
+
+def test_role_filtered_read(ray_session, tmp_path):
+    from ocr_ray.pipelines.extract import read_turns
+
+    turns = _write_turns(tmp_path)
+    ds = read_turns(turns, roles=["assistant"])
+    roles = set(ds.unique("role"))
+    assert roles == {"assistant"}
