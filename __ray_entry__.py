@@ -122,6 +122,18 @@ def _q_winnow(sf_dir: str):
     return _docs(sf_dir).map_batches(winnow_batch, batch_format="pyarrow")
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from ocr_ray.functions.dedup import dedup_keep_list
+
+    return dedup_keep_list(_docs(sf_dir), threshold=0.5)
+
+
+def _q_join_native_segments(sf_dir: str):
+    from ocr_ray.pipelines.joins import segment_revenue_native
+
+    return segment_revenue_native(sf_dir)
+
+
 def _q_dedup_exact(sf_dir: str):
     from ocr_ray.functions.dedup import exact_dedup
 
@@ -296,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_login": S.asof_last_login,
         # large-large partitioned hash join
         "order_lineitem_revenue": J.order_lineitem_revenue,
+        "segment_revenue_native": _q_join_native_segments,
         # relational operator surface (exact SQL twins)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
@@ -318,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity search
         "knn_brute": _q_knn_brute,
@@ -518,6 +532,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, ts, last_login_ts
             FROM w WHERE event_type = 'click' ORDER BY event_id
+        """,
+        "segment_revenue_native": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   sum(CAST(round(o.o_totalprice*100) AS BIGINT)) / 100.0 AS total_value
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """,
         "order_lineitem_revenue": """
             SELECT o.o_orderstatus, count(*) AS n_orders,

@@ -36,6 +36,8 @@ __all__ = [
     "minhash_pairs",
     "simhash_pairs",
     "embedding_near_dup",
+    "cluster_pairs",
+    "dedup_keep_list",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -203,6 +205,48 @@ def minhash_pairs(
         return df[df["jaccard"] >= threshold]
 
     return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+
+
+def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = min doc_id of the component.
+
+    The verified candidate-pair set is provably small (LSH buckets are
+    capped), so union-find runs driver-side per the guide's rule; at
+    larger pair volumes this becomes iterated min-label propagation
+    (groupby(doc) min(label) until fixpoint), same result."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = sorted((d, find(d)) for d in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def dedup_keep_list(docs: rd.Dataset, threshold: float = 0.5) -> pd.DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
+    keep the min doc_id per cluster. Returns (doc_id, keep) for every doc
+    that appears in any near-dup cluster (docs outside clusters are
+    implicitly kept)."""
+    pairs = minhash_pairs(docs, threshold=threshold).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": [], "keep": []})
+    clusters = cluster_pairs(pairs)
+    clusters["keep"] = clusters["doc_id"] == clusters["cluster_id"]
+    return clusters[["doc_id", "keep"]]
 
 
 # --- simhash ---------------------------------------------------------------

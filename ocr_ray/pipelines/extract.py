@@ -42,6 +42,38 @@ TURN_COLUMNS = ["conv_id", "turn_idx", "text"]
 SALT_TURNS = 64
 
 
+def training_reader(
+    turns_path: str, seed: int = 42, batch_size: int = 256
+):
+    """Shuffled training-feed reader (O5 analog — the reference shuffles
+    its manifest twice, DataGen.py:408-409, then assembles batches):
+    seeded global random_shuffle -> streamed Arrow batches. Deterministic
+    given (seed, input)."""
+    ds = read_turns(turns_path).random_shuffle(seed=seed)
+    return ds.iter_batches(batch_size=batch_size, batch_format="pyarrow")
+
+
+def truncate_payloads(
+    turns: rd.Dataset, max_chars: int
+) -> rd.Dataset:
+    """Payload windowing with recorded scale factors (M2 analog — the
+    reference's aspect-preserving resize returns the ratios so box coords
+    map back, DataPreprocess/imgUtil.py:4-24): truncate ``text`` to
+    ``max_chars`` and record ``orig_len`` so downstream span offsets are
+    interpretable against the original payload."""
+
+    def trunc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        orig = pc.utf8_length(t["text"]).cast(pa.int64())
+        clipped = pc.utf8_slice_codeunits(t["text"], 0, max_chars)
+        idx = t.schema.get_field_index("text")
+        out = t.set_column(idx, "text", clipped)
+        return out.append_column("orig_len", orig)
+
+    return turns.map_batches(trunc, batch_format="pyarrow")
+
+
 def write_spans_csv(spans: rd.Dataset, out_dir: str) -> None:
     """CSV sink — the result.txt analog (S5, reference test_img.py:121-132
     writes one CSV line per surviving box). Parquet is the primary sink;

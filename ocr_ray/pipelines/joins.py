@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["bucket_hash_join", "order_lineitem_revenue"]
+__all__ = ["bucket_hash_join", "order_lineitem_revenue", "segment_revenue_native"]
 
 
 def bucket_hash_join(
@@ -57,6 +57,49 @@ def bucket_hash_join(
         return l.merge(r, on=on, how=how)
 
     return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def segment_revenue_native(sf_dir: str) -> pd.DataFrame:
+    """Native ``Dataset.join`` (hash-partitioned, Ray >= 2.46) showcase:
+    orders ⋈ customer on custkey, exact-cents order value by market
+    segment. The bucket join above is the portable fallback; this is the
+    built-in path when available."""
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(), price_c], names=["o_custkey", "price_c"]
+        )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    joined = orders.map_batches(widen, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            price_c=("price_c", "sum"), n_orders=("price_c", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_c", alias_name="price_c"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["total_value"] = out["price_c"] / 100.0
+    return out[["c_mktsegment", "n_orders", "total_value"]].sort_values(
+        "c_mktsegment"
+    ).reset_index(drop=True)
 
 
 def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:

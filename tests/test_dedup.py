@@ -67,6 +67,67 @@ def test_simhash_pairs(ray_session):
     assert ham[(0, 10)] == 0
 
 
+def test_cluster_pairs_union_find():
+    import pandas as pd
+
+    from ocr_ray.functions.dedup import cluster_pairs
+
+    pairs = pd.DataFrame({"doc_a": [1, 2, 10, 30], "doc_b": [2, 3, 11, 31]})
+    out = cluster_pairs(pairs).set_index("doc_id")["cluster_id"]
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert out[30] == out[31] == 30
+
+
+def test_dedup_keep_list(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import dedup_keep_list
+
+    out = dedup_keep_list(rd.from_arrow(_docs_with_dups()), threshold=0.5)
+    keep = out.set_index("doc_id")["keep"]
+    # cluster {0,10,11}: keep only 0; cluster {1,12}: keep only 1
+    assert keep[0] and not keep[10] and not keep[11]
+    assert keep[1] and not keep[12]
+
+
+def test_training_reader_deterministic(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.corpus import turns_table_for_convs
+    from ocr_ray.pipelines.extract import training_reader
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    pq.write_table(turns_table_for_convs(list(range(6))), os.path.join(d, "p.parquet"))
+
+    def first_keys(seed):
+        batches = training_reader(d, seed=seed, batch_size=64)
+        b = next(iter(batches))
+        return list(zip(b.column("conv_id").to_pylist(), b.column("turn_idx").to_pylist()))
+
+    assert first_keys(7) == first_keys(7)  # seeded -> reproducible
+    assert first_keys(7) != first_keys(8)  # different seed -> different order
+
+
+def test_truncate_payloads(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import truncate_payloads
+
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"conv_id": "c", "turn_idx": 0, "text": "x" * 100},
+         {"conv_id": "c", "turn_idx": 1, "text": "short"}]
+    ))
+    out = truncate_payloads(ds, 10).to_pandas()
+    assert out.text.str.len().tolist() == [10, 5]
+    assert out.orig_len.tolist() == [100, 5]
+
+
 def test_embedding_near_dup_precision(ray_session):
     import pyarrow as pa
 
