@@ -162,6 +162,28 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(embs, threshold=0.4)
 
 
+def _q_orders_shipment_semi(sf_dir: str):
+    from ocr_ray.pipelines.joins import orders_without_lineitems
+
+    return orders_without_lineitems(sf_dir)
+
+
+def _q_nation_revenue(sf_dir: str):
+    from ocr_ray.pipelines.joins import nation_revenue
+
+    return nation_revenue(sf_dir)
+
+
+def _q_kmeans(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import kmeans_assign
+
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"])
+    return kmeans_assign(embs)
+
+
 def _q_knn_brute(sf_dir: str):
     import ray.data as rd
 
@@ -309,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # large-large partitioned hash join
         "order_lineitem_revenue": J.order_lineitem_revenue,
         "segment_revenue_native": _q_join_native_segments,
+        "orders_shipment_semi": _q_orders_shipment_semi,
+        "nation_revenue": _q_nation_revenue,
+        "kmeans_clusters": _q_kmeans,
         # relational operator surface (exact SQL twins)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
@@ -538,6 +563,33 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(o.o_totalprice*100) AS BIGINT)) / 100.0 AS total_value
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "orders_shipment_semi": """
+            WITH k AS (
+              SELECT DISTINCT l_orderkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            )
+            SELECT o_orderstatus,
+                   count(*) FILTER (WHERE o_orderkey IN (SELECT l_orderkey FROM k))
+                     AS n_with,
+                   count(*) FILTER (WHERE o_orderkey NOT IN (SELECT l_orderkey FROM k))
+                     AS n_without
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "nation_revenue": """
+            WITH li AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_c4
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT n.n_name, count(*) AS n_orders,
+                   sum(li.rev_c4) / 10000.0 AS revenue
+            FROM li
+            JOIN orders o ON o.o_orderkey = li.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "order_lineitem_revenue": """
             SELECT o.o_orderstatus, count(*) AS n_orders,

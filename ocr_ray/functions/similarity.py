@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["default_queries", "knn_brute", "knn_ivf"]
+__all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign"]
 
 _SEED = 42
 
@@ -95,6 +95,43 @@ def knn_brute(
     res = pd.concat(out, ignore_index=True) if out else partials
     res["cosine"] = np.round(res["cosine"], 6)
     return res
+
+
+def kmeans_assign(
+    embs: rd.Dataset,
+    n_centroids: int = 10,
+    train_sample: int = 2048,
+    iters: int = 10,
+) -> rd.Dataset:
+    """Seeded k-means-lite clustering: fixed Lloyd iterations on a
+    deterministic sample (lowest vec_ids), then one broadcast + matmul
+    assignment pass over the corpus. Emits (vec_id, cluster)."""
+    sample = embs.sort("vec_id").limit(train_sample).to_pandas()
+    train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
+    rng = np.random.RandomState(_SEED)
+    cent = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = train[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    import ray
+
+    cref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _unit(_to_matrix(batch))
+        a = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), pa.array(a)], names=["vec_id", "cluster"]
+        )
+
+    return embs.map_batches(assign_batch, batch_format="pyarrow")
 
 
 def knn_ivf(

@@ -21,7 +21,14 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["bucket_hash_join", "order_lineitem_revenue", "segment_revenue_native"]
+__all__ = [
+    "bucket_hash_join",
+    "order_lineitem_revenue",
+    "segment_revenue_native",
+    "semi_anti_join",
+    "orders_without_lineitems",
+    "nation_revenue",
+]
 
 
 def bucket_hash_join(
@@ -100,6 +107,135 @@ def segment_revenue_native(sf_dir: str) -> pd.DataFrame:
     return out[["c_mktsegment", "n_orders", "total_value"]].sort_values(
         "c_mktsegment"
     ).reset_index(drop=True)
+
+
+def semi_anti_join(
+    probe: rd.Dataset, keys, on: str, anti: bool = False
+) -> rd.Dataset:
+    """Broadcast semi/anti join: the build side's key set is shipped once
+    (ray.put) and the probe filters inside map_batches — no shuffle.
+
+    At scale the exact set is replaced by a Bloom pre-filter
+    (ocr_ray.functions.bloom) + exact re-verification for anti-joins."""
+    import ray
+
+    kref = ray.put(np.asarray(sorted(set(keys))))
+
+    def flt(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        col = t.column(on).to_numpy(zero_copy_only=False)
+        member = np.isin(col, ks)
+        return t.filter(pa.array(~member if anti else member))
+
+    return probe.map_batches(flt, batch_format="pyarrow")
+
+
+def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
+    """Semi/anti-join showcase: per order status, how many orders have at
+    least one 1998 shipment (semi) and how many have none (anti).
+    Build side = distinct l_orderkey of the filtered lineitems (distributed
+    unique -> broadcast; NOT EXISTS / EXISTS in SQL)."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    )
+    late = li.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["l_shipdate"], pa.scalar("1998-01-01").cast(pa.timestamp("us")))
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    keys = late.unique("l_orderkey")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    )
+    from ray.data.aggregate import Count
+
+    semi = (
+        semi_anti_join(orders, keys, on="o_orderkey", anti=False)
+        .groupby("o_orderstatus").aggregate(Count(alias_name="n_with"))
+        .to_pandas()
+    )
+    anti = (
+        semi_anti_join(orders, keys, on="o_orderkey", anti=True)
+        .groupby("o_orderstatus").aggregate(Count(alias_name="n_without"))
+        .to_pandas()
+    )
+    out = semi.merge(anti, on="o_orderstatus", how="outer").fillna(0)
+    out["n_with"] = out["n_with"].astype(np.int64)
+    out["n_without"] = out["n_without"].astype(np.int64)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Multi-join rollup (TPC-H Q5 shape): lineitem ⋈ orders ⋈ customer ⋈
+    nation — discounted revenue by customer nation.
+
+    Scale composition: pre-aggregate lineitem per orderkey (hash-bucketed),
+    native-join to orders (both large), broadcast the customer->nation and
+    nation-name lookups, then a tiny grouped sum."""
+    import pyarrow.parquet as pq_
+
+    import ray
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.Table.from_arrays(
+            [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
+        )
+
+    li_agg = hash_bucket_sum(
+        li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
+    ).drop_columns(["n"])
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    joined = li_agg.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_to_nation = dict(
+        zip(cust["c_custkey"],
+            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))))
+    )
+    ref = ray.put(cust_to_nation)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        out = pd.DataFrame(
+            {"n_name": df["o_custkey"].map(lut), "rev_c4": df["rev_c4"]}
+        )
+        return out.groupby("n_name", as_index=False).agg(
+            rev_c4=("rev_c4", "sum"), n_orders=("rev_c4", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(attach, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = out["rev_c4"] / 10000.0
+    return out[["n_name", "n_orders", "revenue"]].sort_values("n_name").reset_index(drop=True)
 
 
 def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
