@@ -174,6 +174,26 @@ def _q_nation_revenue(sf_dir: str):
     return nation_revenue(sf_dir)
 
 
+def _q_events_distinct_users(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import exact_distinct_by_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return exact_distinct_by_key(ds, "event_type", "user_id")
+
+
+def _q_events_hll_users(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import hll_distinct_by_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return hll_distinct_by_key(ds, "event_type", "user_id")
+
+
 def _q_kmeans(sf_dir: str):
     import ray.data as rd
 
@@ -334,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_shipment_semi": _q_orders_shipment_semi,
         "nation_revenue": _q_nation_revenue,
         "kmeans_clusters": _q_kmeans,
+        "events_distinct_users": _q_events_distinct_users,
+        "events_hll_users": _q_events_hll_users,
         # relational operator surface (exact SQL twins)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_customers": R.top_customers,
@@ -563,6 +585,10 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(o.o_totalprice*100) AS BIGINT)) / 100.0 AS total_value
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
+        "events_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "orders_shipment_semi": """
             WITH k AS (

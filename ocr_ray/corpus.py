@@ -116,7 +116,21 @@ def _pdfish(rng: random.Random) -> str:
 
 
 def _edge(rng: random.Random) -> str:
-    variant = rng.randint(0, 5)
+    variant = rng.randint(0, 8)
+    if variant == 6:  # comments + script/style boilerplate around content
+        return (
+            f"<!-- generated {rng.choice(_WORDS)} -->\n"
+            f"<script>var x = '{_words(rng, 6)}';</script>\n"
+            f"<style>.c {{ color: red }}</style>\n"
+            f"<p>{_words(rng, 10)}</p>"
+        )
+    if variant == 7:  # html entities + self-closing tags in content
+        return (
+            f"<p>{_words(rng, 5)} &amp; {_words(rng, 3)}<br/>"
+            f"&lt;tag&gt; &quot;{rng.choice(_WORDS)}&quot;</p>"
+        )
+    if variant == 8:  # unclosed script (payload truncated mid-block)
+        return f"<p>{_words(rng, 8)}</p><script>var broken = "
     if variant == 0:
         return ""
     if variant == 1:  # BOM / zero-width laden (reference DataGen.py:59-62)
@@ -200,7 +214,7 @@ def n_convs_for_sf(sf_dir: str) -> int:
 def transcripts_path(sf_dir: str) -> str:
     """Cache directory (a parquet dataset dir readable by read_parquet)."""
     name = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/ocr_ray_corpus/v1/{name}/turns"
+    return f"/tmp/ocr_ray_corpus/v2/{name}/turns"
 
 
 def ensure_transcripts(sf_dir: str) -> str:

@@ -24,7 +24,7 @@ import numpy as np
 from . import config as C
 from .segment import Unit, detect_kind, segment
 from .spanlib import canonicalize, nms_locality, reading_order
-from .textnorm import ctc_collapse, encode_token, normalize_text, tokenize
+from .textnorm import ctc_collapse, decode_entities, encode_token, normalize_text, tokenize
 
 __all__ = ["score_units", "propose_spans", "decode_span", "extract_turn"]
 
@@ -169,10 +169,14 @@ def decode_span(
     members = [u for u in units if u.start < end and u.end > start]
     if kind == C.PAYLOAD_PDFISH:
         members = sorted(members, key=lambda u: (u.page, u.y, u.x, u.start))
+    html = kind == C.PAYLOAD_HTML
     tokens: list[str] = []
     for u in members:
         a, b = max(u.start, start), min(u.end, end)
-        for tok in tokenize(norm_text[a:b]):
+        seg = norm_text[a:b]
+        if html and "&" in seg:
+            seg = decode_entities(seg)
+        for tok in tokenize(seg):
             tokens.append(encode_token(tok))
     if len(tokens) > C.MAX_DECODE_TOKENS:
         counters["drop_window_tokens"] = counters.get("drop_window_tokens", 0) + (

@@ -35,7 +35,11 @@ _BLOCK_TAGS = {
     "main", "article", "p", "h1", "h2", "li", "ul", "div",
     "blockquote", "nav", "header", "footer", "aside", "body", "html",
 }
-_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:\s[^>]*)?>")
+# one scan matches comments AND tags; self-closing tags (<br/>) match via
+# the [\s/] branch and are detected by the trailing "/" in group 0
+_TAG_RE = re.compile(r"<!--.*?-->|<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[\s/][^>]*)?>", re.S)
+# content inside these is boilerplate machinery, never candidate text
+_SKIP_CONTENT_TAGS = {"script", "style"}
 _HTML_HINT_RE = re.compile(r"<[a-zA-Z][^>]*>")
 # pdfish line record: "L <page> <y> <x> <text...>"
 _PDF_LINE_RE = re.compile(r"^L (\d+) (\d+) (\d+) (.*)$")
@@ -124,17 +128,27 @@ def _segment_html(text: str) -> list[Unit]:
     stack: list[tuple[str, int]] = []  # (tag, block_instance_id)
     next_block_id = 0
     link_depth = 0
+    skip_depth = 0  # inside <script>/<style>
     pos = 0
     for m in _TAG_RE.finditer(text):
-        if m.start() > pos:
+        if m.start() > pos and skip_depth == 0:
             tag = stack[-1][0] if stack else "div"
             bid = stack[-1][1] if stack else -1
             u = _mk_unit(text, pos, m.start(), tag, link_depth > 0)
             if u is not None:
                 units.append(u)
                 block_ids.append(bid)
+        if m.group(2) is None:  # comment — contents never become units
+            pos = m.end()
+            continue
         closing, name = m.group(1), m.group(2).lower()
-        if name == "a":
+        self_closing = m.group(0).rstrip(">").endswith("/")
+        if self_closing:
+            pos = m.end()
+            continue
+        if name in _SKIP_CONTENT_TAGS:
+            skip_depth = max(0, skip_depth - 1) if closing else skip_depth + 1
+        elif name == "a":
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
         elif name in _BLOCK_TAGS:
             if closing:
@@ -146,7 +160,7 @@ def _segment_html(text: str) -> list[Unit]:
                 stack.append((name, next_block_id))
                 next_block_id += 1
         pos = m.end()
-    if pos < len(text):
+    if pos < len(text) and skip_depth == 0:
         tag = stack[-1][0] if stack else "div"
         bid = stack[-1][1] if stack else -1
         u = _mk_unit(text, pos, len(text), tag, link_depth > 0)

@@ -79,6 +79,21 @@ def tokenize(text: str) -> list[str]:
     return text.split()
 
 
+_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">",
+    "&quot;": '"', "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+}
+_ENTITY_RE = re.compile("|".join(re.escape(e) for e in _ENTITIES))
+
+
+def decode_entities(s: str) -> str:
+    """Decode the common named html entities during region decode (part of
+    the parser stage's token normalization, A4 analog). Span OFFSETS stay
+    relative to the raw payload — only the decoded text changes, exactly
+    like OCR decode output vs pixel coordinates."""
+    return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
+
+
 def ctc_collapse(tokens: list[str], blanks: frozenset[str] = frozenset()) -> list[str]:
     """Greedy-CTC collapse over a token sequence: merge adjacent equal
     tokens, then drop blanks (merge_repeated=True then blank removal,

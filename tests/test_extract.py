@@ -125,6 +125,34 @@ def test_extract_turn_collapses_repeats():
     assert spans[0]["text"] == "batch stream merge"
 
 
+def test_html_comments_and_script_excluded():
+    text = (
+        "<!-- nav comment words -->"
+        "<script>var hidden = 'secret words here';</script>"
+        "<style>.x { color: red }</style>"
+        "<p>visible content words flow</p>"
+    )
+    spans = extract_turn(text)
+    assert len(spans) == 1
+    assert spans[0]["text"] == "visible content words flow"
+
+
+def test_html_self_closing_and_entities():
+    text = "<p>alpha beta<br/>gamma &amp; delta &lt;tag&gt; &quot;x&quot;</p>"
+    spans = extract_turn(text)
+    assert len(spans) == 1
+    # entities decoded in the output text; <br/> separates tokens without
+    # splitting the block or leaking into them
+    assert spans[0]["text"] == 'alpha beta gamma & delta <tag> "x"'
+
+
+def test_html_unclosed_script_tail():
+    text = "<p>good words in the block</p><script>var broken = "
+    spans = extract_turn(text)
+    assert len(spans) == 1
+    assert spans[0]["text"] == "good words in the block"
+
+
 def test_scores_deterministic_array():
     units = segment("some words here to score", "plain")
     s1 = score_units(units)
