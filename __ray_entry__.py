@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_count": R.orders_priority_count,
         "order_revenue_topk": R.order_revenue_topk,
         "distinct_event_types": R.distinct_event_types,
+        "events_value_stats": R.events_value_stats,
+        "events_value_quantiles": R.events_value_quantiles,
+        "docs_lang_sources": R.docs_lang_sources,
         "supplier_nation_stats": R.supplier_nation_stats,
         # text analysis (SQL twins where exact)
         "doc_token_stats": _q_token_stats,
@@ -457,6 +460,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "events_value_stats": """
+            WITH m AS (
+              SELECT event_type, count(*) AS n,
+                     sum(CAST(round(value*100) AS BIGINT)) AS c,
+                     sum(CAST(round(value*100) AS BIGINT)
+                         * CAST(round(value*100) AS BIGINT)) AS c2
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   c / n / 100.0 AS mean_value,
+                   round((n * c2 - c * c) / (n * (n - 1.0)) / 10000.0, 6) AS var_value
+            FROM m ORDER BY event_type
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90,
+                   quantile_disc(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_lang_sources": """
+            SELECT lang, count(*) AS n_docs,
+                   (SELECT string_agg(DISTINCT d2.source, ',' ORDER BY d2.source)
+                    FROM documents d2 WHERE d2.lang = d.lang) AS sources
+            FROM documents d GROUP BY lang ORDER BY lang
         """,
         "supplier_nation_stats": """
             SELECT n.n_name, count(*) AS n_suppliers,

@@ -296,6 +296,89 @@ def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return top[["l_orderkey", "revenue"]]
 
 
+def events_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Variance/stddev per event type via exact integer moments:
+    var = (n*sum(x²) - sum(x)²) / (n*(n-1)) with x in cents, so Ray and
+    SQL produce bit-identical doubles (library stddev algorithms differ
+    in float accumulation order)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"])
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), c, pc.multiply(c, c)],
+            names=["event_type", "c", "c2"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["event_type"], ["c", "c2"]
+    ).to_pandas()
+    n = agg["n"].astype(np.int64)
+    var = (n * agg["c2"] - agg["c"] ** 2) / (n * (n - 1)) / 10000.0
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": n,
+            "mean_value": agg["c"] / n / 100.0,
+            "var_value": np.round(var, 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type quantiles (p50/p90/p99) — groupby + in-group sort
+    (groups fit a worker; at larger cardinality this becomes a distributed
+    sort + rank-offset pick, the reconcile_sorted pattern)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def qs(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy())
+        n = len(v)
+
+        def pick(q: float) -> float:
+            # quantile_disc semantics: element at floor(q*(n-1)) + frac tie
+            # -> use DuckDB's rounding: index = round(q*(n-1)) is NOT it;
+            # quantile_disc picks the first element with cume_dist >= q:
+            # index = ceil(q*n) - 1
+            i = max(0, int(np.ceil(q * n)) - 1)
+            return float(v[i])
+
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [pick(0.5)],
+                "p90": [pick(0.9)],
+                "p99": [pick(0.99)],
+            }
+        )
+
+    out = (
+        ds.groupby("event_type").map_groups(qs, batch_format="pandas").to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def docs_lang_sources(sf_dir: str) -> pd.DataFrame:
+    """Grouped string aggregation: per lang, doc count + sorted distinct
+    sources joined with ','."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": [len(g)],
+                "sources": [",".join(sorted(set(g["source"])))],
+            }
+        )
+
+    out = ds.groupby("lang").map_groups(agg, batch_format="pandas").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
