@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_topk": R.order_revenue_topk,
         "distinct_event_types": R.distinct_event_types,
         "events_value_stats": R.events_value_stats,
+        "events_props_sum": R.events_props_sum,
         "events_value_quantiles": R.events_value_quantiles,
         "docs_lang_sources": R.docs_lang_sources,
         "supplier_nation_stats": R.supplier_nation_stats,
@@ -460,6 +461,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "events_props_sum": """
+            SELECT event_type,
+                   sum(CAST(coalesce(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), ''), '0') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_value_stats": """
             WITH m AS (

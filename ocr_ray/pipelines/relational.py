@@ -379,6 +379,41 @@ def docs_lang_sources(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def events_props_sum(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer 'k' field out of the
+    JSON ``props`` column (vectorized regex — compiled once, C-speed) and
+    sum it per event type. SQL twin uses the same regex."""
+    import re as re_
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    k_re = re_.compile(r'"k":\s*(\d+)')
+
+    def widen(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (
+                int(m.group(1)) if (m := k_re.search(p or "")) else 0
+                for p in t.column("props").to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), pa.array(ks)],
+            names=["event_type", "k"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["event_type"], ["k"]
+    ).to_pandas()
+    return (
+        agg.rename(columns={"k": "sum_k"})[["event_type", "sum_k", "n"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))

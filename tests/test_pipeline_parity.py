@@ -96,6 +96,42 @@ def test_reconcile_sorted_equals_grouped(ray_session, turns_path):
     )
 
 
+def test_parity_at_sf_scale(ray_session):
+    """Per-turn parity on the full sf0.001 corpus (220 conversations,
+    every payload kind + edge variants + a mega-conversation)."""
+    import pyarrow.parquet as pq2
+
+    import ray.data as rd
+
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.pipelines.extract import extract_spans, reconcile_sorted
+
+    path = ensure_transcripts("/root/testdata/sf0.001")
+    df = (
+        reconcile_sorted(
+            extract_spans(rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"]))
+        )
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            rows.extend(pq2.read_table(os.path.join(path, f)).to_pylist())
+    gdf = (
+        pd.DataFrame(extract_table(rows))
+        .sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(df) == len(gdf) and len(df) > 1000
+    merged = df.merge(gdf, on=["conv_id", "turn_idx", "span_idx"], suffixes=("_r", "_o"))
+    assert len(merged) == len(gdf)
+    assert (merged.text_r == merged.text_o).all()
+    assert (merged.start_r == merged.start_o).all()
+    assert (merged.end_r == merged.end_o).all()
+
+
 def test_dead_letter_rows(ray_session, monkeypatch):
     """A poisoned payload is dropped and counted, not fatal (the
     reference's generator dies on any record error, DataGen.py:576-580)."""

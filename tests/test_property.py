@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): the extraction chain never crashes,
+always emits valid offsets, and is deterministic on arbitrary input; the
+span algebra keeps its invariants on arbitrary proposals."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_ray.extract import extract_turn
+from ocr_ray.spanlib import interval_iou, nms_locality
+from ocr_ray.textnorm import ctc_collapse, normalize_text
+
+# text including markup chars, unicode, zero-width, newlines
+payloads = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+    max_size=400,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(payloads)
+def test_extract_turn_total_and_valid(text):
+    spans = extract_turn(text)
+    norm = normalize_text(text)
+    prev = (-1, -1)
+    for s in spans:
+        assert 0 <= s["start"] <= s["end"] <= len(norm)
+        assert s["end"] - s["start"] >= 5  # MIN_SPAN_LEN
+        assert 0.0 <= s["score"] <= 64.0 * 1.0 + 1  # score sums bounded by units
+        assert (s["start"], s["end"]) >= prev  # stable reading order
+        prev = (s["start"], s["end"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads)
+def test_extract_turn_deterministic(text):
+    assert extract_turn(text) == extract_turn(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 1000, allow_nan=False),
+            st.floats(0, 1000, allow_nan=False),
+            st.floats(0.01, 10, allow_nan=False),
+        ),
+        max_size=30,
+    )
+)
+def test_nms_locality_invariants(rows):
+    polys = np.array([[min(a, b), max(a, b), s] for a, b, s in rows]).reshape(-1, 3)
+    out = nms_locality(polys.copy(), 0.1)
+    # survivors pairwise overlap at most the threshold
+    for i in range(out.shape[0]):
+        for j in range(i + 1, out.shape[0]):
+            assert interval_iou(out[i], out[j]) <= 0.1 + 1e-12
+    # total score is conserved-or-reduced (merges add, suppression removes)
+    if polys.shape[0]:
+        assert out[:, 2].sum() <= polys[:, 2].sum() + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "c", ""]), max_size=40))
+def test_ctc_collapse_matches_reference_semantics(tokens):
+    # NOTE: collapse is deliberately NOT idempotent — a blank separating two
+    # equal tokens yields "a a" (CTC keeps blank-separated repeats distinct,
+    # Module/RecognitionLoss.py:33-38)
+    once = ctc_collapse(tokens)
+    assert "" not in once
+    # reference implementation: itertools.groupby then blank drop
+    import itertools
+
+    expected = [k for k, _ in itertools.groupby(tokens) if k != ""]
+    assert once == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads)
+def test_normalize_idempotent(text):
+    n1 = normalize_text(text)
+    assert normalize_text(n1) == n1
