@@ -271,6 +271,21 @@ def _q_docs_quality_filter(sf_dir: str):
     return scored.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_extract_nested(sf_dir: str):
+    """Nested list<struct> span column + per-turn concatenated text —
+    stays Arrow-nested end to end (no pandas round-trip)."""
+    import ray.data as rd
+
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.stages.extractor import nested_spans_batch
+
+    turns = rd.read_parquet(ensure_transcripts(sf_dir),
+                            columns=["conv_id", "turn_idx", "text"])
+    nested = turns.map_batches(nested_spans_batch, batch_format="pyarrow")
+    # driver hashing of nested columns is undefined; project the flat parts
+    return nested.select_columns(["conv_id", "turn_idx", "turn_text"])
+
+
 def _q_extract_metrics(sf_dir: str):
     """Drop/dead-letter counter rollup over the transcript corpus
     (reason, total) — every deterministic drop in the chain is logged."""
@@ -341,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_conv_stats": _q_extract_conv_stats,
         "extract_docs": _q_extract_docs,
         "extract_metrics": _q_extract_metrics,
+        "extract_turn_text": _q_extract_nested,
         "extract_propose": _q_extract_propose,
         "extract_assistant": _q_extract_assistant,
         "docs_quality_filter": _q_docs_quality_filter,

@@ -153,6 +153,44 @@ class UnitScorer:
         )
 
 
+NESTED_SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("span_idx", pa.int32()),
+            ("start", pa.int64()),
+            ("end", pa.int64()),
+            ("text", pa.string()),
+            ("score", pa.float64()),
+        ]
+    )
+)
+
+
+def nested_spans_batch(batch: pa.Table) -> pa.Table:
+    """Nested-column variant of the extractor (SURVEY §1.2: keep spans as a
+    ``list<struct>`` column per turn to avoid any parent join, J1): one row
+    per turn with its spans nested, plus the per-turn concatenated
+    extracted text (the north rule's per-turn text-equality artifact)."""
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+    nested: list[list[dict]] = []
+    concat: list[str] = []
+    for text in texts:
+        spans = extract_turn(text) if text else []
+        nested.append(spans)
+        concat.append(" ".join(s["text"] for s in spans if s["text"]))
+    return pa.Table.from_arrays(
+        [
+            pa.array(conv_ids, pa.string()),
+            pa.array(turn_idxs, pa.int32()),
+            pa.array(nested, NESTED_SPAN_TYPE),
+            pa.array(concat, pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "spans", "turn_text"],
+    )
+
+
 def metrics_batch(batch: pa.Table) -> pa.Table:
     """Audit stage: re-run the extraction chain counting every deterministic
     drop (SURVEY.md §7.4 'silent-drop semantics ... deterministic and

@@ -132,6 +132,50 @@ def test_parity_at_sf_scale(ray_session):
     assert (merged.end_r == merged.end_o).all()
 
 
+def test_nested_spans_roundtrip(ray_session, turns_path):
+    """Nested list<struct> variant equals the flat pipeline's spans after
+    an Arrow explode; per-turn concatenated text matches the span texts."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.stages.extractor import nested_spans_batch
+
+    turns = rd.read_parquet(turns_path, columns=["conv_id", "turn_idx", "text"])
+    nested = turns.map_batches(nested_spans_batch, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        [b for b in nested.iter_batches(batch_size=4096, batch_format="pyarrow")]
+    )
+    gdf = _golden(turns_path)
+    # explode and compare text/offset columns
+    rows = []
+    for cid, tix, spans in zip(
+        tbl.column("conv_id").to_pylist(),
+        tbl.column("turn_idx").to_pylist(),
+        tbl.column("spans").to_pylist(),
+    ):
+        for s in spans:
+            rows.append({"conv_id": cid, "turn_idx": tix, **s})
+    flat = (
+        pd.DataFrame(rows)
+        .sort_values(["conv_id", "turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(flat) == len(gdf)
+    assert (flat["text"].to_numpy() == gdf["text"].to_numpy()).all()
+    assert (flat["start"].to_numpy() == gdf["start"].to_numpy()).all()
+    # concat text consistency
+    concat = dict(
+        zip(
+            zip(tbl.column("conv_id").to_pylist(), tbl.column("turn_idx").to_pylist()),
+            tbl.column("turn_text").to_pylist(),
+        )
+    )
+    grp = gdf[gdf.text != ""].groupby(["conv_id", "turn_idx"])["text"].apply(" ".join)
+    for k, v in grp.items():
+        assert concat[k] == v
+
+
 def test_dead_letter_rows(ray_session, monkeypatch):
     """A poisoned payload is dropped and counted, not fatal (the
     reference's generator dies on any record error, DataGen.py:576-580)."""
