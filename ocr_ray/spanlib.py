@@ -60,16 +60,24 @@ def standard_nms(S: np.ndarray, thres: float) -> np.ndarray:
     """Greedy score-descending NMS over (start, end, score) rows.
 
     Analog of reference locality_aware_nms.py:24-35, including the ``<=``
-    survival comparison and ``np.argsort[::-1]`` tie behavior.
-    """
+    survival comparison and ``np.argsort[::-1]`` tie behavior. The IoU of
+    the kept row against every remaining row is computed vectorized —
+    identical arithmetic to interval_iou, batched."""
+    starts, ends = S[:, 0], S[:, 1]
+    lens = ends - starts
     order = np.argsort(S[:, 2])[::-1]
     keep = []
     while order.size > 0:
         i = order[0]
         keep.append(i)
-        ovr = np.array([interval_iou(S[i], S[t]) for t in order[1:]])
-        inds = np.where(ovr <= thres)[0]
-        order = order[inds + 1]
+        rest = order[1:]
+        if rest.size == 0:
+            break
+        inter = np.minimum(ends[rest], ends[i]) - np.maximum(starts[rest], starts[i])
+        union = lens[i] + lens[rest] - inter
+        valid = (lens[i] > 0) & (lens[rest] > 0) & (inter > 0) & (union != 0)
+        ovr = np.where(valid, inter / np.where(union == 0, 1.0, union), 0.0)
+        order = rest[ovr <= thres]
     return S[keep]
 
 
@@ -81,16 +89,29 @@ def nms_locality(polys: np.ndarray, thres: float = 0.3) -> np.ndarray:
     forward pass over ``polys`` in their given order is order-DEPENDENT and
     part of the parity contract (SURVEY.md §2.7 D1).
     """
-    S: list[np.ndarray] = []
-    p = None
-    for g in polys:
-        g = g.copy()
-        if p is not None and interval_iou(g, p) > thres:
-            p = weighted_merge(g, p)
-        else:
-            if p is not None:
-                S.append(p)
-            p = g
+    S: list[list[float]] = []
+    p: list[float] | None = None
+    for g0, g1, gs in polys.tolist() if isinstance(polys, np.ndarray) else polys:
+        if p is not None:
+            # inline interval_iou on scalars (same arithmetic)
+            iou = 0.0
+            if g1 > g0 and p[1] > p[0]:
+                inter = min(g1, p[1]) - max(g0, p[0])
+                if inter > 0:
+                    union = (g1 - g0) + (p[1] - p[0]) - inter
+                    if union != 0:
+                        iou = inter / union
+            if iou > thres:
+                # weighted_merge(g, p) on scalars (locality_aware_nms.py:18-21)
+                tot = gs + p[2]
+                p = [
+                    (gs * g0 + p[2] * p[0]) / tot,
+                    (gs * g1 + p[2] * p[1]) / tot,
+                    tot,
+                ]
+                continue
+            S.append(p)
+        p = [g0, g1, gs]
     if p is not None:
         S.append(p)
     if len(S) == 0:

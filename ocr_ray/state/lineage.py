@@ -157,7 +157,7 @@ class CheckpointedExtraction:
 
     def reconcile_stage(self) -> dict:
         """Stage 2: global conv_id reconciliation over all span parts."""
-        from ..pipelines.extract import reconcile
+        from ..pipelines.extract import reconcile_sorted
 
         if self._is_complete("reconcile"):
             return {"stage": "reconcile", "skipped": True}
@@ -165,7 +165,7 @@ class CheckpointedExtraction:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(self.final_dir, ignore_errors=True)
         spans = rd.read_parquet(self.spans_dir)
-        out = reconcile(spans, salted=True)
+        out = reconcile_sorted(spans)
         out.write_parquet(tmp)
         os.rename(tmp, self.final_dir)
         import pyarrow.parquet as pq
