@@ -23,7 +23,7 @@ import numpy as np
 
 from . import config as C
 from .segment import Unit, detect_kind, segment
-from .spanlib import canonicalize, nms_locality, reading_order
+from .spanlib import canonicalize, nms_locality
 from .textnorm import ctc_collapse, decode_entities, encode_token, normalize_text, tokenize
 
 __all__ = ["score_units", "propose_spans", "decode_span", "extract_turn"]
@@ -62,19 +62,18 @@ def propose_spans(
         return []
 
     # threshold (DetectUtil.py:153-155: strictly greater after binarize)
-    passing = scores > C.SCORE_THRESH
-    if not passing.any():
+    score_list = scores.tolist()
+    idx = [i for i, s in enumerate(score_list) if s > C.SCORE_THRESH]
+    if not idx:
         return []
 
     # group passing units into regions, bridging <= DILATE_UNITS non-passing
     # units (the 1x3 dilation, DetectUtil.py:144-145); region members are ALL
     # units between the first and last passing unit (filled convex hull,
     # DetectUtil.py:160-169)
-    idx = np.flatnonzero(passing)
     regions: list[tuple[int, int]] = []  # inclusive unit-index ranges
-    rs = re_ = int(idx[0])
+    rs = re_ = idx[0]
     for i in idx[1:]:
-        i = int(i)
         if i - re_ - 1 <= C.DILATE_UNITS:
             re_ = i
         else:
@@ -84,7 +83,8 @@ def propose_spans(
 
     # per-region per-unit full-block proposals (restore_rectangle analog,
     # DetectUtil.py:171-194: every member pixel proposes a full box carrying
-    # the region score SUM)
+    # the region score SUM); np-pairwise summation kept for exact float
+    # parity with the previous vectorized form
     proposals: list[list[float]] = []
     for rs, re_ in regions:
         members = units[rs : re_ + 1]
@@ -100,28 +100,28 @@ def propose_spans(
 
     # locality-aware NMS in emission order, then standard NMS
     # (locality_aware_nms.py:38-58)
-    boxes = nms_locality(np.asarray(proposals, dtype=np.float64), C.NMS_THRESH)
+    boxes = nms_locality(proposals, C.NMS_THRESH)
     if boxes.shape[0] == 0:
         return []
 
     # stable reading order (DetectUtil.py:201-203)
-    boxes = reading_order(boxes)
+    box_rows = sorted(boxes.tolist(), key=lambda r: (r[0], r[1]))
 
     # recompute score as the length-weighted mean unit confidence over the
     # span, counting uncovered chars as 0 — the masked cv2.mean analog
     # (DetectUtil.py:209-212) — then filter > BOX_THRESH (line 214)
-    starts = np.array([u.start for u in units], dtype=np.float64)
-    ends = np.array([u.end for u in units], dtype=np.float64)
     kept: list[tuple[float, float, float]] = []
-    for b in boxes:
-        s, e = b[0], b[1]
+    for s, e, _ in box_rows:
         span_len = e - s
         if span_len <= 0:
             counters["drop_empty"] = counters.get("drop_empty", 0) + 1
             continue
-        ov = np.minimum(ends, e) - np.maximum(starts, s)
-        ov = np.clip(ov, 0.0, None)
-        mean_score = float((scores * ov).sum() / span_len)
+        acc = np.float64(0.0)
+        for u, sc in zip(units, score_list):
+            ov = min(u.end, e) - max(u.start, s)
+            if ov > 0:
+                acc += sc * ov
+        mean_score = float(acc / span_len)
         if mean_score > C.BOX_THRESH:
             kept.append((s, e, mean_score))
         else:

@@ -51,7 +51,7 @@ _IGNORE_PREFIX = "###"
 _IGNORE_EXACT = "*"
 
 
-@dataclass
+@dataclass(slots=True)
 class Unit:
     start: int          # char offset of unit text (inclusive), post-trim
     end: int            # char offset (exclusive)
