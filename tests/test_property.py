@@ -80,3 +80,25 @@ def test_ctc_collapse_matches_reference_semantics(tokens):
 def test_normalize_idempotent(text):
     n1 = normalize_text(text)
     assert normalize_text(n1) == n1
+
+
+def test_adversarial_fragment_fuzz():
+    """Deterministic tag-soup fuzz: markup fragments, broken pdfish
+    records, zero-width chars, ignore tags, entities — the chain must stay
+    total with valid offsets."""
+    import random
+
+    rng = random.Random(123)
+    fragments = [
+        "<p>", "</p>", "<a href='x'>", "</a>", "<nav>", "</nav>", "<script>",
+        "</script>", "<!--", "-->", "<br/>", "%PDF", "\nL 0 100 10 ",
+        "L 1 -5 3 x", "&amp;", "&#39;", "﻿", "‍", "*", "###", "|", "\r\n",
+        "\x00", "🙂", "字", "<div", ">", "<", "word ", "a" * 50 + " ", " ",
+        "\n\n", "L 999999999999 2 3 t",
+    ]
+    for _ in range(1000):
+        payload = "".join(rng.choice(fragments) for _ in range(rng.randint(0, 40)))
+        spans = extract_turn(payload)
+        norm = normalize_text(payload)
+        for s in spans:
+            assert 0 <= s["start"] <= s["end"] <= len(norm)
