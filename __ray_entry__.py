@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped operators over the events log
         "events_tumbling": S.tumbling_window,
         "events_sessions": S.session_windows,
+        "events_sessions_incremental": S.sessionize_incremental,
         "events_asof_login": S.asof_last_login,
         # large-large partitioned hash join
         "order_lineitem_revenue": J.order_lineitem_revenue,
@@ -602,6 +603,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, window_start
         """,
         "events_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ), m AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   CAST(floor(epoch(max(ts) - min(ts))) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+        """,
+        "events_sessions_incremental": """
             WITH e AS (
               SELECT user_id, ts,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

@@ -19,7 +19,12 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["tumbling_window", "session_windows", "asof_last_login"]
+__all__ = [
+    "tumbling_window",
+    "session_windows",
+    "asof_last_login",
+    "sessionize_incremental",
+]
 
 SESSION_GAP_MIN = 30
 
@@ -86,6 +91,73 @@ def session_windows(sf_dir: str) -> pd.DataFrame:
 
     res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
     return res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def sessionize_incremental(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
+    """Stateful-actor sessionization — the raw-Ray-actor escape hatch the
+    guide reserves for semantics map_batches can't express: incremental
+    state over an ordered stream.
+
+    Shape: events are streamed in GLOBAL ts order (one ordered pass, as a
+    log consumer would see them) to ``n_buckets`` stateful actors
+    (user_id hash-partitioned). Each actor keeps its users' OPEN sessions
+    as in-memory state across feed calls, emits a session only when the
+    gap closes it, and flushes remaining state at end-of-stream. Output is
+    identical to the batch ``session_windows`` (tested) — the difference
+    is execution shape: O(open sessions) state instead of all-events
+    materialization per group.
+    """
+    import ray
+
+    @ray.remote
+    class SessionBucket:
+        def __init__(self) -> None:
+            self.open: dict[int, tuple] = {}  # user -> (start, last, n)
+            self.closed: list[tuple] = []
+
+        def feed(self, users: np.ndarray, ts: np.ndarray) -> int:
+            gap = np.timedelta64(SESSION_GAP_MIN * 60, "s")
+            for u, t in zip(users.tolist(), ts):
+                cur = self.open.get(u)
+                if cur is None:
+                    self.open[u] = (t, t, 1)
+                elif t - cur[1] > gap:
+                    self.closed.append((u, cur[0], cur[2], cur[1]))
+                    self.open[u] = (t, t, 1)
+                else:
+                    self.open[u] = (cur[0], t, cur[2] + 1)
+            return len(self.closed)
+
+        def flush(self) -> list[tuple]:
+            for u, cur in self.open.items():
+                self.closed.append((u, cur[0], cur[2], cur[1]))
+            self.open.clear()
+            return self.closed
+
+    actors = [SessionBucket.remote() for _ in range(n_buckets)]
+    # materialize after the sort so block iteration follows range order
+    ds = _events(sf_dir, ["user_id", "ts"]).sort("ts").materialize()
+    pending = []
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        bucket = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_buckets)
+        for b in range(n_buckets):
+            m = bucket == b
+            if m.any():
+                # per-actor calls are queued in submission order -> each
+                # actor sees its users' events in global ts order
+                pending.append(actors[b].feed.remote(users[m], ts[m]))
+    import itertools
+
+    ray.get(pending)
+    rows = list(itertools.chain.from_iterable(ray.get([a.flush.remote() for a in actors])))
+    out = pd.DataFrame(rows, columns=["user_id", "session_start", "n_events", "duration_end"])
+    out["duration_sec"] = (
+        (out["duration_end"] - out["session_start"]).dt.total_seconds().astype(np.int64)
+    )
+    out = out[["user_id", "session_start", "n_events", "duration_sec"]]
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
 def asof_last_login(sf_dir: str) -> pd.DataFrame:

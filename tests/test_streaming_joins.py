@@ -57,6 +57,16 @@ def test_session_windows(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_sessionize_incremental_equals_batch(ray_session):
+    """The stateful-actor streaming sessionizer produces exactly the batch
+    groupby sessionization output."""
+    from ocr_ray.pipelines.streaming import session_windows, sessionize_incremental
+
+    batch = session_windows(SF)
+    inc = sessionize_incremental(SF)
+    pd.testing.assert_frame_equal(batch, inc, check_dtype=False)
+
+
 def test_asof_last_login(ray_session):
     from ocr_ray.pipelines.streaming import asof_last_login
 
