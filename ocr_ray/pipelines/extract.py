@@ -42,6 +42,24 @@ TURN_COLUMNS = ["conv_id", "turn_idx", "text"]
 SALT_TURNS = 64
 
 
+def read_turns_any(path: str, format: str = "parquet") -> rd.Dataset:
+    """Multi-format turn source (S1 variants): parquet (primary), csv, or
+    json-lines. CSV reads enable newlines-in-quoted-values so multi-line
+    payloads round-trip."""
+    if format == "parquet":
+        return read_turns(path)
+    if format == "csv":
+        import pyarrow.csv as pcsv
+
+        return rd.read_csv(
+            path,
+            parse_options=pcsv.ParseOptions(newlines_in_values=True),
+        )
+    if format == "json":
+        return rd.read_json(path)
+    raise ValueError(f"unknown format: {format}")
+
+
 def training_reader(
     turns_path: str, seed: int = 42, batch_size: int = 256
 ):

@@ -57,6 +57,39 @@ def test_csv_sink(ray_session, tmp_path):
     ]
 
 
+def test_csv_and_json_sources_roundtrip(ray_session, tmp_path):
+    """Extraction over csv / json-lines turn sources equals the parquet
+    path (multi-line payloads included)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extract_spans, read_turns_any
+
+    turns = _write_turns(tmp_path)
+
+    def spans_of(ds):
+        return (
+            extract_spans(ds.select_columns(["conv_id", "turn_idx", "text"]))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "span_idx"])
+            .reset_index(drop=True)
+        )
+
+    base = spans_of(rd.read_parquet(turns))
+
+    csv_dir = str(tmp_path / "csv_src")
+    rd.read_parquet(turns).drop_columns(["ts"]).write_csv(csv_dir)
+    from_csv = spans_of(read_turns_any(csv_dir, "csv"))
+
+    json_dir = str(tmp_path / "json_src")
+    rd.read_parquet(turns).drop_columns(["ts"]).write_json(json_dir)
+    from_json = spans_of(read_turns_any(json_dir, "json"))
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, from_csv)
+    pd.testing.assert_frame_equal(base, from_json)
+
+
 def test_role_filtered_read(ray_session, tmp_path):
     from ocr_ray.pipelines.extract import read_turns
 
