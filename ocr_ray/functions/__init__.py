@@ -1,0 +1,1 @@
+"""Operator families: dedup, similarity, textstats, sketches, bloom, multimodal."""

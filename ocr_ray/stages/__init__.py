@@ -1,0 +1,1 @@
+"""map_batches stage library: extractor, normalize, partial aggregation."""

@@ -1,0 +1,1 @@
+"""Checkpoint/lineage: per-partition resumable execution records."""
