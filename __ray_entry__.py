@@ -554,6 +554,22 @@ def oracle_sql() -> dict[str, str]:
             FROM marked WHERE prev IS NULL OR tok <> prev
             GROUP BY doc_id
         """,
+        "knn_brute": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            )
+            SELECT query_id, neighbor_id, cosine FROM (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id
+                     ) AS rn
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+            ) WHERE rn <= 10
+        """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5({_CANON})
