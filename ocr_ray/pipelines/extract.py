@@ -146,7 +146,7 @@ _EXTRACT_SINGLETON = SpanExtractor()
 def extract_spans(
     turns: rd.Dataset,
     *,
-    batch_size: int = 256,
+    batch_size: int = 1024,
     concurrency: int | tuple[int, int] | None = None,
     use_actors: bool = False,
 ) -> rd.Dataset:
@@ -359,7 +359,7 @@ def run_extraction(
     turns_path: str,
     out_dir: str | None = None,
     *,
-    batch_size: int = 256,
+    batch_size: int = 1024,
     mode: str = "sorted",
 ) -> rd.Dataset:
     """End-to-end: read -> extract -> reconcile (-> write if out_dir).
