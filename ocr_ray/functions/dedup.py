@@ -184,12 +184,34 @@ def minhash_pairs(
         return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
     cand_df = cand_df.drop_duplicates(ignore_index=True)
 
-    needed = set(cand_df["doc_a"]).union(cand_df["doc_b"])
+    # gather only the candidate docs' shingle sets with a DISTRIBUTED
+    # broadcast-semi-join pass (no driver-side corpus scan): ship the
+    # (small) candidate id set once, filter + shingle inside map_batches,
+    # collect only the needed rows
+    needed = set(map(int, set(cand_df["doc_a"]).union(cand_df["doc_b"])))
+    nref = ray.put(np.array(sorted(needed), dtype=np.int64))
+
+    def shingle_needed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+        member = np.isin(ids, ray.get(nref))
+        sub = t.filter(pa.array(member))
+        out_id, out_sh = [], []
+        for did, txt in zip(sub.column("doc_id").to_pylist(),
+                            sub.column("text").to_pylist()):
+            out_id.append(did)
+            out_sh.append(_token_hashes(txt).view(np.int64).tolist())
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "shingles": pa.array(out_sh, pa.list_(pa.int64()))}
+        )
+
     shingles: dict[int, np.ndarray] = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for did, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if did in needed:
-                shingles[did] = _token_hashes(t)
+    for b in docs.map_batches(shingle_needed, batch_format="pyarrow").iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for did, sh in zip(b.column("doc_id").to_pylist(),
+                           b.column("shingles").to_pylist()):
+            shingles[did] = np.array(sh, dtype=np.int64).view(np.uint64)
     ref = ray.put(shingles)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
