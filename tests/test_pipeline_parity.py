@@ -130,6 +130,16 @@ def test_parity_at_sf_scale(ray_session):
     assert (merged.text_r == merged.text_o).all()
     assert (merged.start_r == merged.start_o).all()
     assert (merged.end_r == merged.end_o).all()
+    # reconcile_sorted's span_seq must be dense 0..n-1 per conversation —
+    # including the mega conversation whose spans straddle many sorted
+    # blocks (the offset hand-off case)
+    seq_ok = (
+        df.sort_values(["conv_id", "turn_idx", "span_idx"])
+        .groupby("conv_id")["span_seq"]
+        .apply(lambda s: (s.to_numpy() == range(len(s))).all())
+    )
+    assert seq_ok.all()
+    assert (df.groupby("conv_id").size() > 250).any()  # mega conv present
 
 
 def test_nested_spans_roundtrip(ray_session, turns_path):
