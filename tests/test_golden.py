@@ -41,6 +41,29 @@ def test_oracle_matches_golden():
     assert (now["score"].to_numpy() == golden["score"].to_numpy()).all()
 
 
+def test_unit_scorer_matches_golden():
+    """Operator-level golden (FIXTURES.md §3): dense unit/score table."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.extractor import UnitScorer
+    from ocr_ray.stages.normalize import normalize_batch
+
+    turns = pq.read_table(os.path.join(FIXTURE_DIR, "golden_turns.parquet"))
+    now = UnitScorer()(normalize_batch(turns.select(["conv_id", "turn_idx", "text"])))
+    golden = pq.read_table(os.path.join(FIXTURE_DIR, "golden_units.parquet"))
+    assert now.equals(golden)
+
+
+def test_propose_stage_matches_golden():
+    """Operator-level golden: propose/NMS/order spans without decode."""
+    from ocr_ray.stages.extractor import propose_only
+
+    turns = pq.read_table(os.path.join(FIXTURE_DIR, "golden_turns.parquet"))
+    now = propose_only(turns.select(["conv_id", "turn_idx", "text"]))
+    golden = pq.read_table(os.path.join(FIXTURE_DIR, "golden_propose.parquet"))
+    assert now.equals(golden)
+
+
 def test_ray_pipeline_matches_golden(ray_session):
     import ray.data as rd
 

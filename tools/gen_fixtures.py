@@ -51,7 +51,23 @@ def main() -> None:
         pa.Table.from_pylist(spans, schema=SPAN_SCHEMA),
         os.path.join(FIXTURE_DIR, "golden_spans.parquet"),
     )
-    print(f"wrote {turns.num_rows} turns, {len(spans)} golden spans to {FIXTURE_DIR}")
+
+    # operator-level goldens (FIXTURES.md §3): dense scored units (A1/M5
+    # stage output) and propose/NMS spans without decode (M4-M8 + D1/D2)
+    from ocr_ray.stages.extractor import UnitScorer, propose_only
+    from ocr_ray.stages.normalize import normalize_batch
+
+    norm = normalize_batch(
+        turns.select(["conv_id", "turn_idx", "text"])
+    )
+    units = UnitScorer()(norm)
+    pq.write_table(units, os.path.join(FIXTURE_DIR, "golden_units.parquet"))
+    proposed = propose_only(turns.select(["conv_id", "turn_idx", "text"]))
+    pq.write_table(proposed, os.path.join(FIXTURE_DIR, "golden_propose.parquet"))
+    print(
+        f"wrote {turns.num_rows} turns, {len(spans)} spans, "
+        f"{units.num_rows} units, {proposed.num_rows} proposals to {FIXTURE_DIR}"
+    )
 
 
 if __name__ == "__main__":
