@@ -122,6 +122,12 @@ def _q_winnow(sf_dir: str):
     return _docs(sf_dir).map_batches(winnow_batch, batch_format="pyarrow")
 
 
+def _q_dedup_ngram(sf_dir: str):
+    from ocr_ray.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.2, max_docs=500)
+
+
 def _q_dedup_clusters(sf_dir: str):
     from ocr_ray.functions.dedup import dedup_keep_list
 
@@ -400,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_ngram": _q_dedup_ngram,
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity search
         "knn_brute": _q_knn_brute,
@@ -553,6 +560,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS collapsed
             FROM marked WHERE prev IS NULL OR tok <> prev
             GROUP BY doc_id
+        """,
+        "dedup_ngram": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+              FROM documents WHERE doc_id < 500
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks WHERE len(t) >= 3
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/uni, 6) AS jaccard
+            FROM pairs WHERE CAST(inter AS DOUBLE)/uni >= 0.2
         """,
         "knn_brute": """
             WITH q AS (

@@ -229,6 +229,84 @@ def minhash_pairs(
     return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
 
 
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.2,
+    max_docs: int = 500,
+    shingle_k: int = 3,
+) -> rd.Dataset:
+    """EXACT all-pairs word-n-gram Jaccard over a bounded doc set
+    (doc_id < max_docs): the quadratic verify kernel, run exhaustively.
+
+    Scale shape: exhaustive pairwise is only for bounded sets (here: the
+    SQL-verifiable exact twin); at corpus scale this kernel runs on
+    LSH candidate pairs instead (minhash_pairs). The shingle dictionary
+    for the bounded set is broadcast once; the O(n^2/2) pair list is
+    distributed over pair-index ranges.
+    """
+
+    def shingles_of(t: pa.Table) -> pa.Table:
+        sub = t.filter(pa.compute.less(t["doc_id"], max_docs))
+        ids, sets_ = [], []
+        for did, txt in zip(sub.column("doc_id").to_pylist(),
+                            sub.column("text").to_pylist()):
+            toks = txt.lower().split()
+            if len(toks) < shingle_k:
+                continue
+            ids.append(did)
+            sets_.append(
+                list({
+                    " ".join(toks[i : i + shingle_k])
+                    for i in range(len(toks) - shingle_k + 1)
+                })
+            )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "shingles": pa.array(sets_, pa.list_(pa.string()))}
+        )
+
+    sh_tbl = pa.concat_tables(
+        list(
+            docs.map_batches(shingles_of, batch_format="pyarrow").iter_batches(
+                batch_size=4096, batch_format="pyarrow"
+            )
+        )
+    )
+    ids = sh_tbl.column("doc_id").to_pylist()
+    sets_ = [frozenset(s) for s in sh_tbl.column("shingles").to_pylist()]
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    sets_ = [sets_[i] for i in order]
+    ref = ray.put((ids, sets_))
+    n = len(ids)
+    n_pairs = n * (n - 1) // 2
+
+    def pair_chunk(batch: pa.Table) -> pa.Table:
+        ids_, sets2 = ray.get(ref)
+        out_a, out_b, out_j = [], [], []
+        for p in batch.column("id").to_pylist():
+            # map linear pair index -> (i, j), i < j
+            i = int((2 * n - 1 - np.sqrt((2 * n - 1) ** 2 - 8 * p)) // 2)
+            j = int(p - i * (2 * n - i - 1) // 2 + i + 1)
+            sa, sb = sets2[i], sets2[j]
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            jac = inter / (len(sa) + len(sb) - inter)
+            if jac >= threshold:
+                out_a.append(ids_[i])
+                out_b.append(ids_[j])
+                out_j.append(round(jac, 6))
+        return pa.Table.from_pydict(
+            {"doc_a": pa.array(out_a, pa.int64()),
+             "doc_b": pa.array(out_b, pa.int64()),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+
+    return rd.range(n_pairs).map_batches(pair_chunk, batch_format="pyarrow",
+                                         batch_size=16384)
+
+
 def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     with cluster_id = min doc_id of the component.

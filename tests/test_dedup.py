@@ -67,6 +67,43 @@ def test_simhash_pairs(ray_session):
     assert ham[(0, 10)] == 0
 
 
+def test_ngram_jaccard_exact_pairs(ray_session):
+    """Exact pairwise Jaccard equals itertools brute force (validates the
+    triangular pair-index decoding too)."""
+    import itertools
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = _docs_with_dups()
+    out = (
+        ngram_jaccard_pairs(rd.from_arrow(docs), threshold=0.1, max_docs=1000)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.to_pylist()}
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    expected = []
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= 0.1:
+            expected.append((a, b, round(jac, 6)))
+    got = list(map(tuple, out.to_numpy()))
+    assert [(int(a), int(b), j) for a, b, j in got] == expected
+
+
 def test_cluster_pairs_union_find():
     import pandas as pd
 
