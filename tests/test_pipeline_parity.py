@@ -142,6 +142,49 @@ def test_parity_at_sf_scale(ray_session):
     assert (df.groupby("conv_id").size() > 250).any()  # mega conv present
 
 
+def test_single_conversation_worst_case_skew(ray_session, tmp_path):
+    """Degenerate skew: the ENTIRE corpus is one conversation — every
+    sorted block belongs to the same key; offsets must hand off across
+    all blocks and span_seq stay dense."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import extract_spans, reconcile, reconcile_sorted
+
+    rows = []
+    for t in range(800):
+        rows.append(
+            {
+                "conv_id": "conv-solo",
+                "turn_idx": t,
+                "text": f"turn number {t} has plenty of content words to extract "
+                        f"and some repeated repeated tokens",
+            }
+        )
+    d = str(tmp_path / "solo")
+    os.makedirs(d)
+    pq2.write_table(pa.Table.from_pylist(rows), os.path.join(d, "t.parquet"))
+
+    ds = rd.read_parquet(d, columns=["conv_id", "turn_idx", "text"])
+    a = (
+        reconcile_sorted(extract_spans(ds))
+        .to_pandas()
+        .sort_values(["turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == 800
+    assert a.span_seq.tolist() == list(range(800))
+    b = (
+        reconcile(extract_spans(ds), salted=True)
+        .to_pandas()
+        .sort_values(["turn_idx", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert (a.span_seq.to_numpy() == b.span_seq.to_numpy()).all()
+
+
 def test_nested_spans_roundtrip(ray_session, turns_path):
     """Nested list<struct> variant equals the flat pipeline's spans after
     an Arrow explode; per-turn concatenated text matches the span texts."""
