@@ -361,6 +361,7 @@ def run_extraction(
     *,
     batch_size: int = 1024,
     mode: str = "sorted",
+    partition_output: bool = False,
 ) -> rd.Dataset:
     """End-to-end: read -> extract -> reconcile (-> write if out_dir).
 
@@ -370,12 +371,30 @@ def run_extraction(
 
     Output is a parquet directory of part files (resumable layout: rerun
     with a fresh out_dir or let ocr_ray.state.lineage skip completed
-    partitions)."""
+    partitions). ``partition_output=True`` writes hive-partitioned by a
+    conv_id hash prefix (the brief's one-directory-per-key-range layout:
+    a failed downstream consumer can skip finished key ranges)."""
     spans = extract_spans(read_turns(turns_path), batch_size=batch_size)
     if mode == "sorted":
         spans = reconcile_sorted(spans)
     else:
         spans = reconcile(spans, salted=(mode == "salted"))
     if out_dir is not None:
-        spans.write_parquet(out_dir)
+        if partition_output:
+            def add_part(t: pa.Table) -> pa.Table:
+                import pandas as pd_
+
+                h = pd_.util.hash_array(
+                    t.column("conv_id").to_numpy(zero_copy_only=False),
+                    categorize=False,
+                )
+                return t.append_column(
+                    "conv_bucket", pa.array((h % 16).astype("int64"))
+                )
+
+            spans.map_batches(add_part, batch_format="pyarrow").write_parquet(
+                out_dir, partition_cols=["conv_bucket"]
+            )
+        else:
+            spans.write_parquet(out_dir)
     return spans

@@ -57,6 +57,24 @@ def test_csv_sink(ray_session, tmp_path):
     ]
 
 
+def test_partitioned_output(ray_session, tmp_path):
+    """Hive-partitioned sink by conv_id hash bucket: one directory per key
+    range, rows roundtrip completely."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import run_extraction
+
+    turns = _write_turns(tmp_path)
+    out = str(tmp_path / "partitioned")
+    flat = run_extraction(turns, None).to_pandas()
+    run_extraction(turns, out, partition_output=True)
+    dirs = [d for d in os.listdir(out) if d.startswith("conv_bucket=")]
+    assert len(dirs) >= 2
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == len(flat)
+    assert set(back.conv_id) == set(flat.conv_id)
+
+
 def test_csv_and_json_sources_roundtrip(ray_session, tmp_path):
     """Extraction over csv / json-lines turn sources equals the parquet
     path (multi-line payloads included)."""
