@@ -526,7 +526,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_stats": """
             SELECT doc_id, length(text) AS n_chars,
-                   len(regexp_extract_all(text, '\\S+')) AS n_tokens
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z0-9_]+| ?[^\\sA-Za-z0-9_]+|\\s+'
+                   )) AS n_bpe_tokens
             FROM documents
         """,
         "doc_quality": """

@@ -34,15 +34,27 @@ _WS_RE = re.compile(r"\s+")
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+# GPT2-style pre-tokenizer pattern (simplified to RE2-compatible
+# alternation — no lookaheads — so the DuckDB twin matches exactly):
+# contractions, space-prefixed word, space-prefixed punct run, whitespace run
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z0-9_]+| ?[^\sA-Za-z0-9_]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_chars, n_tokens) — n_tokens = count of \\S+ runs.
-    SQL twin: length(text), len(regexp_extract_all(text, '\\S+'))."""
+    """(doc_id, n_chars, n_tokens, n_bpe_tokens) — whitespace tokens
+    (\\S+ runs) plus BPE-ish pre-tokenizer counts (GPT2-shaped regex).
+    SQL twin uses the identical patterns via regexp_extract_all."""
     texts = batch.column("text").to_pylist()
-    n_tokens = np.fromiter((len(t.split()) for t in texts), dtype=np.int64, count=len(texts))
+    n = len(texts)
+    n_tokens = np.fromiter((len(t.split()) for t in texts), dtype=np.int64, count=n)
+    n_bpe = np.fromiter(
+        (len(_BPE_RE.findall(t)) for t in texts), dtype=np.int64, count=n
+    )
     n_chars = pc.utf8_length(batch.column("text")).cast(pa.int64())
     return pa.Table.from_arrays(
-        [batch.column("doc_id"), n_chars, pa.array(n_tokens)],
-        names=["doc_id", "n_chars", "n_tokens"],
+        [batch.column("doc_id"), n_chars, pa.array(n_tokens), pa.array(n_bpe)],
+        names=["doc_id", "n_chars", "n_tokens", "n_bpe_tokens"],
     )
 
 

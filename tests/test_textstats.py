@@ -24,6 +24,10 @@ def test_token_stats():
     out = token_stats_batch(_batch(["a b  c", "", "single"])).to_pylist()
     assert [r["n_tokens"] for r in out] == [3, 0, 1]
     assert out[0]["n_chars"] == 6
+    # BPE-ish: "a"," b"," ","c" -> 4 pieces; "don't" -> "don","'t"
+    assert out[0]["n_bpe_tokens"] == 4
+    bpe = token_stats_batch(_batch(["don't stop"])).to_pylist()[0]
+    assert bpe["n_bpe_tokens"] == 3
 
 
 def test_quality():
