@@ -488,7 +488,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_sum": """
             SELECT event_type,
-                   sum(CAST(coalesce(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), ''), '0') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(coalesce(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), ''), '0') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -689,9 +689,10 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_login": """
             WITH w AS (
               SELECT event_id, user_id, ts, event_type,
+                     -- default RANGE frame: includes ALL same-ts peers, the
+                     -- exact tie rule of merge_asof(allow_exact_matches=True)
                      max(CASE WHEN event_type = 'login' THEN ts END)
-                       OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS last_login_ts
+                       OVER (PARTITION BY user_id ORDER BY ts) AS last_login_ts
               FROM events
             )
             SELECT event_id, user_id, ts, last_login_ts

@@ -39,11 +39,33 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _lowest_ids(embs: rd.Dataset, n: int) -> pd.DataFrame:
+    """The n lowest-vec_id rows WITHOUT a global sort: a vectorized
+    ``vec_id < threshold`` filter scan (streaming, no shuffle), widening the
+    threshold only if the id space is sparse. The tiny survivor set is
+    sorted client-side. Replaces the former ``sort("vec_id").limit(n)``
+    which paid a full corpus shuffle to pick a handful of rows."""
+    import pyarrow.compute as pc
+
+    int64_max = (1 << 63) - 1
+    n = min(n, embs.count())  # parquet-metadata count: avoids widening loops
+    thresh = max(4 * n, 64)
+    while True:
+        def keep(batch: pa.Table, t=thresh) -> pa.Table:
+            return batch.filter(
+                pc.less(batch.column("vec_id"), pa.scalar(t, pa.int64()))
+            )
+
+        head = embs.map_batches(keep, batch_format="pyarrow").to_pandas()
+        if len(head) >= n or thresh >= int64_max:
+            break
+        thresh = min(thresh * 8, int64_max)
+    return head.sort_values("vec_id", kind="mergesort").head(n).reset_index(drop=True)
+
+
 def default_queries(embs: rd.Dataset, n: int = 8) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic query set: the n lowest vec_ids (query_ids, unit rows)."""
-    head = (
-        embs.sort("vec_id").limit(n).to_pandas()
-    )
+    head = _lowest_ids(embs, n)
     ids = head["vec_id"].to_numpy()
     mat = _unit(np.array(head["embedding"].tolist(), dtype=np.float64))
     return ids, mat
@@ -71,7 +93,15 @@ def knn_brute(
         kk = min(k + 1, cos.shape[0])
         for j, qid in enumerate(qids):
             cj = cos[:, j]
-            top = np.argpartition(-cj, kk - 1)[:kk] if cj.size > kk else np.arange(cj.size)
+            if cj.size > kk:
+                # widen the cut to ALL rows tied with the kk-th cosine so the
+                # driver merge (which breaks ties by neighbor_id asc) never
+                # loses the lower-id neighbor the oracle keeps to an
+                # arbitrary argpartition boundary
+                part = np.argpartition(-cj, kk - 1)
+                top = np.nonzero(cj >= cj[part[kk - 1]])[0]
+            else:
+                top = np.arange(cj.size)
             for i in top:
                 if ids[i] == qid:
                     continue
@@ -106,7 +136,7 @@ def kmeans_assign(
     """Seeded k-means-lite clustering: fixed Lloyd iterations on a
     deterministic sample (lowest vec_ids), then one broadcast + matmul
     assignment pass over the corpus. Emits (vec_id, cluster)."""
-    sample = embs.sort("vec_id").limit(train_sample).to_pandas()
+    sample = _lowest_ids(embs, train_sample)
     train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
     rng = np.random.RandomState(_SEED)
     cent = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)].copy()
@@ -150,7 +180,7 @@ def knn_ivf(
     Scale path: the centroid table is tiny and broadcast; assignment is one
     matmul per batch; only probed buckets' vectors are scanned per query.
     """
-    sample = embs.sort("vec_id").limit(train_sample).to_pandas()
+    sample = _lowest_ids(embs, train_sample)
     train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
     rng = np.random.RandomState(_SEED)
     cent = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
@@ -198,7 +228,11 @@ def knn_ivf(
             cj = mat[mask] @ qt[:, j]
             sub_ids = ids[mask]
             kk = min(k + 1, cj.size)
-            top = np.argpartition(-cj, kk - 1)[:kk] if cj.size > kk else np.arange(cj.size)
+            if cj.size > kk:
+                part = np.argpartition(-cj, kk - 1)
+                top = np.nonzero(cj >= cj[part[kk - 1]])[0]  # include cut ties
+            else:
+                top = np.arange(cj.size)
             for i in top:
                 if sub_ids[i] == qid:
                     continue

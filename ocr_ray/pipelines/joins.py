@@ -19,6 +19,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..money import cents as _cents
+
 import ray.data as rd
 
 __all__ = [
@@ -76,7 +78,7 @@ def segment_revenue_native(sf_dir: str) -> pd.DataFrame:
     )
 
     def widen(t: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        price_c = _cents(t["o_totalprice"])
         return pa.Table.from_arrays(
             [t["o_custkey"].combine_chunks(), price_c], names=["o_custkey", "price_c"]
         )
@@ -186,8 +188,8 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
     def widen(t: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
         rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         return pa.Table.from_arrays(
             [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
@@ -253,8 +255,8 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
     def widen(t: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
         rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         return pa.Table.from_arrays(
             [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]

@@ -46,9 +46,8 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
-def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """round(x*100) as int64 — exact-integer money math."""
-    return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+from ..money import cents as _cents  # half-away-from-zero, see ocr_ray.money
+from ..money import cents_np as _cents_np
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -151,7 +150,7 @@ def region_customer_stats(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "r_name": df["c_nationkey"].map(lut),
-                "acct_c": np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64),
+                "acct_c": _cents_np(df["c_acctbal"].to_numpy()),
             }
         )
 
@@ -432,7 +431,7 @@ def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "n_name": df["s_nationkey"].map(lut),
-                "acct_c": np.round(df["s_acctbal"].to_numpy() * 100).astype(np.int64),
+                "acct_c": _cents_np(df["s_acctbal"].to_numpy()),
             }
         )
 

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..money import cents as _cents
+
 import ray.data as rd
 
 __all__ = [
@@ -44,7 +46,7 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
 
     def widen(t: pa.Table) -> pa.Table:
         hour = pc.strftime(t["ts"], format="%Y-%m-%d %H:00:00")
-        value_c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        value_c = _cents(t["value"])
         return pa.Table.from_arrays(
             [t["user_id"].combine_chunks(), hour, value_c],
             names=["user_id", "window_start", "value_c"],
@@ -165,7 +167,11 @@ def asof_last_login(sf_dir: str) -> pd.DataFrame:
     of that user's most recent earlier-or-equal 'login' event.
 
     Composition: groupby(user_id) -> in-group sort -> pd.merge_asof (the
-    documented as-of pattern: sort both sides within the key partition)."""
+    documented as-of pattern: sort both sides within the key partition).
+
+    Tie rule: a login sharing the click's exact ts IS a match
+    (allow_exact_matches=True); the SQL twin's RANGE window frame states
+    the same rule."""
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:

@@ -155,12 +155,41 @@ class CheckpointedExtraction:
         )
         return {"partition": part_id, "skipped": False, **counters}
 
+    def _extract_state(self) -> list[list]:
+        """Current (partition_id, spans_out) snapshot across all complete
+        extract records — the reconcile stage's consumed-input identity."""
+        state = []
+        for pid in self.partitions():
+            part_id = pid.replace(".parquet", "")
+            p = self._record_path(f"extract-{part_id}")
+            if os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        rec = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    continue
+                state.append([part_id, rec.get("counters", {}).get("spans_out")])
+        return sorted(state)
+
     def reconcile_stage(self) -> dict:
-        """Stage 2: global conv_id reconciliation over all span parts."""
+        """Stage 2: global conv_id reconciliation over all span parts.
+
+        Skips only when its own record is complete AND the recorded
+        consumed-input snapshot matches the current extract records — a
+        re-extracted / new / invalidated stage-1 partition forces a re-run
+        (otherwise the reconciled output would go silently stale)."""
         from ..pipelines.extract import reconcile_sorted
 
+        consumed = self._extract_state()
         if self._is_complete("reconcile"):
-            return {"stage": "reconcile", "skipped": True}
+            p = self._record_path("reconcile")
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                rec = {}
+            if rec.get("consumed") == consumed:
+                return {"stage": "reconcile", "skipped": True}
         tmp = self.final_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(self.final_dir, ignore_errors=True)
@@ -179,6 +208,7 @@ class CheckpointedExtraction:
             "reconcile",
             input_fragments=[self.spans_dir],
             counters={"spans_out": n},
+            consumed=consumed,
         )
         return {"stage": "reconcile", "skipped": False, "spans_out": n}
 
