@@ -51,11 +51,15 @@ def _q_extract_units(sf_dir: str):
     from ocr_ray.stages.extractor import UnitScorer
     from ocr_ray.stages.normalize import normalize_batch
 
+    import ray
+
     turns = rd.read_parquet(
         ensure_transcripts(sf_dir), columns=["conv_id", "turn_idx", "text"]
     )
+    # actor pool sized to the cluster (was capped at 4 — starved a 32-CPU box)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     return turns.map_batches(normalize_batch, batch_format="pyarrow").map_batches(
-        UnitScorer, batch_format="pyarrow", concurrency=(1, 4)
+        UnitScorer, batch_format="pyarrow", concurrency=(1, max(2, n_cpus))
     )
 
 

@@ -36,15 +36,18 @@ def score_units(units: list[Unit]) -> np.ndarray:
     ignore-tagged units are masked to 0 (training-mask analog,
     reference DataPreprocess/DataGen.py:244-248).
     """
-    n = len(units)
-    out = np.zeros(n, dtype=np.float64)
-    for i, u in enumerate(units):
-        if u.ignore:
-            continue
-        w = C.TAG_WEIGHTS.get(u.tag, C.DEFAULT_TAG_WEIGHT)
-        s = w * (0.5 + 0.5 * u.text_density) - u.link_density
-        out[i] = min(1.0, max(0.0, s))
-    return out
+    get_w = C.TAG_WEIGHTS.get
+    dw = C.DEFAULT_TAG_WEIGHT
+    vals = [
+        0.0
+        if u.ignore
+        else min(
+            1.0,
+            max(0.0, get_w(u.tag, dw) * (0.5 + 0.5 * u.text_density) - u.link_density),
+        )
+        for u in units
+    ]
+    return np.asarray(vals, dtype=np.float64)
 
 
 def propose_spans(
@@ -109,7 +112,16 @@ def propose_spans(
 
     # recompute score as the length-weighted mean unit confidence over the
     # span, counting uncovered chars as 0 — the masked cv2.mean analog
-    # (DetectUtil.py:209-212) — then filter > BOX_THRESH (line 214)
+    # (DetectUtil.py:209-212) — then filter > BOX_THRESH (line 214).
+    # Two bit-identical paths: the numpy one computes the per-unit overlaps
+    # vectorized but accumulates the (few) overlapping terms SEQUENTIALLY in
+    # unit order — the exact float ops of the scalar loop — so output scores
+    # cannot drift between paths (golden fixtures compare exact).
+    n_units = len(units)
+    vectorize = n_units * len(box_rows) >= 64
+    if vectorize:
+        u_starts = np.fromiter((u.start for u in units), np.float64, n_units)
+        u_ends = np.fromiter((u.end for u in units), np.float64, n_units)
     kept: list[tuple[float, float, float]] = []
     for s, e, _ in box_rows:
         span_len = e - s
@@ -117,10 +129,17 @@ def propose_spans(
             counters["drop_empty"] = counters.get("drop_empty", 0) + 1
             continue
         acc = np.float64(0.0)
-        for u, sc in zip(units, score_list):
-            ov = min(u.end, e) - max(u.start, s)
-            if ov > 0:
-                acc += sc * ov
+        if vectorize:
+            ov_arr = np.minimum(u_ends, e) - np.maximum(u_starts, s)
+            mask = ov_arr > 0
+            terms = scores[mask] * ov_arr[mask]
+            for v in terms:
+                acc += v
+        else:
+            for u, sc in zip(units, score_list):
+                ov = min(u.end, e) - max(u.start, s)
+                if ov > 0:
+                    acc += sc * ov
         mean_score = float(acc / span_len)
         if mean_score > C.BOX_THRESH:
             kept.append((s, e, mean_score))
@@ -158,26 +177,37 @@ def decode_span(
     start: int,
     end: int,
     counters: dict[str, int] | None = None,
+    _bounds: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> str:
     """Decode one span: gather member units (RoIRotate crop analog, A2),
     order them — pdfish by (page, y, x) reading order (O3 analog,
     DetectUtil.py:169), others by document order — project tokens onto the
     alphabet (M11), truncate to the decode window (max_box_width analog),
-    CTC-collapse (A5, Module/RecognitionLoss.py:33-38), join with spaces."""
+    CTC-collapse (A5, Module/RecognitionLoss.py:33-38), join with spaces.
+
+    ``_bounds`` is an optional (starts, ends) numpy pair precomputed by the
+    caller for turns with many units: the member gather then runs as one
+    vectorized mask instead of a Python scan (identical selection)."""
     if counters is None:
         counters = {}
-    members = [u for u in units if u.start < end and u.end > start]
+    if _bounds is not None:
+        u_starts, u_ends = _bounds
+        members = [
+            units[i] for i in np.nonzero((u_starts < end) & (u_ends > start))[0]
+        ]
+    else:
+        members = [u for u in units if u.start < end and u.end > start]
     if kind == C.PAYLOAD_PDFISH:
         members = sorted(members, key=lambda u: (u.page, u.y, u.x, u.start))
     html = kind == C.PAYLOAD_HTML
     tokens: list[str] = []
+    extend = tokens.extend
     for u in members:
         a, b = max(u.start, start), min(u.end, end)
         seg = norm_text[a:b]
         if html and "&" in seg:
             seg = decode_entities(seg)
-        for tok in tokenize(seg):
-            tokens.append(encode_token(tok))
+        extend(map(encode_token, seg.split()))
     if len(tokens) > C.MAX_DECODE_TOKENS:
         counters["drop_window_tokens"] = counters.get("drop_window_tokens", 0) + (
             len(tokens) - C.MAX_DECODE_TOKENS
@@ -203,8 +233,14 @@ def extract_turn(
         return []
     scores = score_units(units)
     spans = propose_spans(units, scores, len(norm), counters)
+    bounds = None
+    if len(units) * len(spans) >= 64:
+        bounds = (
+            np.fromiter((u.start for u in units), np.int64, len(units)),
+            np.fromiter((u.end for u in units), np.int64, len(units)),
+        )
     out = []
     for i, (s, e, sc) in enumerate(spans):
-        text = decode_span(norm, kind, units, s, e, counters)
+        text = decode_span(norm, kind, units, s, e, counters, _bounds=bounds)
         out.append({"span_idx": i, "start": s, "end": e, "text": text, "score": sc})
     return out

@@ -74,19 +74,22 @@ def detect_kind(text: str) -> str:
     return PAYLOAD_PLAIN
 
 
-_NON_GOOD_RE = re.compile(r"[^0-9a-zA-Z ]")
+import string as _string
+
+# delete-table for the "good" chars: len(s.translate(...)) counts the REST
+_GOOD_DEL = {ord(c): None for c in _string.ascii_letters + _string.digits + " "}
 
 
 def _density(s: str) -> float:
     """Fraction of alphanumeric+space chars — the unit text-density feature.
 
-    Ascii fast path (regex count of the complement) is exact: ascii
-    isalnum() == [0-9a-zA-Z]; the unicode fall-back keeps isalnum()
-    semantics for non-ascii payloads."""
+    Ascii fast path (C-speed translate deleting the good set, no per-char
+    Python) is exact: ascii isalnum() == [0-9a-zA-Z]; the unicode fall-back
+    keeps isalnum() semantics for non-ascii payloads."""
     if not s:
         return 0.0
     if s.isascii():
-        return (len(s) - len(_NON_GOOD_RE.findall(s))) / len(s)
+        return (len(s) - len(s.translate(_GOOD_DEL))) / len(s)
     good = sum(1 for c in s if c.isalnum() or c == " ")
     return good / len(s)
 
@@ -106,13 +109,14 @@ def _mk_unit(text: str, a: int, b: int, tag: str, in_link: bool,
     if b <= a:
         return None
     run = text[a:b]
-    stripped = run.strip()
-    ignore = stripped == _IGNORE_EXACT or stripped.startswith(_IGNORE_PREFIX)
+    # run is already whitespace-trimmed by _trim_run (same isspace() set as
+    # str.strip()), so test it directly instead of paying a .strip() copy
+    ignore = run == _IGNORE_EXACT or run.startswith(_IGNORE_PREFIX)
     return Unit(
-        start=a, end=b, geo_start=a, geo_end=b, tag=tag,
-        text_density=_density(run),
-        link_density=1.0 if in_link else 0.0,
-        ignore=ignore, page=page, y=y, x=x,
+        a, b, a, b, tag,
+        _density(run),
+        1.0 if in_link else 0.0,
+        ignore, page, y, x,
     )
 
 
@@ -130,20 +134,28 @@ def _segment_html(text: str) -> list[Unit]:
     link_depth = 0
     skip_depth = 0  # inside <script>/<style>
     pos = 0
+    units_append = units.append
+    bids_append = block_ids.append
     for m in _TAG_RE.finditer(text):
-        if m.start() > pos and skip_depth == 0:
-            tag = stack[-1][0] if stack else "div"
-            bid = stack[-1][1] if stack else -1
-            u = _mk_unit(text, pos, m.start(), tag, link_depth > 0)
+        mstart = m.start()
+        if mstart > pos and skip_depth == 0:
+            if stack:
+                tag, bid = stack[-1]
+            else:
+                tag, bid = "div", -1
+            u = _mk_unit(text, pos, mstart, tag, link_depth > 0)
             if u is not None:
-                units.append(u)
-                block_ids.append(bid)
-        if m.group(2) is None:  # comment — contents never become units
+                units_append(u)
+                bids_append(bid)
+        closing, name = m.group(1, 2)
+        if name is None:  # comment — contents never become units
             pos = m.end()
             continue
-        closing, name = m.group(1), m.group(2).lower()
-        self_closing = m.group(0).rstrip(">").endswith("/")
-        if self_closing:
+        name = name.lower()
+        # every match ends with exactly one '>' ([^>]* cannot span it), so
+        # the self-closing probe is a single char test, not rstrip+endswith
+        g0 = m.group(0)
+        if g0[-2] == "/" and len(g0) > 3:
             pos = m.end()
             continue
         if name in _SKIP_CONTENT_TAGS:

@@ -60,12 +60,42 @@ def standard_nms(S: np.ndarray, thres: float) -> np.ndarray:
     """Greedy score-descending NMS over (start, end, score) rows.
 
     Analog of reference locality_aware_nms.py:24-35, including the ``<=``
-    survival comparison and ``np.argsort[::-1]`` tie behavior. The IoU of
-    the kept row against every remaining row is computed vectorized —
-    identical arithmetic to interval_iou, batched."""
+    survival comparison and ``np.argsort[::-1]`` tie behavior.
+
+    Two bit-identical execution paths: a scalar loop for small inputs
+    (numpy call overhead dominates below ~32 rows — the common case is a
+    handful of proposals per turn) and the batched numpy form beyond.
+    Ordering always comes from the same np.argsort so tie behavior cannot
+    diverge between paths; the per-pair float arithmetic is the same IEEE
+    ops either way."""
+    order = np.argsort(S[:, 2])[::-1]
+    if S.shape[0] <= 32:
+        starts = S[:, 0].tolist()
+        ends = S[:, 1].tolist()
+        alive = order.tolist()
+        keep: list[int] = []
+        while alive:
+            i = alive[0]
+            keep.append(i)
+            si, ei = starts[i], ends[i]
+            li = ei - si
+            nxt: list[int] = []
+            for r in alive[1:]:
+                inter = min(ends[r], ei) - max(starts[r], si)
+                lr = ends[r] - starts[r]
+                union = li + lr - inter
+                ovr = (
+                    inter / union
+                    if (li > 0 and lr > 0 and inter > 0 and union != 0)
+                    else 0.0
+                )
+                if ovr <= thres:
+                    nxt.append(r)
+            alive = nxt
+        return S[keep]
+
     starts, ends = S[:, 0], S[:, 1]
     lens = ends - starts
-    order = np.argsort(S[:, 2])[::-1]
     keep = []
     while order.size > 0:
         i = order[0]

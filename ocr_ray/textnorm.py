@@ -56,6 +56,12 @@ def normalize_text(text: str) -> str:
 
 _ALLOWED_RE = re.compile("[" + re.escape(CHAR_VECTOR) + "]*\\Z")
 
+# per-process projection memo: corpus token vocabularies repeat heavily, so
+# a dict hit replaces the regex fullmatch in the hot decode loop. Bounded:
+# once full it stops inserting (never evicts — lookup stays O(1)).
+_ENC_CACHE: dict[str, str] = {}
+_ENC_CACHE_MAX = 1 << 16
+
 
 def encode_token(token: str) -> str:
     """Project a token onto the engine alphabet: characters outside
@@ -63,14 +69,19 @@ def encode_token(token: str) -> str:
     unknown chars without error; spaces are stripped at DataGen.py:30).
     A token that loses every character becomes the blank token.
 
-    Fast path: the (dominant) all-alphabet token passes a single C regex
-    fullmatch and is returned unchanged."""
+    Fast path: memo hit, else a single C regex fullmatch for the (dominant)
+    all-alphabet token."""
+    hit = _ENC_CACHE.get(token)
+    if hit is not None:
+        return hit
     if _ALLOWED_RE.fullmatch(token):
-        return token if token else BLANK_TOKEN
-    kept = [c for c in token if c in CHAR_TO_INDEX]
-    if not kept:
-        return BLANK_TOKEN
-    return "".join(kept)
+        out = token if token else BLANK_TOKEN
+    else:
+        kept = [c for c in token if c in CHAR_TO_INDEX]
+        out = "".join(kept) if kept else BLANK_TOKEN
+    if len(_ENC_CACHE) < _ENC_CACHE_MAX:
+        _ENC_CACHE[token] = out
+    return out
 
 
 def tokenize(text: str) -> list[str]:
