@@ -187,8 +187,11 @@ def reconcile(spans: rd.Dataset, *, salted: bool = True) -> rd.Dataset:
     salted=True runs the skew-safe two-phase form (SURVEY.md §7.4):
       phase 1: groupby (conv_id, salt=turn_idx // SALT_TURNS); local stable
                sort + local ordinal per bucket;
-      phase 2: per-(conv_id, salt) counts -> prefix offsets (tiny table,
-               broadcast via ray.put) -> span_seq = offset + local_seq.
+      phase 2: per-(conv_id, salt) counts -> per-conv prefix offsets
+               computed DISTRIBUTED (groupby(conv_id) over the tiny counts
+               table) -> Dataset-side hash join back onto the span rows ->
+               span_seq = offset + local_seq. No driver-side structure
+               proportional to conversation count anywhere.
     A conversation 1000x the median therefore never forms one giant group.
 
     salted=False is the direct groupby(conv_id) form (fine when no key is
@@ -216,38 +219,44 @@ def reconcile(spans: rd.Dataset, *, salted: bool = True) -> rd.Dataset:
         _assign_local, batch_format="pandas"
     )
 
-    # phase 2: per-bucket counts -> prefix offsets, broadcast once
-    counts = (
-        salted_ds.groupby(["conv_id", "salt"])
-        .count()
-        .to_pandas()  # one row per (conv, salt); small even for mega convs
-    )
-    if counts.empty:  # empty input: nothing to reconcile
+    if salted_ds.count() == 0:  # empty input: nothing to reconcile
         def drop_salt(df: pd.DataFrame) -> pd.DataFrame:
             df["span_seq"] = np.zeros(len(df), dtype=np.int64)
             return df.drop(columns=["salt"], errors="ignore")
 
         return salted_ds.map_batches(drop_salt, batch_format="pandas")
-    counts = counts.sort_values(["conv_id", "salt"], kind="mergesort")
-    counts["offset"] = counts.groupby("conv_id")["count()"].cumsum() - counts["count()"]
-    # One row per (conv_id, salt): tiny at sandbox scale. At 10^12-turn
-    # scale this becomes a Dataset-side broadcast-partitioned join on
-    # (conv_id, salt) instead of a driver dict — same two-phase shape.
-    offsets = {
-        (c, int(s)): int(o)
-        for c, s, o in zip(counts["conv_id"], counts["salt"], counts["offset"])
-    }
-    offsets_ref = ray.put(offsets)
 
-    def add_offset(df: pd.DataFrame) -> pd.DataFrame:
-        table = ray.get(offsets_ref)
-        off = [
-            table[(c, int(s))] for c, s in zip(df["conv_id"], df["salt"])
-        ]
-        df["span_seq"] = np.asarray(off, dtype=np.int64) + df["local_seq"].to_numpy()
-        return df.drop(columns=["salt", "local_seq"])
+    # phase 2, fully distributed: per-(conv, salt) counts (rows ~ convs x
+    # buckets, each conv's bucket list small) -> per-conv prefix offsets via
+    # groupby(conv_id) -> hash join back onto the span rows. The driver
+    # never materializes anything proportional to conversation count.
+    counts_ds = salted_ds.groupby(["conv_id", "salt"]).count()
 
-    return local.map_batches(add_offset, batch_format="pandas")
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("salt", kind="mergesort")
+        cnt = g["count()"].to_numpy()
+        g["offset"] = np.cumsum(cnt) - cnt
+        return g[["conv_id", "salt", "offset"]]
+
+    offsets_ds = counts_ds.groupby("conv_id").map_groups(
+        prefix, batch_format="pandas"
+    )
+
+    nparts = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = local.join(
+        offsets_ds,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("conv_id", "salt"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["span_seq"] = df["offset"].to_numpy(dtype=np.int64) + df[
+            "local_seq"
+        ].to_numpy(dtype=np.int64)
+        return df.drop(columns=["salt", "local_seq", "offset"])
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 def reconcile_sorted(spans: rd.Dataset) -> rd.Dataset:
@@ -257,12 +266,19 @@ def reconcile_sorted(spans: rd.Dataset) -> rd.Dataset:
     O(blocks) driver work + two vectorized passes).
 
         sort (conv_id, turn_idx, span_idx)          # the one wide shuffle
-        pass 1: per sorted block -> (conv_id, count) summary, tagged by the
-                block's min key (blocks are disjoint key ranges, so the min
-                key identifies and orders blocks without preserve_order)
-        driver: prefix-sum per conv across blocks -> {min_key: {conv: off}}
-                (tiny: one entry per (block, conv) pair), broadcast
-        pass 2: span_seq = block-local cumcount per conv + broadcast offset
+        pass 1: per sorted block -> ONE boundary-summary row (min key,
+                first/last conv + their in-block counts, #convs); blocks
+                are disjoint key ranges, so the min key identifies and
+                orders blocks without preserve_order
+        driver: walk blocks in key order carrying (conv, running count)
+                across boundaries -> {min_key: first-conv offset}. The
+                global sort makes every conversation CONTIGUOUS across
+                blocks, so only a block's FIRST conv can continue from an
+                earlier block — every other conv in the block starts at 0.
+                Driver state is therefore O(blocks), independent of
+                conversation count (the 10^9-conversation shape is safe).
+        pass 2: span_seq = vectorized block-local cumcount per conv run,
+                + the broadcast offset on the first run only
 
     Skew: a mega-conversation straddles range-partitioned blocks naturally;
     its offsets accumulate across however many blocks it spans.
@@ -284,72 +300,85 @@ def reconcile_sorted(spans: rd.Dataset) -> rd.Dataset:
         .materialize()
     )
 
+    _SUM_SCHEMA = pa.schema(
+        [("k_conv", pa.string()), ("k_turn", pa.int64()), ("k_span", pa.int64()),
+         ("first_conv", pa.string()), ("n_first", pa.int64()),
+         ("last_conv", pa.string()), ("n_last", pa.int64()),
+         ("n_convs", pa.int64())]
+    )
+
     def summarize(batch: pa.Table) -> pa.Table:
+        """One boundary row per block: O(1) output regardless of how many
+        conversations the block holds."""
         if batch.num_rows == 0:
-            return pa.Table.from_pydict(
-                {"k_conv": [], "k_turn": [], "k_span": [], "conv_id": [], "n": []},
-                schema=pa.schema(
-                    [("k_conv", pa.string()), ("k_turn", pa.int64()),
-                     ("k_span", pa.int64()), ("conv_id", pa.string()),
-                     ("n", pa.int64())]
-                ),
-            )
-        conv = batch.column("conv_id").to_pylist()
-        k = (conv[0], batch.column("turn_idx")[0].as_py(),
-             batch.column("span_idx")[0].as_py())
-        convs: list[str] = []
-        counts: list[int] = []
-        prev = None
-        for c in conv:
-            if c != prev:
-                convs.append(c)
-                counts.append(1)
-                prev = c
-            else:
-                counts[-1] += 1
-        n = len(convs)
+            return _SUM_SCHEMA.empty_table()
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+        n = len(conv)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(conv[1:], conv[:-1], out=change[1:])
+        starts = np.nonzero(change)[0]
+        n_first = int(starts[1] if len(starts) > 1 else n)
+        n_last = int(n - starts[-1])
         return pa.Table.from_pydict(
-            {"k_conv": [k[0]] * n, "k_turn": [int(k[1])] * n,
-             "k_span": [int(k[2])] * n, "conv_id": convs, "n": counts}
+            {
+                "k_conv": [str(conv[0])],
+                "k_turn": [int(batch.column("turn_idx")[0].as_py())],
+                "k_span": [int(batch.column("span_idx")[0].as_py())],
+                "first_conv": [str(conv[0])],
+                "n_first": [n_first],
+                "last_conv": [str(conv[-1])],
+                "n_last": [n_last],
+                "n_convs": [len(starts)],
+            },
+            schema=_SUM_SCHEMA,
         )
 
     summary = sorted_spans.map_batches(
         summarize, batch_size=None, batch_format="pyarrow"
-    ).to_pandas()
+    ).to_pandas()  # EXACTLY one row per non-empty block — O(blocks)
 
-    # order block summaries by their (tuple-typed) min key — matches the
-    # range partitioner's sort order for any conv_id shape
-    offsets: dict[tuple, dict[str, int]] = {}
-    running: dict[str, int] = {}
-    keys = sorted(
-        set(zip(summary["k_conv"], summary["k_turn"], summary["k_span"]))
+    # walk blocks in min-key order, carrying the (conv, cumulative count)
+    # that straddles each boundary; record only the first conv's offset
+    summary = summary.sort_values(
+        ["k_conv", "k_turn", "k_span"], kind="mergesort"
     )
-    grouped = summary.groupby(["k_conv", "k_turn", "k_span"], sort=False)
-    for mk in keys:
-        blk = grouped.get_group(mk)
-        offsets[mk] = {}
-        for c, n in zip(blk["conv_id"], blk["n"]):
-            offsets[mk][c] = running.get(c, 0)
-            running[c] = running.get(c, 0) + int(n)
+    offsets: dict[tuple, int] = {}
+    carry_conv: str | None = None
+    carry_cnt = 0
+    for row in summary.itertuples(index=False):
+        mk = (row.k_conv, int(row.k_turn), int(row.k_span))
+        offsets[mk] = carry_cnt if row.first_conv == carry_conv else 0
+        if int(row.n_convs) == 1:
+            carry_cnt = (
+                carry_cnt + int(row.n_first)
+                if row.first_conv == carry_conv
+                else int(row.n_first)
+            )
+            carry_conv = row.first_conv
+        else:
+            carry_conv, carry_cnt = row.last_conv, int(row.n_last)
     oref = ray.put(offsets)
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("span_seq", pa.array([], pa.int64()))
         table = ray.get(oref)
-        conv = batch.column("conv_id").to_pylist()
-        mk = (conv[0], batch.column("turn_idx")[0].as_py(),
-              batch.column("span_idx")[0].as_py())
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+        n = len(conv)
+        mk = (str(conv[0]), int(batch.column("turn_idx")[0].as_py()),
+              int(batch.column("span_idx")[0].as_py()))
         off = table[mk]
-        seq = np.empty(len(conv), dtype=np.int64)
-        cur_conv = None
-        cur = 0
-        for i, c in enumerate(conv):
-            if c != cur_conv:
-                cur = off.get(c, 0)
-                cur_conv = c
-            seq[i] = cur
-            cur += 1
+        # vectorized per-run cumcount: seq[i] = i - start_of_run(i), plus
+        # the carried offset on the block's first run only
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(conv[1:], conv[:-1], out=change[1:])
+        starts = np.nonzero(change)[0]
+        run_id = np.cumsum(change) - 1
+        seq = np.arange(n, dtype=np.int64) - starts[run_id]
+        if off:
+            seq[: (starts[1] if len(starts) > 1 else n)] += off
         return batch.append_column("span_seq", pa.array(seq))
 
     return sorted_spans.map_batches(assign, batch_size=None, batch_format="pyarrow")
