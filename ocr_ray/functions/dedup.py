@@ -37,8 +37,45 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup",
     "cluster_pairs",
+    "cluster_pairs_dataset",
     "dedup_keep_list",
 ]
+
+
+def _ensure_cols(cols: dict[str, str]):
+    """map_batches guard between two shuffles: a sort partition with no
+    rows passes through map_groups with its INPUT schema, and the next
+    shuffle's block concat then dies on the schema mismatch. Normalize
+    every block to exactly ``cols`` (name -> pandas dtype)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return fn
+
+
+def _dataset_bloom(ds: rd.Dataset, col: str, capacity: int, fp_rate: float = 0.01):
+    """Distributed Bloom build over ``ds[col]``: per-block partial bitsets
+    (fixed-size blobs, deterministic layout from ``capacity``) OR-merged on
+    the driver — the HLL-register merge shape, bounded regardless of key
+    count. No false negatives; fp hits only cost wasted downstream work."""
+    from .bloom import BloomFilter
+
+    proto = BloomFilter(capacity, fp_rate)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add(t.column(col).to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"bits": [bf.bits.tobytes()]})
+
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=64, batch_format="pyarrow"
+    ):
+        for blob in b.column("bits").to_pylist():
+            proto.bits |= np.frombuffer(blob, dtype=np.uint64)
+    return proto
 
 _MERSENNE = (1 << 61) - 1
 _N_PERM = 64
@@ -143,7 +180,11 @@ def _lsh_candidate_pairs(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
     dup_mask = df.duplicated(subset=keys, keep=False)
     sub = df[dup_mask]
     if sub.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": []})
+        # typed empty: unioned blocks keep one schema (no float upcast)
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
     out_a: list[int] = []
     out_b: list[int] = []
     for _, g in sub.groupby(keys, sort=False):
@@ -162,9 +203,15 @@ def minhash_pairs(
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
 
     Emits (doc_a, doc_b, jaccard) for verified pairs with jaccard >= threshold.
-    The verify side ships only the candidate docs' shingle sets, broadcast
-    once via ray.put (no second shuffle of the corpus).
+
+    Fully distributed tail: candidate pairs STAY a Dataset (cross-band
+    dedup is a groupby, not a driver drop_duplicates); the verify side
+    semi-filters the corpus through a bounded Bloom of candidate ids,
+    shingles only the survivors, and ships each shingle set to its pairs
+    via partitioned cogroup joins — the driver never materializes pairs,
+    ids, or shingles.
     """
+    from ..pipelines.joins import cogroup_bucket_join
     from ..stages.partial_agg import add_hash_bucket
 
     bands = docs.map_batches(minhash_signatures_batch, batch_format="pyarrow")
@@ -178,55 +225,80 @@ def minhash_pairs(
     cand = bucketed.groupby("bucket").map_groups(
         lambda df: _lsh_candidate_pairs(df, ["band_idx", "band_key"]),
         batch_format="pandas",
+    ).map_batches(
+        _ensure_cols({"doc_a": "int64", "doc_b": "int64"}), batch_format="pandas"
     )
-    cand_df = cand.to_pandas()
-    if cand_df.empty:
+    # distributed cross-band pair dedup (one row per unique pair)
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
         return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
-    cand_df = cand_df.drop_duplicates(ignore_index=True)
 
-    # gather only the candidate docs' shingle sets with a DISTRIBUTED
-    # broadcast-semi-join pass (no driver-side corpus scan): ship the
-    # (small) candidate id set once, filter + shingle inside map_batches,
-    # collect only the needed rows
-    needed = set(map(int, set(cand_df["doc_a"]).union(cand_df["doc_b"])))
-    nref = ray.put(np.array(sorted(needed), dtype=np.int64))
+    # bounded Bloom semi-filter of the corpus down to candidate docs
+    def pair_ids(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": pa.concat_arrays(
+                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+            )}
+        )
 
-    def shingle_needed(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("doc_id"), dtype=np.int64)
-        member = np.isin(ids, ray.get(nref))
+    bloom = _dataset_bloom(
+        cand.map_batches(pair_ids, batch_format="pyarrow"),
+        "doc_id",
+        capacity=max(64, 2 * n_cand),
+    )
+    bref = ray.put(bloom)
+
+    def shingle_cand(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        member = ray.get(bref).contains(ids)
         sub = t.filter(pa.array(member))
         out_id, out_sh = [], []
         for did, txt in zip(sub.column("doc_id").to_pylist(),
                             sub.column("text").to_pylist()):
             out_id.append(did)
-            out_sh.append(_token_hashes(txt).view(np.int64).tolist())
+            # binary blob, not list<int64>: bytes survive the pandas
+            # merge + block re-conversion without tensor-extension types
+            out_sh.append(_token_hashes(txt).tobytes())
         return pa.Table.from_pydict(
             {"doc_id": pa.array(out_id, pa.int64()),
-             "shingles": pa.array(out_sh, pa.list_(pa.int64()))}
+             "shingles": pa.array(out_sh, pa.binary())}
         )
 
-    shingles: dict[int, np.ndarray] = {}
-    for b in docs.map_batches(shingle_needed, batch_format="pyarrow").iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        for did, sh in zip(b.column("doc_id").to_pylist(),
-                           b.column("shingles").to_pylist()):
-            shingles[did] = np.array(sh, dtype=np.int64).view(np.uint64)
-    ref = ray.put(shingles)
+    sh_ds = docs.map_batches(shingle_cand, batch_format="pyarrow").materialize()
+
+    def rename_arrow(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return fn
+
+    sh_a = sh_ds.map_batches(rename_arrow(["doc_a", "sh_a"]), batch_format="pyarrow")
+    sh_b = sh_ds.map_batches(rename_arrow(["doc_b", "sh_b"]), batch_format="pyarrow")
+    with_a = cogroup_bucket_join(cand, sh_a, "doc_a")
+    with_ab = cogroup_bucket_join(with_a, sh_b, "doc_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        table = ray.get(ref)
         jac = np.zeros(len(df), dtype=np.float64)
-        for i, (a, b_) in enumerate(zip(df["doc_a"], df["doc_b"])):
-            sa, sb = table[a], table[b_]
+        for i, (sa_, sb_) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            sa = np.frombuffer(sa_, dtype=np.uint64)
+            sb = np.frombuffer(sb_, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             jac[i] = inter / union if union else 0.0
-        df = df.copy()
-        df["jaccard"] = np.round(jac, 6)
-        return df[df["jaccard"] >= threshold]
+        out = pd.DataFrame(
+            {"doc_a": df["doc_a"].to_numpy(dtype=np.int64),
+             "doc_b": df["doc_b"].to_numpy(dtype=np.int64),
+             "jaccard": np.round(jac, 6)}
+        )
+        return out[out["jaccard"] >= threshold]
 
-    return rd.from_pandas(cand_df).map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(
@@ -311,10 +383,10 @@ def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     with cluster_id = min doc_id of the component.
 
-    The verified candidate-pair set is provably small (LSH buckets are
-    capped), so union-find runs driver-side per the guide's rule; at
-    larger pair volumes this becomes iterated min-label propagation
-    (groupby(doc) min(label) until fixpoint), same result."""
+    Driver-side union-find KERNEL for small in-memory pair frames (unit
+    tests, notebook use). The scale path is
+    :func:`cluster_pairs_dataset` — iterated min-label propagation over a
+    pairs Dataset, identical output, no driver materialization."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -336,15 +408,86 @@ def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
 
 
+def cluster_pairs_dataset(pairs: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
+    """Distributed connected components over a near-dup pairs Dataset by
+    iterated min-label propagation: each round every doc takes the min
+    label among itself and its neighbors (neighbor labels delivered by a
+    partitioned cogroup join), until the label sum stops changing (labels
+    only decrease, so an unchanged sum IS the fixpoint). Converges in
+    O(component diameter) rounds — near-dup clusters are low-diameter.
+
+    Emits (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component — exactly the driver union-find's output, with no driver
+    structure proportional to doc or pair count."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..pipelines.joins import cogroup_bucket_join
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        return pa.Table.from_pydict(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        bidir, batch_format="pyarrow"
+    ).materialize()
+
+    # init: label(d) = min(d, min neighbor)
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
+
+    def init_lab(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {"doc_id": t["src"],
+             "label": pc.min_element_wise(t["src"], t["nmin"])}
+        )
+
+    labels = labels.map_batches(init_lab, batch_format="pyarrow").materialize()
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    def msg(t: pa.Table) -> pa.Table:
+        # arrow out: the union with the (arrow) labels blocks must be
+        # uniform in block type for the aggregate's boundary sampling
+        return pa.Table.from_pydict({"doc_id": t["dst"], "label": t["label"]})
+
+    for _ in range(max_iters):
+        msgs = cogroup_bucket_join(edges, labels, "src", "doc_id").map_batches(
+            msg, batch_format="pyarrow"
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"label": "cluster_id"})
+
+    return labels.map_batches(final, batch_format="pandas")
+
+
 def dedup_keep_list(docs: rd.Dataset, threshold: float = 0.5) -> pd.DataFrame:
-    """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
-    keep the min doc_id per cluster. Returns (doc_id, keep) for every doc
-    that appears in any near-dup cluster (docs outside clusters are
-    implicitly kept)."""
-    pairs = minhash_pairs(docs, threshold=threshold).to_pandas()
-    if pairs.empty:
+    """End-to-end near-dedup: MinHash-LSH pairs -> distributed connected
+    components -> keep the min doc_id per cluster. Returns (doc_id, keep)
+    for every doc that appears in any near-dup cluster (docs outside
+    clusters are implicitly kept)."""
+    pairs = minhash_pairs(docs, threshold=threshold).materialize()
+    if pairs.count() == 0:
         return pd.DataFrame({"doc_id": [], "keep": []})
-    clusters = cluster_pairs(pairs)
+    clusters = (
+        cluster_pairs_dataset(pairs)
+        .to_pandas()  # final result only: one row per clustered doc
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     clusters["keep"] = clusters["doc_id"] == clusters["cluster_id"]
     return clusters[["doc_id", "keep"]]
 
@@ -397,7 +540,11 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
         dup_mask = df.duplicated(subset=["band_idx", "band_key"], keep=False)
         sub = df[dup_mask]
         if sub.empty:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
         out_a: list[int] = []
         out_b: list[int] = []
         out_h: list[int] = []
@@ -425,13 +572,37 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
         lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
         batch_format="pyarrow",
     )
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    pdf = pdf.drop_duplicates(subset=["doc_a", "doc_b"], ignore_index=True)
-    return rd.from_pandas(pdf)
+    pairs = bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    ).map_batches(
+        _ensure_cols({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}),
+        batch_format="pandas",
+    )
+    # distributed cross-band pair dedup (hamming is identical for every
+    # band-copy of a pair, so Min is a pure dedup) — was a driver-side
+    # to_pandas().drop_duplicates()
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
 
 
 # --- embedding near-dup ----------------------------------------------------
+
+
+# per-process hyperplane cache: identical (seeded) matrix across batches —
+# was regenerated on every batch call
+_PLANES_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _planes(dim: int, n_cols: int) -> np.ndarray:
+    key = (dim, n_cols)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = np.random.RandomState(_SEED).standard_normal(
+            (dim, n_cols)
+        )
+    return _PLANES_CACHE[key]
 
 
 def embedding_near_dup(
@@ -443,58 +614,126 @@ def embedding_near_dup(
     """Approximate near-duplicate vector pairs by cosine similarity:
     ``n_tables`` independent seeded random-hyperplane LSH tables of
     ``n_planes`` bits each; candidates meet in >=1 table's bucket, then
-    exact in-bucket cosine (matmul) filters at ``threshold``.
+    exact cosine on the candidate pairs filters at ``threshold``.
 
     Emits (vec_a, vec_b, cosine), deduplicated across tables. Recall is
     approximate (multi-table OR-amplification); precision is exact.
+
+    Scale shape: the bucketing pass ships (vec_id, table, key) int rows
+    only — vectors do NOT ride the LSH shuffle n_tables times. Cross-table
+    pair dedup is a distributed groupby; unit vectors reach their pairs
+    through a Bloom semi-filter + partitioned cogroup joins, so only
+    candidate docs' vectors move.
     """
+    from ..pipelines.joins import cogroup_bucket_join
+    from ..stages.partial_agg import add_hash_bucket
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        planes = np.random.RandomState(_SEED).standard_normal(
-            (mat.shape[1], n_tables * n_planes)
-        )
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        bits = (unit @ planes) > 0
+        planes = _planes(mat.shape[1], n_tables * n_planes)
+        # sign(x . p) is normalization-invariant: no unit divide needed here
+        bits = (mat @ planes) > 0
         ids = batch.column("vec_id")
-        rows_id, rows_tab, rows_key, rows_unit = [], [], [], []
+        rows_id, rows_tab, rows_key = [], [], []
         for t in range(n_tables):
             chunk = bits[:, t * n_planes : (t + 1) * n_planes]
             keys = (chunk * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
             rows_id.extend(ids.to_pylist())
             rows_tab.extend([t] * len(keys))
             rows_key.extend(keys.tolist())
-            rows_unit.extend(list(unit))
         return pa.Table.from_arrays(
             [
                 pa.array(rows_id, pa.int64()),
                 pa.array(rows_tab, pa.int32()),
                 pa.array(rows_key, pa.int64()),
-                pa.array(rows_unit, pa.list_(pa.float64())),
             ],
-            names=["vec_id", "table_idx", "bucket", "unit"],
+            names=["doc_id", "band_idx", "band_key"],
         )
 
-    def bucket_cos(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        if len(ids) > _MAX_BUCKET:
-            ids = ids[:_MAX_BUCKET]
-            g = g.head(_MAX_BUCKET)
-        mat = np.array(g["unit"].tolist(), dtype=np.float64)
-        cos = mat @ mat.T
-        a, b = np.triu_indices(len(ids), k=1)
-        vals = np.round(cos[a, b], 6)
-        keep = vals >= threshold
-        return pd.DataFrame({"vec_a": ids[a][keep], "vec_b": ids[b][keep], "cosine": vals[keep]})
-
-    buckets = embs.map_batches(bucketize, batch_format="pyarrow")
-    pairs = buckets.groupby(["table_idx", "bucket"]).map_groups(
-        bucket_cos, batch_format="pandas"
+    lsh_rows = embs.map_batches(bucketize, batch_format="pyarrow")
+    bucketed = lsh_rows.map_batches(
+        lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
+        batch_format="pyarrow",
     )
-    pdf = pairs.to_pandas().drop_duplicates(subset=["vec_a", "vec_b"], ignore_index=True)
-    return rd.from_pandas(pdf)
+    cand = bucketed.groupby("bucket").map_groups(
+        lambda df: _lsh_candidate_pairs(df, ["band_idx", "band_key"]),
+        batch_format="pandas",
+    ).map_batches(
+        _ensure_cols({"doc_a": "int64", "doc_b": "int64"}), batch_format="pandas"
+    )
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        )
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": pa.concat_arrays(
+                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
+            )}
+        )
+
+    bloom = _dataset_bloom(
+        cand.map_batches(pair_ids, batch_format="pyarrow"),
+        "doc_id",
+        capacity=max(64, 2 * n_cand),
+    )
+    bref = ray.put(bloom)
+
+    def unit_cand(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        member = ray.get(bref).contains(ids)
+        sub = t.filter(pa.array(member))
+        mat = np.array(sub.column("embedding").to_pylist(), dtype=np.float64)
+        if mat.size:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+        # binary blobs (see minhash verify): no tensor-extension columns
+        return pa.Table.from_pydict(
+            {"doc_id": sub.column("vec_id"),
+             "unit": pa.array([row.tobytes() for row in mat], pa.binary())}
+        )
+
+    unit_ds = embs.map_batches(unit_cand, batch_format="pyarrow").materialize()
+
+    def rename_arrow(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return fn
+
+    u_a = unit_ds.map_batches(rename_arrow(["doc_a", "unit_a"]), batch_format="pyarrow")
+    u_b = unit_ds.map_batches(rename_arrow(["doc_b", "unit_b"]), batch_format="pyarrow")
+    with_a = cogroup_bucket_join(cand, u_a, "doc_a")
+    with_ab = cogroup_bucket_join(with_a, u_b, "doc_b")
+
+    def cos_verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        A = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["unit_a"]])
+        B = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["unit_b"]])
+        vals = np.round(np.einsum("ij,ij->i", A, B), 6)
+        out = pd.DataFrame(
+            {"vec_a": df["doc_a"].to_numpy(dtype=np.int64),
+             "vec_b": df["doc_b"].to_numpy(dtype=np.int64),
+             "cosine": vals}
+        )
+        return out[out["cosine"] >= threshold]
+
+    return with_ab.map_batches(cos_verify, batch_format="pandas")

@@ -25,12 +25,105 @@ import ray.data as rd
 
 __all__ = [
     "bucket_hash_join",
+    "cogroup_bucket_join",
     "order_lineitem_revenue",
     "segment_revenue_native",
     "semi_anti_join",
     "orders_without_lineitems",
     "nation_revenue",
 ]
+
+
+def cogroup_bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str | None = None,
+    n_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Partitioned hash cogroup-join on (possibly differently named) keys.
+
+    Unlike the native ``Dataset.join``, payload columns may be any
+    pandas-representable type — including ``list<...>`` columns that arrow
+    hash joins reject — so this is the join the near-dedup verify stages
+    use to ship shingle sets / unit vectors to their candidate pairs.
+    Shuffle cost: ONE groupby over the tagged (left ∪ right) rows; no
+    driver materialization. Non-key column names must be disjoint.
+
+    Integer columns of either side are restored after the merge: the
+    union-with-nulls representation floats them, which would silently
+    change output dtypes."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    right_on = right_on or left_on
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+
+    def fixed_cols(ds) -> dict[str, str]:
+        sch = ds.schema()  # Ray Schema: .types are pa.DataType OR np dtypes
+        out: dict[str, str] = {}
+        for name, typ in zip(sch.names, sch.types):
+            if isinstance(typ, pa.DataType):
+                if pa.types.is_integer(typ):
+                    out[name] = "int64"
+                elif pa.types.is_boolean(typ):
+                    out[name] = "bool"
+            else:
+                kind = getattr(np.dtype(typ), "kind", "")
+                if kind in ("i", "u"):
+                    out[name] = "int64"
+                elif kind == "b":
+                    out[name] = "bool"
+        return out
+
+    l_fix, r_fix = fixed_cols(left), fixed_cols(right)
+
+    # the sort shuffle concatenates arrow blocks by NAME and requires one
+    # schema — null-pad each side with the other's columns so the union is
+    # schema-uniform (null arrays promote to the real types on concat)
+    l_missing = [c for c in rcols if c not in lcols]
+    r_missing = [c for c in lcols if c not in rcols]
+
+    def tag(side: str, key: str, missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t = add_hash_bucket(t, [key], n_buckets)
+            t = t.append_column("__side", pa.array([side] * t.num_rows))
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows))
+            return t
+
+        return fn
+
+    both = left.map_batches(tag("L", left_on, l_missing), batch_format="pyarrow").union(
+        right.map_batches(tag("R", right_on, r_missing), batch_format="pyarrow")
+    )
+
+    if left_on == right_on:
+        out_cols = lcols + [c for c in rcols if c != right_on]
+    else:
+        out_cols = lcols + rcols
+    out_fix = {**r_fix, **l_fix}
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "L"][lcols].astype(l_fix)
+        r = df[df["__side"] == "R"][rcols].astype(r_fix)
+        return l.merge(r, left_on=left_on, right_on=right_on, how=how)
+
+    def norm_out(df: pd.DataFrame) -> pd.DataFrame:
+        # an empty sort partition passes through map_groups with the INPUT
+        # schema; pin every block to the join's output schema so the result
+        # can feed another shuffle
+        if not all(c in df.columns for c in out_cols):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=out_fix.get(c, "object"))
+                 for c in out_cols}
+            )
+        return df[out_cols]
+
+    return both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    ).map_batches(norm_out, batch_format="pandas")
 
 
 def bucket_hash_join(
