@@ -298,19 +298,25 @@ def _q_extract_nested(sf_dir: str):
 
 def _q_extract_metrics(sf_dir: str):
     """Drop/dead-letter counter rollup over the transcript corpus
-    (reason, total) — every deterministic drop in the chain is logged."""
-    from ray.data.aggregate import Sum
+    (reason, total) — every deterministic drop in the chain is logged.
 
-    import ray.data as rd
+    Harvested from the SINGLE production extraction pass via the
+    CounterSink stats actor (ocr_ray.state.counters): the chain runs
+    once, not twice."""
+    import pandas as pd
 
     from ocr_ray.corpus import ensure_transcripts
-    from ocr_ray.stages.extractor import metrics_batch
+    from ocr_ray.pipelines.extract import extract_with_metrics, read_turns
 
-    turns = rd.read_parquet(ensure_transcripts(sf_dir), columns=["text"])
+    turns = read_turns(ensure_transcripts(sf_dir))
+    _, totals = extract_with_metrics(turns)
     return (
-        turns.map_batches(metrics_batch, batch_format="pyarrow")
-        .groupby("reason")
-        .aggregate(Sum("count", alias_name="total"))
+        pd.DataFrame(
+            {"reason": list(totals.keys()),
+             "total": [int(v) for v in totals.values()]}
+        )
+        .sort_values("reason")
+        .reset_index(drop=True)
     )
 
 

@@ -45,20 +45,11 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
 def cmd_metrics(args: argparse.Namespace) -> int:
     _ensure_ray()
-    from ray.data.aggregate import Sum
+    from .pipelines.extract import extract_with_metrics, read_turns
 
-    import ray.data as rd
-
-    from .stages.extractor import metrics_batch
-
-    turns = rd.read_parquet(args.input, columns=["text"])
-    out = (
-        turns.map_batches(metrics_batch, batch_format="pyarrow")
-        .groupby("reason")
-        .aggregate(Sum("count", alias_name="total"))
-        .to_pandas()
-    )
-    print(json.dumps(dict(zip(out["reason"], out["total"].astype(int)))))
+    # one production pass: counters harvested via the stats actor
+    _, totals = extract_with_metrics(read_turns(args.input))
+    print(json.dumps({k: int(v) for k, v in sorted(totals.items())}))
     return 0
 
 

@@ -29,6 +29,7 @@ from ..stages.extractor import SpanExtractor
 __all__ = [
     "read_turns",
     "extract_spans",
+    "extract_with_metrics",
     "reconcile",
     "reconcile_sorted",
     "run_extraction",
@@ -149,13 +150,38 @@ def extract_spans(
     batch_size: int = 1024,
     concurrency: int | tuple[int, int] | None = None,
     use_actors: bool = False,
+    stats=None,
 ) -> rd.Dataset:
     """Turns -> flat span rows via the fused extractor.
 
     Default: stateless task pool (fully elastic). ``use_actors=True``
     switches to the actor-pool form (``concurrency=None`` sizes it to
     (1, cluster CPUs)) — the right shape once the stage holds real
-    loaded-once state (models, large rule tables)."""
+    loaded-once state (models, large rule tables).
+
+    ``stats``: optional CounterSink actor handle; each batch then reports
+    its counter delta (turns_in, empty_payloads, error_rows, drop_*,
+    spans_out) to the sink DURING the single production pass — metrics no
+    longer require a second run of the chain."""
+    if stats is not None:
+        from ..stages.extractor import extract_batch_counted
+
+        def counted(batch: pa.Table) -> pa.Table:
+            counters: dict[str, int] = {
+                "turns_in": batch.num_rows,
+                "empty_payloads": 0,
+                "error_rows": 0,
+            }
+            out = extract_batch_counted(batch, counters)
+            counters["spans_out"] = out.num_rows
+            # synchronous add: guarantees the delta is applied before the
+            # pipeline completes (totals() races a fire-and-forget send)
+            ray.get(stats.add.remote(counters))
+            return out
+
+        return turns.map_batches(
+            counted, batch_format="pyarrow", batch_size=batch_size
+        )
     if not use_actors:
         return turns.map_batches(
             _extract_batch, batch_format="pyarrow", batch_size=batch_size
@@ -170,6 +196,24 @@ def extract_spans(
         num_cpus=1,
         concurrency=concurrency,
     )
+
+
+def extract_with_metrics(
+    turns: rd.Dataset, *, batch_size: int = 1024
+) -> tuple[rd.Dataset, dict[str, int]]:
+    """ONE production pass that yields both the span Dataset (materialized)
+    and the full drop/dead-letter counter totals — replaces the former
+    second audit run of the whole chain (the old extract_metrics shape
+    doubled the most expensive stage)."""
+    from ..state.counters import CounterSink
+
+    sink = CounterSink.remote()
+    spans = extract_spans(turns, batch_size=batch_size, stats=sink).materialize()
+    totals = ray.get(sink.totals.remote())
+    # the four headline counters always report, even at zero
+    for k in ("turns_in", "empty_payloads", "error_rows", "spans_out"):
+        totals.setdefault(k, 0)
+    return spans, totals
 
 
 def _assign_local(group: pd.DataFrame) -> pd.DataFrame:

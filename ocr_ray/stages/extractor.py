@@ -51,6 +51,58 @@ UNIT_SCHEMA = pa.schema(
 )
 
 
+def extract_batch_counted(batch: pa.Table, counters: dict[str, int]) -> pa.Table:
+    """The fused per-batch extraction core shared by every execution form
+    (actor pool, stateless task pool, stats-reporting pass): normalized
+    turn batch in -> flat span rows out, with every deterministic drop and
+    dead-lettered row recorded in ``counters``."""
+    conv_ids = batch.column("conv_id").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+
+    out_conv: list[str] = []
+    out_turn: list[int] = []
+    out_sidx: list[int] = []
+    out_start: list[int] = []
+    out_end: list[int] = []
+    out_text: list[str] = []
+    out_score: list[float] = []
+
+    for cid, tix, text in zip(conv_ids, turn_idxs, texts):
+        if not text:
+            counters["empty_payloads"] = counters.get("empty_payloads", 0) + 1
+            continue
+        try:
+            spans = extract_turn(text, counters)
+        except Exception:  # noqa: BLE001 — dead-letter, never kill the task
+            # per-row error capture: the reference's blanket try/except
+            # kills the whole generator (DataGen.py:576-580); the engine
+            # drops the single row and counts it instead
+            counters["error_rows"] = counters.get("error_rows", 0) + 1
+            continue
+        for span in spans:
+            out_conv.append(cid)
+            out_turn.append(tix)
+            out_sidx.append(span["span_idx"])
+            out_start.append(span["start"])
+            out_end.append(span["end"])
+            out_text.append(span["text"])
+            out_score.append(span["score"])
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_conv, pa.string()),
+            pa.array(out_turn, pa.int32()),
+            pa.array(out_sidx, pa.int32()),
+            pa.array(out_start, pa.int64()),
+            pa.array(out_end, pa.int64()),
+            pa.array(out_text, pa.string()),
+            pa.array(out_score, pa.float64()),
+        ],
+        schema=SPAN_SCHEMA,
+    )
+
+
 class SpanExtractor:
     """Fused per-turn extraction chain as an actor-pool ``map_batches``
     stage. ``__init__`` runs once per actor (reference analog: model-weight
@@ -68,50 +120,7 @@ class SpanExtractor:
         self.counters: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        conv_ids = batch.column("conv_id").to_pylist()
-        turn_idxs = batch.column("turn_idx").to_pylist()
-        texts = batch.column("text").to_pylist()
-
-        out_conv: list[str] = []
-        out_turn: list[int] = []
-        out_sidx: list[int] = []
-        out_start: list[int] = []
-        out_end: list[int] = []
-        out_text: list[str] = []
-        out_score: list[float] = []
-
-        for cid, tix, text in zip(conv_ids, turn_idxs, texts):
-            if not text:
-                continue
-            try:
-                spans = extract_turn(text, self.counters)
-            except Exception:  # noqa: BLE001 — dead-letter, never kill the task
-                # per-row error capture: the reference's blanket try/except
-                # kills the whole generator (DataGen.py:576-580); the engine
-                # drops the single row and counts it instead
-                self.counters["error_rows"] = self.counters.get("error_rows", 0) + 1
-                continue
-            for span in spans:
-                out_conv.append(cid)
-                out_turn.append(tix)
-                out_sidx.append(span["span_idx"])
-                out_start.append(span["start"])
-                out_end.append(span["end"])
-                out_text.append(span["text"])
-                out_score.append(span["score"])
-
-        return pa.Table.from_arrays(
-            [
-                pa.array(out_conv, pa.string()),
-                pa.array(out_turn, pa.int32()),
-                pa.array(out_sidx, pa.int32()),
-                pa.array(out_start, pa.int64()),
-                pa.array(out_end, pa.int64()),
-                pa.array(out_text, pa.string()),
-                pa.array(out_score, pa.float64()),
-            ],
-            schema=SPAN_SCHEMA,
-        )
+        return extract_batch_counted(batch, self.counters)
 
 
 class UnitScorer:
@@ -192,10 +201,17 @@ def nested_spans_batch(batch: pa.Table) -> pa.Table:
 
 
 def metrics_batch(batch: pa.Table) -> pa.Table:
-    """Audit stage: re-run the extraction chain counting every deterministic
-    drop (SURVEY.md §7.4 'silent-drop semantics ... deterministic and
-    logged') plus dead-lettered error rows. Emits (reason, count) partial
-    rows per batch; aggregate with groupby(reason).sum."""
+    """STANDALONE audit form: runs the extraction chain over a batch purely
+    to count every deterministic drop (SURVEY.md §7.4 'silent-drop
+    semantics ... deterministic and logged') plus dead-lettered error
+    rows. Emits (reason, count) partial rows; aggregate with
+    groupby(reason).sum.
+
+    Production pipelines do NOT use this (it would run the most expensive
+    stage twice): the same totals fall out of the single production pass
+    via ``extract_spans(..., stats=CounterSink)`` /
+    ``extract_with_metrics`` (ocr_ray.pipelines.extract), which this
+    function's per-batch semantics define and tests pin."""
     counters: dict[str, int] = {}
     turns = 0
     empty = 0

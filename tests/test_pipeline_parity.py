@@ -281,6 +281,29 @@ def test_extract_metrics_counters(ray_session):
     assert out["spans_out"] >= 1
 
 
+def test_production_metrics_match_audit_pass(ray_session, turns_path):
+    """The stats-actor counters harvested from the SINGLE production pass
+    equal the standalone audit form's totals (the chain runs once, yet
+    every drop/dead-letter counter is identical)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ocr_ray.pipelines.extract import extract_with_metrics, read_turns
+    from ocr_ray.stages.extractor import metrics_batch
+
+    audit = (
+        rd.read_parquet(turns_path, columns=["text"])
+        .map_batches(metrics_batch, batch_format="pyarrow")
+        .groupby("reason")
+        .aggregate(Sum("count", alias_name="total"))
+        .to_pandas()
+    )
+    audit_totals = dict(zip(audit["reason"], audit["total"].astype(int)))
+    spans, totals = extract_with_metrics(read_turns(turns_path))
+    assert {k: int(v) for k, v in totals.items()} == audit_totals
+    assert totals["spans_out"] == spans.count()
+
+
 def test_mega_conversation_salting(ray_session, turns_path):
     """conv-00000000 is a mega-conversation (MEGA_TURNS turns): the salted
     reconciliation must still produce a dense, correctly ordered ordinal."""
