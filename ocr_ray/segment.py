@@ -36,8 +36,45 @@ _BLOCK_TAGS = {
     "blockquote", "nav", "header", "footer", "aside", "body", "html",
 }
 # one scan matches comments AND tags; self-closing tags (<br/>) match via
-# the [\s/] branch and are detected by the trailing "/" in group 0
+# the [\s/] branch and are detected by the trailing "/" in group 0.
+# Kept for the simple-probe use sites; the html segmenter itself uses the
+# quote-aware linear scanner below (_iter_tags), which additionally honors
+# '>' inside quoted attribute values and <![CDATA[...]]> sections.
 _TAG_RE = re.compile(r"<!--.*?-->|<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[\s/][^>]*)?>", re.S)
+# quote-aware single-pass tokenizer, ordered alternatives:
+#   comment | CDATA | tag with quote-aware attribute zone | tag with the
+#   plain first-'>' attribute zone (fallback an unterminated quote degrades
+#   to). No exponential backtracking: at any attribute-zone position
+#   exactly one alternative can match (the char classes exclude quotes),
+#   so failure unwinds linearly into the fallback branch.
+_HTML_TOKEN_RE = re.compile(
+    r"<!--.*?-->"
+    r"|<!\[CDATA\[.*?\]\]>"
+    r"|<(?P<c1>/?)(?P<n1>[a-zA-Z][a-zA-Z0-9]*)"
+    r"(?:[\s/](?:\"[^\"]*\"|'[^']*'|[^>\"'])*)?>"
+    r"|<(?P<c2>/?)(?P<n2>[a-zA-Z][a-zA-Z0-9]*)(?:[\s/][^>]*)?>",
+    re.S,
+)
+
+
+def _iter_tags(text: str):
+    """Markup tokenizer: yields ``(start, end, name, closing,
+    self_closing)`` per construct, ``name=None`` for comments and CDATA
+    sections (contents opaque).
+
+    Semantics vs the legacy ``_TAG_RE``: identical on well-formed markup,
+    PLUS a ``>`` inside a quoted attribute value no longer terminates the
+    tag (``<div title="a>b">`` is one tag) and ``<![CDATA[...]]>`` is one
+    opaque construct; an UNTERMINATED quote degrades to the legacy
+    first-``>`` rule instead of swallowing the document."""
+    for m in _HTML_TOKEN_RE.finditer(text):
+        g0 = m.group(0)
+        if g0[1] == "!":  # comment or CDATA
+            yield m.start(), m.end(), None, False, False
+            continue
+        name = m.group("n1") or m.group("n2")
+        closing = (m.group("c1") or m.group("c2")) == "/"
+        yield m.start(), m.end(), name, closing, g0[-2] == "/" and len(g0) > 3
 # content inside these is boilerplate machinery, never candidate text
 _SKIP_CONTENT_TAGS = {"script", "style"}
 _HTML_HINT_RE = re.compile(r"<[a-zA-Z][^>]*>")
@@ -136,8 +173,7 @@ def _segment_html(text: str) -> list[Unit]:
     pos = 0
     units_append = units.append
     bids_append = block_ids.append
-    for m in _TAG_RE.finditer(text):
-        mstart = m.start()
+    for mstart, mend, name, closing, self_closing in _iter_tags(text):
         if mstart > pos and skip_depth == 0:
             if stack:
                 tag, bid = stack[-1]
@@ -147,16 +183,12 @@ def _segment_html(text: str) -> list[Unit]:
             if u is not None:
                 units_append(u)
                 bids_append(bid)
-        closing, name = m.group(1, 2)
-        if name is None:  # comment — contents never become units
-            pos = m.end()
+        if name is None:  # comment / CDATA — contents never become units
+            pos = mend
             continue
         name = name.lower()
-        # every match ends with exactly one '>' ([^>]* cannot span it), so
-        # the self-closing probe is a single char test, not rstrip+endswith
-        g0 = m.group(0)
-        if g0[-2] == "/" and len(g0) > 3:
-            pos = m.end()
+        if self_closing:
+            pos = mend
             continue
         if name in _SKIP_CONTENT_TAGS:
             skip_depth = max(0, skip_depth - 1) if closing else skip_depth + 1
@@ -171,7 +203,7 @@ def _segment_html(text: str) -> list[Unit]:
             else:
                 stack.append((name, next_block_id))
                 next_block_id += 1
-        pos = m.end()
+        pos = mend
     if pos < len(text) and skip_depth == 0:
         tag = stack[-1][0] if stack else "div"
         bid = stack[-1][1] if stack else -1

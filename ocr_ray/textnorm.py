@@ -91,18 +91,38 @@ def tokenize(text: str) -> list[str]:
 
 
 _ENTITIES = {
-    "&amp;": "&", "&lt;": "<", "&gt;": ">",
-    "&quot;": '"', "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+    "amp": "&", "lt": "<", "gt": ">",
+    "quot": '"', "apos": "'", "nbsp": " ",
 }
-_ENTITY_RE = re.compile("|".join(re.escape(e) for e in _ENTITIES))
+# named | decimal (&#8217;) | hex (&#x2019; / &#X2019;)
+_ENTITY_RE = re.compile(
+    r"&(?:(" + "|".join(_ENTITIES) + r")|#(\d{1,7})|#[xX]([0-9a-fA-F]{1,6}));"
+)
+
+
+def _entity_sub(m: re.Match) -> str:
+    name, dec, hexa = m.groups()
+    if name is not None:
+        return _ENTITIES[name]
+    cp = int(dec) if dec is not None else int(hexa, 16)
+    # invalid code points (out of range / surrogates) stay literal — a
+    # total decode never raises mid-pipeline
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return m.group(0)
+    return chr(cp)
 
 
 def decode_entities(s: str) -> str:
-    """Decode the common named html entities during region decode (part of
-    the parser stage's token normalization, A4 analog). Span OFFSETS stay
-    relative to the raw payload — only the decoded text changes, exactly
-    like OCR decode output vs pixel coordinates."""
-    return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
+    """Decode html entities during region decode (part of the parser
+    stage's token normalization, A4 analog): the common named set plus
+    numeric decimal/hex character references (``&#8217;`` / ``&#x2019;``),
+    total over hostile input (malformed or out-of-range references pass
+    through as literals). Span OFFSETS stay relative to the raw payload —
+    only the decoded text changes, exactly like OCR decode output vs
+    pixel coordinates."""
+    if "&" not in s:
+        return s
+    return _ENTITY_RE.sub(_entity_sub, s)
 
 
 def ctc_collapse(tokens: list[str], blanks: frozenset[str] = frozenset()) -> list[str]:

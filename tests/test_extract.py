@@ -153,6 +153,52 @@ def test_html_unclosed_script_tail():
     assert spans[0]["text"] == "good words in the block"
 
 
+def test_html_numeric_entities_decoded():
+    text = "<p>it&#8217;s the caf&#xE9; &#X2019; mark &#39;q&#39;</p>"
+    spans = extract_turn(text)
+    assert len(spans) == 1
+    # decimal, hex (either case) and &#39; all decode; chars outside the
+    # alphabet are then silently projected away by the encoder (M11)
+    assert "&#" not in spans[0]["text"]
+    assert "it" in spans[0]["text"] and "caf" in spans[0]["text"]
+
+
+def test_entity_decode_total_on_hostile_refs():
+    from ocr_ray.textnorm import decode_entities
+
+    assert decode_entities("it&#8217;s") == "it’s"
+    assert decode_entities("a&#x2019;b") == "a’b"
+    assert decode_entities("ok &#xD800; bad") == "ok &#xD800; bad"  # surrogate
+    assert decode_entities("n &#99999999; o") == "n &#99999999; o"  # overflow
+    assert decode_entities("&#;&#x;&unknown;") == "&#;&#x;&unknown;"
+    assert decode_entities("plain text") == "plain text"
+
+
+def test_html_gt_inside_quoted_attribute():
+    # the '>' inside the quoted title must NOT terminate the tag: exactly
+    # one block with only the real content
+    text = '<p title="a>b">visible content words flow</p>'
+    spans = extract_turn(text)
+    assert len(spans) == 1
+    assert spans[0]["text"] == "visible content words flow"
+
+
+def test_html_cdata_opaque():
+    text = "<![CDATA[ <p>raw junk words</p> ]]><p>visible content words flow</p>"
+    spans = extract_turn(text)
+    assert len(spans) == 1
+    assert spans[0]["text"] == "visible content words flow"
+
+
+def test_html_unterminated_quote_falls_back():
+    # unterminated quote degrades to the first-'>' rule instead of
+    # swallowing the rest of the document
+    text = '<p class="oops>visible content words flow</p>'
+    spans = extract_turn(text)
+    assert len(spans) == 1
+    assert spans[0]["text"] == "visible content words flow"
+
+
 def test_scores_deterministic_array():
     units = segment("some words here to score", "plain")
     s1 = score_units(units)

@@ -95,6 +95,11 @@ def test_adversarial_fragment_fuzz():
         "L 1 -5 3 x", "&amp;", "&#39;", "﻿", "‍", "*", "###", "|", "\r\n",
         "\x00", "🙂", "字", "<div", ">", "<", "word ", "a" * 50 + " ", " ",
         "\n\n", "L 999999999999 2 3 t",
+        # numeric/hex entity + tag-soup edge fragments (round-2 robustness)
+        "&#8217;", "&#x2019;", "&#xD800;", "&#99999999;", "&#x;", "&#;",
+        "<![CDATA[", "]]>", "<![CDATA[ raw <p> junk ]]>",
+        '<div title="a>b">', "<div title='a>b'>", '<p class="unterminated>',
+        '<a href="x" broken', "<div/ >", '"', "'",
     ]
     for _ in range(1000):
         payload = "".join(rng.choice(fragments) for _ in range(rng.randint(0, 40)))
