@@ -296,6 +296,85 @@ def _q_extract_nested(sf_dir: str):
     return nested.select_columns(["conv_id", "turn_idx", "turn_text"])
 
 
+def _docs_as_turns(sf_dir: str):
+    """documents table reshaped to the turn schema (doc_id is the conv key,
+    single turn 0) — the plain-payload path whose extraction is closed-form
+    on single-line word-space docs (the extract_docs oracle pattern)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def as_turns(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.cast(t["doc_id"], pa.string()),
+             pa.array([0] * t.num_rows, pa.int32()),
+             t["text"].combine_chunks()],
+            names=["conv_id", "turn_idx", "text"],
+        )
+
+    return docs.map_batches(as_turns, batch_format="pyarrow")
+
+
+def _q_extract_units_docs(sf_dir: str):
+    """Dense unit/score table over the documents table (A1 analog on the
+    plain path) — SQL-verifiable: one unit per doc with the exact
+    tag-weight/density score formula replicated in the oracle."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.extractor import UnitScorer
+    from ocr_ray.stages.normalize import normalize_batch
+
+    units = (
+        _docs_as_turns(sf_dir)
+        .map_batches(normalize_batch, batch_format="pyarrow")
+        .map_batches(UnitScorer, batch_format="pyarrow", concurrency=(1, 8))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.cast(t["conv_id"], pa.int64()),
+             t["unit_idx"].combine_chunks(),
+             t["start"].combine_chunks(), t["end"].combine_chunks(),
+             t["geo_start"].combine_chunks(), t["geo_end"].combine_chunks(),
+             t["tag"].combine_chunks(), t["score"].combine_chunks()],
+            names=["doc_id", "unit_idx", "start", "end",
+                   "geo_start", "geo_end", "tag", "score"],
+        )
+
+    return units.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_extract_propose_docs(sf_dir: str):
+    """Propose/NMS/order stage over the documents table (M4-M8 + D1/D2 on
+    the plain path) — SQL-verifiable: threshold, text-size gate and the
+    length-weighted mean rescore are closed-form per doc."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.extractor import propose_only
+
+    spans = _docs_as_turns(sf_dir).map_batches(propose_only, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_arrays(
+            [pc.cast(t["conv_id"], pa.int64()),
+             pc.cast(t["span_idx"], pa.int32()),
+             pc.cast(t["start"], pa.int64()), pc.cast(t["end"], pa.int64()),
+             pc.cast(t["score"], pa.float64())],
+            names=["doc_id", "span_idx", "start", "end", "score"],
+        )
+
+    return spans.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_extract_metrics(sf_dir: str):
     """Drop/dead-letter counter rollup over the transcript corpus
     (reason, total) — every deterministic drop in the chain is logged.
@@ -371,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_units": _q_extract_units,
         "extract_conv_stats": _q_extract_conv_stats,
         "extract_docs": _q_extract_docs,
+        "extract_units_docs": _q_extract_units_docs,
+        "extract_propose_docs": _q_extract_propose_docs,
         "extract_metrics": _q_extract_metrics,
         "extract_turn_text": _q_extract_nested,
         "extract_propose": _q_extract_propose,
@@ -631,6 +712,37 @@ def oracle_sql() -> dict[str, str]:
               AND tok NOT IN ('*', '###', '|', '--')
             GROUP BY doc_id, n_chars
             HAVING n_chars >= 10
+        """,
+        "extract_units_docs": """
+            WITH u AS (
+              SELECT doc_id, length(text) AS n,
+                     CASE WHEN text = '*' OR text LIKE '###%' THEN 0.0
+                          ELSE least(1.0, greatest(0.0,
+                            1.0 * (0.5 + 0.5 *
+                              (length(regexp_replace(text, '[^0-9a-zA-Z ]', '', 'g'))
+                               / CAST(length(text) AS DOUBLE))))) END AS s
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, CAST(0 AS INTEGER) AS unit_idx,
+                   CAST(0 AS BIGINT) AS start, CAST(n AS BIGINT) AS "end",
+                   CAST(0 AS BIGINT) AS geo_start, CAST(n AS BIGINT) AS geo_end,
+                   'plain' AS tag, s AS score
+            FROM u ORDER BY doc_id
+        """,
+        "extract_propose_docs": """
+            WITH u AS (
+              SELECT doc_id, length(text) AS n,
+                     CASE WHEN text = '*' OR text LIKE '###%' THEN 0.0
+                          ELSE least(1.0, greatest(0.0,
+                            1.0 * (0.5 + 0.5 *
+                              (length(regexp_replace(text, '[^0-9a-zA-Z ]', '', 'g'))
+                               / CAST(length(text) AS DOUBLE))))) END AS s
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, CAST(0 AS INTEGER) AS span_idx,
+                   CAST(0 AS BIGINT) AS start, CAST(n AS BIGINT) AS "end",
+                   (s * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS score
+            FROM u WHERE s > 0.8 AND n >= 10 ORDER BY doc_id
         """,
         "docs_quality_filter": """
             WITH t AS (
