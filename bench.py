@@ -231,8 +231,29 @@ def run_scaling() -> dict:
     return out
 
 
+def _record(result: dict, name: str) -> None:
+    """Append-only run recording: BENCH/BENCH_<name>_runN.json picks the
+    next free N instead of overwriting (a run-1 artifact was once lost to
+    filename reuse)."""
+    bench_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    n = 1
+    while os.path.exists(os.path.join(bench_dir, f"BENCH_{name}_run{n}.json")):
+        n += 1
+    with open(os.path.join(bench_dir, f"BENCH_{name}_run{n}.json"), "w") as f:
+        json.dump(result, f)
+    print(f"recorded BENCH/BENCH_{name}_run{n}.json", file=sys.stderr)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        res = run_scaling()
+        if "--record" in sys.argv:
+            n_lo = int(os.environ.get("GRAFT_SCALING_N", "4"))
+            _record(res, f"local_scaling_{n_lo}v{4 * n_lo}")
+        print(json.dumps(res))
     else:
-        print(json.dumps(run_bench(NCPU)))
+        res = run_bench(NCPU)
+        if "--record" in sys.argv:
+            _record(res, f"local_{res['sf']}")
+        print(json.dumps(res))

@@ -101,6 +101,90 @@ def test_bucket_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_cogroup_bucket_join_different_keys_and_dtypes(ray_session):
+    """cogroup_bucket_join: differently-named keys, int dtypes restored
+    after the null-padded union (no silent float upcast), chains into a
+    second shuffle without schema poisoning."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import cogroup_bucket_join
+
+    left = pd.DataFrame({"ka": [1, 2, 2, 3], "v": [10, 20, 30, 40]})
+    right = pd.DataFrame({"kb": [2, 3, 4], "w": [200, 300, 400]})
+    out = cogroup_bucket_join(
+        rd.from_pandas(left), rd.from_pandas(right), "ka", "kb", n_buckets=4
+    )
+    # chain a second shuffle over the join output (empty partitions must
+    # not leak foreign schemas)
+    from ray.data.aggregate import Sum
+
+    agg = (
+        out.groupby("ka").aggregate(Sum("w", alias_name="w_sum")).to_pandas()
+        .sort_values("ka").reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, left_on="ka", right_on="kb")
+        .groupby("ka", as_index=False)["w"].sum()
+        .rename(columns={"w": "w_sum"})
+    )
+    pd.testing.assert_frame_equal(agg, exp, check_dtype=False)
+    df = out.to_pandas()
+    assert df["v"].dtype == "int64" and df["w"].dtype == "int64"
+
+
+def test_cogroup_bucket_join_binary_payload(ray_session):
+    """Binary-blob payload columns (the dedup-verify pattern) survive the
+    partitioned cogroup join byte-for-byte."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import cogroup_bucket_join
+
+    pairs = rd.from_arrow(pa.table({"doc_a": pa.array([1, 2, 3], pa.int64())}))
+    payload = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 3, 4], pa.int64()),
+                "blob": pa.array(
+                    [np.arange(i, i + 3, dtype=np.int64).tobytes() for i in range(4)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = cogroup_bucket_join(pairs, payload, "doc_a", n_buckets=2).to_pandas()
+    out = out.sort_values("doc_a").reset_index(drop=True)
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        got = np.frombuffer(r["blob"], dtype=np.int64)
+        assert (got == np.arange(r["doc_a"] - 1, r["doc_a"] + 2)).all()
+
+
+def test_cluster_pairs_dataset_matches_union_find(ray_session):
+    """Distributed min-label propagation == driver union-find on a graph
+    with a chain (multi-round convergence) and an isolated pair."""
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import cluster_pairs, cluster_pairs_dataset
+
+    pairs = pd.DataFrame(
+        {"doc_a": [10, 11, 12, 13, 50, 7], "doc_b": [11, 12, 13, 14, 51, 10]}
+    )
+    want = cluster_pairs(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        cluster_pairs_dataset(rd.from_pandas(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "cluster_id"]], want[["doc_id", "cluster_id"]],
+        check_dtype=False,
+    )
+
+
 def test_order_lineitem_revenue(ray_session):
     from ocr_ray.pipelines.joins import order_lineitem_revenue
 
