@@ -508,8 +508,144 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _CANON = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 
+def _md5_le64_terms(arg: str) -> str:
+    """SQL expression: little-endian uint64 of the first 8 md5 bytes of
+    ``arg`` as HUGEINT — the exact int.from_bytes(md5(x)[:8], 'little')
+    the engine's token/shingle hashes use."""
+    return " + ".join(
+        "((strpos('0123456789abcdef', substr(md5(%s), %d, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(%s), %d, 1)) - 1))"
+        " * %d::HUGEINT" % (arg, 2 * j + 1, arg, 2 * j + 2, 256 ** j)
+        for j in range(8)
+    )
+
+
+def _winnow_sql() -> str:
+    """Exact SQL replay of winnow_batch (Schleimer et al. winnowing):
+    rolling polynomial 5-gram hash with per-step mod, per-window leftmost
+    argmin selection via a lexicographic (hash, position) key."""
+    M = (1 << 61) - 1
+    B = 1_000_003
+    gram = (
+        f"((((h * {B} + lead(h,1) OVER w) % {M} * {B} + lead(h,2) OVER w) % {M}"
+        f" * {B} + lead(h,3) OVER w) % {M} * {B} + lead(h,4) OVER w) % {M}"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, tok, ord FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS tok,
+                   generate_subscripts(string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '), 1) AS ord
+            FROM documents WHERE trim(text) <> ''
+          )
+        ), hv AS (
+          SELECT doc_id, ord, ({_md5_le64_terms("tok")}) % {M} AS h FROM toks
+        ), grams AS (
+          SELECT doc_id, ord - 1 AS q, {gram} AS gh
+          FROM hv WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+          QUALIFY lead(h,4) OVER w IS NOT NULL
+        ), gstats AS (
+          SELECT doc_id, count(*) AS n_grams, min(gh) AS min_hash FROM grams GROUP BY doc_id
+        ), windows AS (
+          SELECT doc_id, unnest(range(0, greatest(1, n_grams - 3))) AS j FROM gstats
+        ), sel AS (
+          SELECT w.doc_id, w.j, arg_min(g.q, g.gh * 1048576::HUGEINT + g.q) AS sq
+          FROM windows w JOIN grams g ON g.doc_id = w.doc_id AND g.q >= w.j AND g.q < w.j + 4
+          GROUP BY w.doc_id, w.j
+        ), nsel AS (
+          SELECT doc_id, count(DISTINCT sq) AS n_selected FROM sel GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(g.n_grams, 0) AS n_grams,
+               CAST(coalesce(g.min_hash, 0) AS BIGINT) AS min_hash,
+               coalesce(n.n_selected, 0) AS n_selected
+        FROM documents d LEFT JOIN gstats g ON d.doc_id = g.doc_id
+                         LEFT JOIN nsel n ON d.doc_id = n.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+def _minhash_pairs_cte() -> str:
+    """Shared CTE prefix replaying the MinHash-LSH pipeline exactly in SQL:
+    md5 little-endian 64-bit shingle hashes mod 2^61-1 (np.unique ==
+    DISTINCT), the 64 seeded permutations as literals (imported from the
+    engine, so parity is automatic), uint64-WRAPPING (a*v+b) arithmetic in
+    HUGEINT, 16x4 banding by raw signature-slice equality, exact-Jaccard
+    verify on the rounded value."""
+    from ocr_ray.functions.dedup import _MERSENNE, _PERM_A, _PERM_B
+
+    perm_vals = ",".join(
+        f"({i},{int(a)}::HUGEINT,{int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    w64 = 1 << 64
+    byte_terms = _md5_le64_terms("s")
+    return f"""
+            perms AS (
+              SELECT * FROM (VALUES {perm_vals}) t(p, a, b)
+            ), toks AS (
+              SELECT doc_id, tok, ord FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+              )
+            ), sh AS (
+              SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+              QUALIFY lead(tok, 2) OVER w IS NOT NULL
+            ), hv AS (
+              SELECT DISTINCT doc_id, ({byte_terms}) % {_MERSENNE} AS v FROM sh
+            ), mh AS (
+              SELECT doc_id, p.p, min(((hv.v * p.a) % {w64} + p.b) % {w64} % {_MERSENNE}) AS m
+              FROM hv CROSS JOIN perms p GROUP BY doc_id, p.p
+            ), bands AS (
+              SELECT doc_id, p // 4 AS band, list(m ORDER BY p) AS sig
+              FROM mh GROUP BY doc_id, p // 4
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM hv GROUP BY doc_id
+            ), verified AS (
+              SELECT c.doc_a, c.doc_b,
+                     round((SELECT count(*) FROM hv x JOIN hv y ON x.v = y.v
+                            WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b)
+                           / CAST(sa.n + sb.n
+                                  - (SELECT count(*) FROM hv x JOIN hv y ON x.v = y.v
+                                     WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b)
+                                  AS DOUBLE), 6) AS jaccard
+              FROM cand c JOIN sizes sa ON sa.doc_id = c.doc_a
+                          JOIN sizes sb ON sb.doc_id = c.doc_b
+            ), mh_pairs AS (
+              SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
+    mh = _minhash_pairs_cte()
+    dedup_minhash_sql = (
+        "WITH " + mh
+        + "\n            SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b"
+    )
+    dedup_clusters_sql = (
+        "WITH RECURSIVE " + mh
+        + """, edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+              UNION SELECT doc_b, doc_a FROM mh_pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) = a AS keep
+            FROM reach GROUP BY a ORDER BY a"""
+    )
     return {
+        "dedup_minhash": dedup_minhash_sql,
+        "dedup_clusters": dedup_clusters_sql,
+        "doc_winnow": _winnow_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
@@ -712,6 +848,79 @@ def oracle_sql() -> dict[str, str]:
               AND tok NOT IN ('*', '###', '|', '--')
             GROUP BY doc_id, n_chars
             HAVING n_chars >= 10
+        """,
+        "dedup_simhash": """
+            -- exact replay of the 64-bit SimHash: per-word md5 little-endian
+            -- low-64 bits, count-weighted +/-1 per bit position, 4x16-bit
+            -- band LSH self-join, per-bit Hamming verify (<= 3)
+            WITH words AS (
+              SELECT doc_id, w, count(*) AS cnt FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS w
+                FROM documents
+              ) WHERE w <> '' GROUP BY doc_id, w
+            ), hx AS (
+              SELECT doc_id, cnt, md5(w) AS h FROM words
+            ), bits AS (
+              SELECT doc_id, i,
+                     CASE WHEN SUM(cnt * (2 * ((
+                         (strpos('0123456789abcdef', substr(h, 2*(i//8)+1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substr(h, 2*(i//8)+2, 1)) - 1)
+                     ) >> (i % 8) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+              FROM hx CROSS JOIN range(64) t(i)
+              GROUP BY doc_id, i
+            ), bands AS (
+              SELECT doc_id, i // 16 AS band,
+                     SUM(bit * (1::BIGINT << (i % 16))) AS key
+              FROM bits GROUP BY doc_id, i // 16
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), ham AS (
+              SELECT c.doc_a, c.doc_b,
+                     (SELECT count(*) FROM bits x JOIN bits y ON x.i = y.i
+                      WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b
+                        AND x.bit <> y.bit) AS hamming
+              FROM cand c
+            )
+            SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM ham
+            WHERE hamming <= 3 ORDER BY doc_a, doc_b
+        """,
+        "doc_langid": """
+            WITH langs AS (
+              SELECT * FROM (VALUES
+                ('de', ['der','die','und','das','ist','nicht','ein']),
+                ('en', ['the','and','of','to','is','in','that']),
+                ('es', ['el','la','de','que','y','en','los']),
+                ('fr', ['le','la','de','et','les','des','un'])
+              ) AS t(lang, words)
+            ), toks AS (
+              SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-Z]+'))) AS w
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+            ), scores AS (
+              SELECT c.doc_id, l.lang,
+                     (SELECT count(*) FROM toks t
+                      WHERE t.doc_id = c.doc_id AND list_contains(l.words, t.w))
+                       / CAST(c.n AS DOUBLE) AS score
+              FROM counts c CROSS JOIN langs l
+            ), best AS (
+              SELECT doc_id, lang, score,
+                     -- strictly-greater update in lang-sorted order ==
+                     -- alphabetically-first lang wins exact ties
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang ASC) AS rn
+              FROM scores
+            )
+            SELECT d.doc_id,
+                   CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred_lang,
+                   CASE WHEN b.score > 0 THEN round(b.score, 6) ELSE 0.0 END
+                     AS lang_score
+            FROM documents d
+            LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+            ORDER BY d.doc_id
         """,
         "extract_units_docs": """
             WITH u AS (
