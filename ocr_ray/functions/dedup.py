@@ -171,6 +171,10 @@ def minhash_signatures_batch(batch: pa.Table) -> pa.Table:
 
 _MAX_BUCKET = 256  # cap pathological buckets; drops are logged by caller
 _N_HASH_BUCKETS = 64  # shuffle granularity for LSH-bucket grouping
+# adaptive strategy gate (the broadcast-join-threshold idiom): at or below
+# this many unique candidate pairs the verify side broadcasts the (bounded)
+# candidate payload table instead of running partitioned cogroup joins
+_BROADCAST_PAIR_LIMIT = 10_000
 
 
 def _lsh_candidate_pairs(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
@@ -228,7 +232,9 @@ def minhash_pairs(
     ).map_batches(
         _ensure_cols({"doc_a": "int64", "doc_b": "int64"}), batch_format="pandas"
     )
-    # distributed cross-band pair dedup (one row per unique pair)
+    # distributed cross-band pair dedup BEFORE the verify joins: band-copies
+    # of a hot pair would otherwise multiply join rows and widen the
+    # adaptive bucket count (measured slower than paying this shuffle)
     cand = (
         cand.groupby(["doc_a", "doc_b"])
         .count()
@@ -272,6 +278,34 @@ def minhash_pairs(
 
     sh_ds = docs.map_batches(shingle_cand, batch_format="pyarrow").materialize()
 
+    # Adaptive verify strategy (the broadcast-join-threshold idiom): below
+    # the gate the candidate shingle table is BOUNDED (<= 2 * limit blobs),
+    # so one broadcast + a single map pass beats four shuffle barriers;
+    # beyond it the partitioned cogroup-join path runs — driver memory
+    # stays capped either way.
+    if n_cand <= _BROADCAST_PAIR_LIMIT:
+        shingles: dict[int, bytes] = {}
+        for b in sh_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for did, sh in zip(b.column("doc_id").to_pylist(),
+                               b.column("shingles").to_pylist()):
+                shingles[did] = sh
+        ref = ray.put(shingles)
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            table = ray.get(ref)
+            jac = np.zeros(len(df), dtype=np.float64)
+            for i, (a, b_) in enumerate(zip(df["doc_a"], df["doc_b"])):
+                sa = np.frombuffer(table[a], dtype=np.uint64)
+                sb = np.frombuffer(table[b_], dtype=np.uint64)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[i] = inter / union if union else 0.0
+            out = df[["doc_a", "doc_b"]].copy()
+            out["jaccard"] = np.round(jac, 6)
+            return out[out["jaccard"] >= threshold]
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
     def rename_arrow(cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             return t.rename_columns(cols)
@@ -280,8 +314,11 @@ def minhash_pairs(
 
     sh_a = sh_ds.map_batches(rename_arrow(["doc_a", "sh_a"]), batch_format="pyarrow")
     sh_b = sh_ds.map_batches(rename_arrow(["doc_b", "sh_b"]), batch_format="pyarrow")
-    with_a = cogroup_bucket_join(cand, sh_a, "doc_a")
-    with_ab = cogroup_bucket_join(with_a, sh_b, "doc_b")
+    # join parallelism sized to candidate volume: per-bucket task overhead
+    # dominates tiny verifies; 100 TB candidate sets get wide joins
+    nb = min(256, max(8, n_cand // 64))
+    with_a = cogroup_bucket_join(cand, sh_a, "doc_a", n_buckets=nb)
+    with_ab = cogroup_bucket_join(with_a, sh_b, "doc_b", n_buckets=nb)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         jac = np.zeros(len(df), dtype=np.float64)
@@ -433,6 +470,7 @@ def cluster_pairs_dataset(pairs: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         bidir, batch_format="pyarrow"
     ).materialize()
+    nb = min(256, max(8, edges.count() // 64))  # join width ~ edge volume
 
     # init: label(d) = min(d, min neighbor)
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
@@ -454,9 +492,9 @@ def cluster_pairs_dataset(pairs: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
         return pa.Table.from_pydict({"doc_id": t["dst"], "label": t["label"]})
 
     for _ in range(max_iters):
-        msgs = cogroup_bucket_join(edges, labels, "src", "doc_id").map_batches(
-            msg, batch_format="pyarrow"
-        )
+        msgs = cogroup_bucket_join(
+            edges, labels, "src", "doc_id", n_buckets=nb
+        ).map_batches(msg, batch_format="pyarrow")
         labels = (
             msgs.union(labels)
             .groupby("doc_id")
@@ -480,14 +518,16 @@ def dedup_keep_list(docs: rd.Dataset, threshold: float = 0.5) -> pd.DataFrame:
     for every doc that appears in any near-dup cluster (docs outside
     clusters are implicitly kept)."""
     pairs = minhash_pairs(docs, threshold=threshold).materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pd.DataFrame({"doc_id": [], "keep": []})
-    clusters = (
-        cluster_pairs_dataset(pairs)
-        .to_pandas()  # final result only: one row per clustered doc
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    if n_pairs <= _BROADCAST_PAIR_LIMIT:
+        # bounded graph: driver union-find kernel (identical output);
+        # beyond the gate the distributed min-label propagation runs
+        clusters = cluster_pairs(pairs.to_pandas())
+    else:
+        clusters = cluster_pairs_dataset(pairs).to_pandas()
+    clusters = clusters.sort_values("doc_id").reset_index(drop=True)
     clusters["keep"] = clusters["doc_id"] == clusters["cluster_id"]
     return clusters[["doc_id", "keep"]]
 
@@ -619,121 +659,90 @@ def embedding_near_dup(
     Emits (vec_a, vec_b, cosine), deduplicated across tables. Recall is
     approximate (multi-table OR-amplification); precision is exact.
 
-    Scale shape: the bucketing pass ships (vec_id, table, key) int rows
-    only — vectors do NOT ride the LSH shuffle n_tables times. Cross-table
-    pair dedup is a distributed groupby; unit vectors reach their pairs
-    through a Bloom semi-filter + partitioned cogroup joins, so only
-    candidate docs' vectors move.
+    Scale shape: in-bucket vectorized cosine (one matmul per collision
+    set — when LSH keys are coarse relative to corpus size, candidates
+    approach all-pairs and a per-pair join loses badly to BLAS), unit
+    vectors ride the shuffle as compact binary blobs (n_tables x
+    dim x 8 bytes per vector, bounded), hyperplanes cached per process,
+    and the cross-table pair dedup is a distributed groupby — no driver
+    materialization anywhere.
     """
-    from ..pipelines.joins import cogroup_bucket_join
+    from ray.data.aggregate import Min
+
     from ..stages.partial_agg import add_hash_bucket
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         planes = _planes(mat.shape[1], n_tables * n_planes)
-        # sign(x . p) is normalization-invariant: no unit divide needed here
-        bits = (mat @ planes) > 0
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        bits = (unit @ planes) > 0
         ids = batch.column("vec_id")
-        rows_id, rows_tab, rows_key = [], [], []
+        blobs = [row.tobytes() for row in unit]  # binary: survives shuffles
+        rows_id, rows_tab, rows_key, rows_unit = [], [], [], []
         for t in range(n_tables):
             chunk = bits[:, t * n_planes : (t + 1) * n_planes]
             keys = (chunk * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
             rows_id.extend(ids.to_pylist())
             rows_tab.extend([t] * len(keys))
             rows_key.extend(keys.tolist())
+            rows_unit.extend(blobs)
         return pa.Table.from_arrays(
             [
                 pa.array(rows_id, pa.int64()),
                 pa.array(rows_tab, pa.int32()),
                 pa.array(rows_key, pa.int64()),
+                pa.array(rows_unit, pa.binary()),
             ],
-            names=["doc_id", "band_idx", "band_key"],
+            names=["vec_id", "band_idx", "band_key", "unit"],
         )
 
-    lsh_rows = embs.map_batches(bucketize, batch_format="pyarrow")
-    bucketed = lsh_rows.map_batches(
-        lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
-        batch_format="pyarrow",
-    )
-    cand = bucketed.groupby("bucket").map_groups(
-        lambda df: _lsh_candidate_pairs(df, ["band_idx", "band_key"]),
-        batch_format="pandas",
-    ).map_batches(
-        _ensure_cols({"doc_a": "int64", "doc_b": "int64"}), batch_format="pandas"
-    )
-    cand = (
-        cand.groupby(["doc_a", "doc_b"])
-        .count()
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()
-    )
-    n_cand = cand.count()
-    if n_cand == 0:
-        return rd.from_pandas(
-            pd.DataFrame(
-                {"vec_a": pd.Series([], dtype="int64"),
-                 "vec_b": pd.Series([], dtype="int64"),
-                 "cosine": pd.Series([], dtype="float64")}
-            )
-        )
-
-    def pair_ids(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {"doc_id": pa.concat_arrays(
-                [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()]
-            )}
-        )
-
-    bloom = _dataset_bloom(
-        cand.map_batches(pair_ids, batch_format="pyarrow"),
-        "doc_id",
-        capacity=max(64, 2 * n_cand),
-    )
-    bref = ray.put(bloom)
-
-    def unit_cand(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        member = ray.get(bref).contains(ids)
-        sub = t.filter(pa.array(member))
-        mat = np.array(sub.column("embedding").to_pylist(), dtype=np.float64)
-        if mat.size:
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            mat = mat / norms
-        # binary blobs (see minhash verify): no tensor-extension columns
-        return pa.Table.from_pydict(
-            {"doc_id": sub.column("vec_id"),
-             "unit": pa.array([row.tobytes() for row in mat], pa.binary())}
-        )
-
-    unit_ds = embs.map_batches(unit_cand, batch_format="pyarrow").materialize()
-
-    def rename_arrow(cols: list[str]):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns(cols)
-
-        return fn
-
-    u_a = unit_ds.map_batches(rename_arrow(["doc_a", "unit_a"]), batch_format="pyarrow")
-    u_b = unit_ds.map_batches(rename_arrow(["doc_b", "unit_b"]), batch_format="pyarrow")
-    with_a = cogroup_bucket_join(cand, u_a, "doc_a")
-    with_ab = cogroup_bucket_join(with_a, u_b, "doc_b")
-
-    def cos_verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
+    def bucket_cos(df: pd.DataFrame) -> pd.DataFrame:
+        dup_mask = df.duplicated(subset=["band_idx", "band_key"], keep=False)
+        sub = df[dup_mask]
+        if sub.empty:
             return pd.DataFrame(
                 {"vec_a": pd.Series([], dtype="int64"),
                  "vec_b": pd.Series([], dtype="int64"),
                  "cosine": pd.Series([], dtype="float64")}
             )
-        A = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["unit_a"]])
-        B = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["unit_b"]])
-        vals = np.round(np.einsum("ij,ij->i", A, B), 6)
-        out = pd.DataFrame(
-            {"vec_a": df["doc_a"].to_numpy(dtype=np.int64),
-             "vec_b": df["doc_b"].to_numpy(dtype=np.int64),
-             "cosine": vals}
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[float] = []
+        for _, g in sub.groupby(["band_idx", "band_key"], sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            if len(ids) > _MAX_BUCKET:
+                ids = ids[:_MAX_BUCKET]
+                g = g.head(_MAX_BUCKET)
+            mat = np.stack(
+                [np.frombuffer(b, dtype=np.float64) for b in g["unit"]]
+            )
+            cos = mat @ mat.T
+            a, b = np.triu_indices(len(ids), k=1)
+            vals = np.round(cos[a, b], 6)
+            keep = vals >= threshold
+            out_a.extend(ids[a][keep].tolist())
+            out_b.extend(ids[b][keep].tolist())
+            out_c.extend(vals[keep].tolist())
+        return pd.DataFrame(
+            {"vec_a": pd.Series(out_a, dtype="int64"),
+             "vec_b": pd.Series(out_b, dtype="int64"),
+             "cosine": pd.Series(out_c, dtype="float64")}
         )
-        return out[out["cosine"] >= threshold]
 
-    return with_ab.map_batches(cos_verify, batch_format="pandas")
+    buckets = embs.map_batches(bucketize, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
+        batch_format="pyarrow",
+    )
+    pairs = buckets.groupby("bucket").map_groups(
+        bucket_cos, batch_format="pandas"
+    ).map_batches(
+        _ensure_cols({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}),
+        batch_format="pandas",
+    )
+    # distributed cross-table dedup (cosine identical per pair; Min = dedup)
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("cosine", alias_name="cosine")
+    )

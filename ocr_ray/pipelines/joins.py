@@ -98,6 +98,12 @@ def cogroup_bucket_join(
     both = left.map_batches(tag("L", left_on, l_missing), batch_format="pyarrow").union(
         right.map_batches(tag("R", right_on, r_missing), batch_format="pyarrow")
     )
+    # blocks = buckets: the grouped stage has at most n_buckets groups, so
+    # more input blocks only inflate the sort exchange (O(blocks^2) block
+    # shuffling dominated a 256-row join arriving as hundreds of
+    # mostly-empty aggregate partitions). n_buckets is the parallelism
+    # knob — raise it for big joins.
+    both = both.repartition(n_buckets)
 
     if left_on == right_on:
         out_cols = lcols + [c for c in rcols if c != right_on]
