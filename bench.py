@@ -198,10 +198,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # default N=4 (4 vs 16): both occupancies stay below this VM's memory
-    # saturation point, giving the clean N-vs-4N measurement; set
-    # GRAFT_SCALING_N=8 for the (occupancy-capped) 8 vs 32 variant
-    n_lo = int(os.environ.get("GRAFT_SCALING_N", "4"))
+    # default N=2 (2 vs 8): BOTH occupancies below this VM's measured
+    # memory-contention knee, so the ratio isolates engine scaling — the
+    # closest sandbox stand-in for an N-vs-4N node comparison, where every
+    # node runs at equal occupancy (recorded raw 0.98; see
+    # BENCH/BASELINE.md). GRAFT_SCALING_N=4 or 8 selects the
+    # higher-occupancy variants (both progressively contention-capped).
+    n_lo = int(os.environ.get("GRAFT_SCALING_N", "2"))
     n_hi = 4 * n_lo
     lo, hi = run(n_lo), run(n_hi)
     t_lo, t_hi = lo["value"], hi["value"]
