@@ -375,6 +375,47 @@ def _q_extract_propose_docs(sf_dir: str):
     return spans.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_docs_sample(sf_dir: str):
+    """Deterministic hash sample (~25%) of the documents table — pure
+    per-row predicate, no shuffle/state (the scale-safe sample)."""
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import hash_sample
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    return hash_sample(docs, "doc_id", pct=25)
+
+
+def _q_docs_split(sf_dir: str):
+    """Deterministic stratified train/val/test split by doc_id hash
+    (80/10/10)."""
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import stratified_split
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    return stratified_split(docs, "doc_id")
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal decode/feature pipeline over a deterministic synthetic
+    media table (binary payload column + typed metadata) sized to the
+    documents table — actor-pool decode with small batches (large binary
+    rows), deterministic fake codec (no image libs in this container;
+    rows-only check by design)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ocr_ray.functions.multimodal import make_media_table, media_pipeline
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    media = rd.from_arrow(make_media_table(n_docs))
+    return media_pipeline(media)
+
+
 def _q_extract_metrics(sf_dir: str):
     """Drop/dead-letter counter rollup over the transcript corpus
     (reason, total) — every deterministic drop in the chain is logged.
@@ -457,8 +498,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_propose": _q_extract_propose,
         "extract_assistant": _q_extract_assistant,
         "docs_quality_filter": _q_docs_quality_filter,
+        # sampling / split (training-data pipeline ops)
+        "docs_sample": _q_docs_sample,
+        "docs_split": _q_docs_split,
+        # multimodal binary-column pipeline (deterministic fake codec)
+        "media_features": _q_media_features,
         # stream-shaped operators over the events log
         "events_tumbling": S.tumbling_window,
+        "events_hopping": S.hopping_window,
         "events_sessions": S.session_windows,
         "events_sessions_incremental": S.sessionize_incremental,
         "events_asof_login": S.asof_last_login,
@@ -642,10 +689,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, least(a, min(b)) = a AS keep
             FROM reach GROUP BY a ORDER BY a"""
     )
+    id_hash = _md5_le64_terms("CAST(doc_id AS VARCHAR)")
     return {
         "dedup_minhash": dedup_minhash_sql,
         "dedup_clusters": dedup_clusters_sql,
         "doc_winnow": _winnow_sql(),
+        "docs_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ({id_hash}) % 100 < 25 ORDER BY doc_id
+        """,
+        "docs_split": f"""
+            SELECT doc_id,
+                   CASE ({id_hash}) % 10
+                     WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train'
+                   END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "events_hopping": """
+            WITH hops AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k), w AS (
+              SELECT user_id,
+                     make_timestamp(CAST((epoch_us(ts) // 900000000) * 900000000
+                                         - k * 900000000 AS BIGINT)) AS window_start,
+                     CAST(round(value * 100) AS BIGINT) AS value_c
+              FROM events CROSS JOIN hops
+            )
+            SELECT user_id, window_start, count(*) AS n,
+                   sum(value_c) / 100.0 AS sum_value
+            FROM w GROUP BY user_id, window_start
+            ORDER BY user_id, window_start
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,

@@ -1,0 +1,67 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+Hash-based (not RNG-based) so they are reproducible, order-independent,
+resumable, and embarrassingly parallel — every row's fate is a pure
+function of its key, the classic trait a 100 TB pipeline needs (a
+reservoir or seeded-RNG sample depends on scan order / partitioning).
+
+The key hash is md5 of the DECIMAL STRING of the key (little-endian low
+64 bits) so the DuckDB oracle can replay it bit-for-bit — the same
+md5-le64 idiom the dedup oracles use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+__all__ = ["key_hash64", "hash_sample", "stratified_split"]
+
+
+def key_hash64(keys) -> np.ndarray:
+    """uint64 little-endian low-8-bytes md5 of str(key) per element."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(k)).encode()).digest()[:8], "little")
+            for k in keys
+        ),
+        dtype=np.uint64,
+        count=len(keys),
+    )
+
+
+def hash_sample(ds: rd.Dataset, key: str, pct: int, mod: int = 100) -> rd.Dataset:
+    """Deterministic ~pct% sample: keep rows with hash(key) % mod < pct.
+    Pure per-row predicate — no shuffle, no state, no scan-order
+    dependence; identical sample on reruns and across repartitionings."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        h = key_hash64(t.column(key).to_pylist())
+        return t.filter(pa.array((h % np.uint64(mod)) < pct))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+_SPLITS = ("test", "val", "train")  # bucket 0 -> test, 1 -> val, rest train
+
+
+def stratified_split(ds: rd.Dataset, key: str, n_buckets: int = 10) -> rd.Dataset:
+    """Deterministic train/val/test assignment by key hash: bucket 0 is
+    test, bucket 1 is val, the rest train (80/10/10 at n_buckets=10).
+    Emits (key, split). Same purity guarantees as :func:`hash_sample`."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t.column(key).to_pylist()
+        b = key_hash64(keys) % np.uint64(n_buckets)
+        split = np.where(b == 0, "test", np.where(b == 1, "val", "train"))
+        return pa.Table.from_arrays(
+            [t.column(key), pa.array(split.tolist(), pa.string())],
+            names=[key, "split"],
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

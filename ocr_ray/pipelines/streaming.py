@@ -23,6 +23,7 @@ import ray.data as rd
 
 __all__ = [
     "tumbling_window",
+    "hopping_window",
     "session_windows",
     "asof_last_login",
     "sessionize_incremental",
@@ -61,6 +62,58 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
     return agg[["user_id", "window_start", "n", "sum_value"]].sort_values(
         ["user_id", "window_start"]
     ).reset_index(drop=True)
+
+
+HOP_LEN_MIN = 60   # hopping window length
+HOP_STEP_MIN = 15  # hop (slide) step — each event lands in LEN/STEP windows
+
+
+def hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Per-user hopping (sliding) 60-minute windows with a 15-minute hop:
+    count + exact-cents sum per (user, window_start).
+
+    Ray shape: each event EXPLODES into its LEN/STEP covering windows
+    inside map_batches (vectorized: one np.repeat/tile per batch — no
+    per-row loop), then the hash-bucketed grouped sum handles the high
+    (user, window) cardinality. SQL twin enumerates the same covering
+    windows with generate_series."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    n_win = HOP_LEN_MIN // HOP_STEP_MIN
+    step_us = HOP_STEP_MIN * 60 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = t.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        us = ts.astype("datetime64[us]").astype(np.int64)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        value_c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        # latest covering window start, then n_win steps back
+        base = (us // step_us) * step_us
+        starts = base[:, None] - np.arange(n_win)[None, :] * step_us
+        win = starts.reshape(-1)
+        out_users = np.repeat(users, n_win)
+        out_vals = np.repeat(value_c, n_win)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_users, pa.int64()),
+                pa.array(win.astype("datetime64[us]")),
+                pa.array(out_vals, pa.int64()),
+            ],
+            names=["user_id", "window_start", "value_c"],
+        )
+
+    agg = hash_bucket_sum(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["user_id", "window_start"],
+        ["value_c"],
+    ).to_pandas()
+    agg["sum_value"] = agg["value_c"] / 100.0
+    out = agg[["user_id", "window_start", "n", "sum_value"]].sort_values(
+        ["user_id", "window_start"]
+    ).reset_index(drop=True)
+    return out
 
 
 def session_windows(sf_dir: str) -> pd.DataFrame:

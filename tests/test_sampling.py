@@ -1,0 +1,88 @@
+"""Deterministic hash sampling / stratified split + hopping window."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_hash_sample_deterministic_and_partition_independent(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import hash_sample, key_hash64
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64), "x": 1})
+    a = set(
+        hash_sample(rd.from_pandas(df), "doc_id", pct=25).to_pandas()["doc_id"]
+    )
+    # different partitioning, shuffled row order -> identical sample
+    shuffled = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    b = set(
+        hash_sample(
+            rd.from_pandas(shuffled).repartition(7), "doc_id", pct=25
+        ).to_pandas()["doc_id"]
+    )
+    assert a == b
+    # matches the per-key predicate exactly
+    h = key_hash64(df["doc_id"].tolist())
+    want = set(df["doc_id"][(h % np.uint64(100)) < 25])
+    assert a == want
+    assert 0.15 < len(a) / 1000 < 0.35  # ~25%
+
+
+def test_stratified_split_exhaustive_and_stable(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import stratified_split
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    out = stratified_split(rd.from_pandas(df), "doc_id").to_pandas()
+    assert len(out) == 500 and set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert frac["train"] > 0.6  # ~80/10/10
+    out2 = stratified_split(rd.from_pandas(df).repartition(5), "doc_id").to_pandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+
+
+def test_hopping_window_matches_pandas_brute(ray_session):
+    """Every event lands in exactly LEN/STEP windows; counts/sums match a
+    brute-force pandas replay on the sf0.001 events table."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.streaming import HOP_LEN_MIN, HOP_STEP_MIN, hopping_window
+
+    sf = "/root/testdata/sf0.001"
+    got = hopping_window(sf)
+    ev = pq.read_table(
+        sf + "/events.parquet", columns=["user_id", "ts", "value"]
+    ).to_pandas()
+    step = pd.Timedelta(minutes=HOP_STEP_MIN)
+    n_win = HOP_LEN_MIN // HOP_STEP_MIN
+    rows = []
+    for r in ev.itertuples(index=False):
+        base = r.ts.floor(f"{HOP_STEP_MIN}min")
+        for k in range(n_win):
+            rows.append((r.user_id, base - k * step, round(r.value * 100)))
+    brute = pd.DataFrame(rows, columns=["user_id", "window_start", "c"])
+    want = (
+        brute.groupby(["user_id", "window_start"], as_index=False)
+        .agg(n=("c", "size"), c=("c", "sum"))
+    )
+    want["sum_value"] = want["c"] / 100.0
+    want = want[["user_id", "window_start", "n", "sum_value"]].sort_values(
+        ["user_id", "window_start"]
+    ).reset_index(drop=True)
+    got = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64"}), want.astype({"n": "int64"}), check_dtype=False
+    )
+
+
+def test_media_features_query(ray_session):
+    from ocr_ray.functions.multimodal import make_media_table, media_pipeline
+
+    import ray.data as rd
+
+    out = media_pipeline(rd.from_arrow(make_media_table(50))).to_pandas()
+    assert len(out) == 50 and out["decode_ok"].all()
+    assert (out["width"] > 0).all() and (out["mean_value"] > 0).all()
