@@ -24,7 +24,7 @@ import numpy as np
 from . import config as C
 from .segment import Unit, detect_kind, segment
 from .spanlib import canonicalize, nms_locality
-from .textnorm import ctc_collapse, decode_entities, encode_token, normalize_text, tokenize
+from .textnorm import ctc_collapse, decode_entities, encode_token, normalize_text
 
 __all__ = ["score_units", "propose_spans", "decode_span", "extract_turn"]
 

@@ -70,8 +70,10 @@ def _dataset_bloom(ds: rd.Dataset, col: str, capacity: int, fp_rate: float = 0.0
         bf.add(t.column(col).to_numpy(zero_copy_only=False))
         return pa.Table.from_pydict({"bits": [bf.bits.tobytes()]})
 
+    # small merge batches: each row is a full bitset blob (O(capacity)
+    # bytes), so keep only a handful in driver memory at a time
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_size=64, batch_format="pyarrow"
+        batch_size=8, batch_format="pyarrow"
     ):
         for blob in b.column("bits").to_pylist():
             proto.bits |= np.frombuffer(blob, dtype=np.uint64)

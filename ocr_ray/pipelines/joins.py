@@ -53,7 +53,9 @@ def cogroup_bucket_join(
 
     Integer columns of either side are restored after the merge: the
     union-with-nulls representation floats them, which would silently
-    change output dtypes."""
+    change output dtypes. Contract: integer/boolean columns must be
+    non-null on their own side (true for every engine use; a legitimately
+    nullable int column would need a sentinel or float carry)."""
     from ..stages.partial_agg import add_hash_bucket
 
     right_on = right_on or left_on
