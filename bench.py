@@ -252,8 +252,8 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         res = run_scaling()
         if "--record" in sys.argv:
-            n_lo = int(os.environ.get("GRAFT_SCALING_N", "4"))
-            _record(res, f"local_scaling_{n_lo}v{4 * n_lo}")
+            n_lo, n_hi = res["n_cpus"]  # name from the MEASURED levels
+            _record(res, f"local_scaling_{n_lo}v{n_hi}")
         print(json.dumps(res))
     else:
         res = run_bench(NCPU)
