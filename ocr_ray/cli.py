@@ -53,6 +53,34 @@ def cmd_metrics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sample(args: argparse.Namespace) -> int:
+    """Deterministic hash sample of a parquet table to a parquet sink."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.sampling import hash_sample
+
+    ds = rd.read_parquet(args.input)
+    hash_sample(ds, args.key, pct=args.pct).write_parquet(args.output)
+    print(json.dumps({"input": args.input, "output": args.output, "pct": args.pct}))
+    return 0
+
+
+def cmd_split(args: argparse.Namespace) -> int:
+    """Deterministic train/val/test assignment, hive-partitioned by split."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.sampling import stratified_split
+
+    ds = rd.read_parquet(args.input, columns=[args.key])
+    stratified_split(ds, args.key).write_parquet(
+        args.output, partition_cols=["split"]
+    )
+    print(json.dumps({"input": args.input, "output": args.output}))
+    return 0
+
+
 def cmd_gen_corpus(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .corpus import ensure_transcripts
@@ -80,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
     pg = sub.add_parser("gen-corpus", help="generate the synthetic corpus")
     pg.add_argument("--sf", default="sf0.001")
     pg.set_defaults(fn=cmd_gen_corpus)
+
+    ps = sub.add_parser("sample", help="deterministic hash sample")
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--key", default="doc_id")
+    ps.add_argument("--pct", type=int, default=10)
+    ps.set_defaults(fn=cmd_sample)
+
+    pp = sub.add_parser("split", help="deterministic train/val/test split")
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--key", default="doc_id")
+    pp.set_defaults(fn=cmd_split)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -303,7 +303,7 @@ def reconcile(spans: rd.Dataset, *, salted: bool = True) -> rd.Dataset:
     return joined.map_batches(finish, batch_format="pandas")
 
 
-def reconcile_sorted(spans: rd.Dataset) -> rd.Dataset:
+def reconcile_sorted(spans: rd.Dataset, *, nblocks: int | None = None) -> rd.Dataset:
     """Scale-path span reconciliation: identical output to ``reconcile``
     but built on ONE range-partitioning sort instead of a per-group pandas
     fan-out (23k tiny groups cost ~1 ms each in map_groups; this path is
@@ -332,7 +332,10 @@ def reconcile_sorted(spans: rd.Dataset) -> rd.Dataset:
     before the sort — an all-to-all over hundreds of tiny blocks pays
     O(blocks^2) exchange overhead for no parallelism gain.
     """
-    nblocks = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    if nblocks is None:
+        nblocks = (
+            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        )
     # Materialize the (small) span rows first: letting the sort's map phase
     # fuse into the lazy extract pipeline serializes it into one task in
     # this Ray version; materialized input sorts block-parallel. This is

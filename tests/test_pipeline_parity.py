@@ -281,6 +281,50 @@ def test_extract_metrics_counters(ray_session):
     assert out["spans_out"] >= 1
 
 
+def test_reconcile_sorted_boundary_walk_stress(ray_session):
+    """Adversarial shapes for the O(blocks) boundary-carry logic in
+    reconcile_sorted: conv sizes chosen so conversations end exactly at,
+    straddle, and fully span range-partition boundaries, across several
+    block counts. Ground truth is a pandas groupby cumcount."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import reconcile_sorted
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # mix: tiny convs, one mega conv, a run of equal-size convs (aligned
+    # boundaries when nblocks divides evenly)
+    sizes = [1, 1, 64, 3, 128, 1, 32, 32, 32, 32, 7, 256, 2]
+    for c, size in enumerate(sizes):
+        for t in range(size):
+            for s in range(int(rng.randint(1, 3))):
+                rows.append((f"c{c:03d}", t, s))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "span_idx"])
+    df["start"] = 0
+    df["end"] = 5
+    df["text"] = "x"
+    df["score"] = 1.0
+    truth = df.sort_values(["conv_id", "turn_idx", "span_idx"]).reset_index(drop=True)
+    truth["span_seq"] = truth.groupby("conv_id").cumcount()
+
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    for nblocks in (1, 3, 8, 17):
+        ds = rd.from_arrow(table)
+        got = (
+            reconcile_sorted(ds, nblocks=nblocks)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx", "span_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["conv_id", "turn_idx", "span_idx", "span_seq"]],
+            truth[["conv_id", "turn_idx", "span_idx", "span_seq"]],
+            check_dtype=False,
+        )
+
+
 def test_production_metrics_match_audit_pass(ray_session, turns_path):
     """The stats-actor counters harvested from the SINGLE production pass
     equal the standalone audit form's totals (the chain runs once, yet
