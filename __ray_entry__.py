@@ -399,6 +399,16 @@ def _q_docs_split(sf_dir: str):
     return stratified_split(docs, "doc_id")
 
 
+def _q_docs_curated(sf_dir: str):
+    """End-to-end curation DAG: quality gate -> exact dedup -> MinHash
+    near-dup keep-list -> deterministic split. The composed pipeline has a
+    composed SQL twin — the whole DAG is driver-verified, not just its
+    stages."""
+    from ocr_ray.pipelines.curation import curate_documents
+
+    return curate_documents(sf_dir)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal decode/feature pipeline over a deterministic synthetic
     media table (binary payload column + typed metadata) sized to the
@@ -503,6 +513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         # multimodal binary-column pipeline (deterministic fake codec)
         "media_features": _q_media_features,
+        # the composed curation DAG (quality -> dedup -> near-dup -> split)
+        "docs_curated": _q_docs_curated,
         # stream-shaped operators over the events log
         "events_tumbling": S.tumbling_window,
         "events_hopping": S.hopping_window,
@@ -612,13 +624,15 @@ def _winnow_sql() -> str:
     """
 
 
-def _minhash_pairs_cte() -> str:
+def _minhash_pairs_cte(src: str = "documents") -> str:
     """Shared CTE prefix replaying the MinHash-LSH pipeline exactly in SQL:
     md5 little-endian 64-bit shingle hashes mod 2^61-1 (np.unique ==
     DISTINCT), the 64 seeded permutations as literals (imported from the
     engine, so parity is automatic), uint64-WRAPPING (a*v+b) arithmetic in
     HUGEINT, 16x4 banding by raw signature-slice equality, exact-Jaccard
-    verify on the rounded value."""
+    verify on the rounded value. ``src`` is the (doc_id, text) relation the
+    pipeline runs over — ``documents`` or an upstream CTE (the curation
+    oracle passes its survivor set)."""
     from ocr_ray.functions.dedup import _MERSENNE, _PERM_A, _PERM_B
 
     perm_vals = ",".join(
@@ -635,7 +649,7 @@ def _minhash_pairs_cte() -> str:
                 SELECT doc_id,
                        unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok,
                        generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1) AS ord
-                FROM documents
+                FROM {src}
               )
             ), sh AS (
               SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s
@@ -690,7 +704,51 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a ORDER BY a"""
     )
     id_hash = _md5_le64_terms("CAST(doc_id AS VARCHAR)")
+    mh_surv = _minhash_pairs_cte(src="survivors")
+    docs_curated_sql = f"""
+        WITH RECURSIVE q AS (
+          SELECT doc_id, text, len(toks) AS n_tokens,
+                 round(CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to')))
+                     / CAST(len(toks) AS DOUBLE) END, 6) AS stop_ratio,
+                 round(CASE WHEN len(toks)=0 THEN 0.0 ELSE
+                   list_sum(list_transform(toks, x -> length(x)))
+                     / CAST(len(toks) AS DOUBLE) END, 6) AS mean_token_len
+          FROM (SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents)
+        ), qual AS (
+          SELECT doc_id, text FROM q
+          WHERE n_tokens >= 10 AND stop_ratio <= 0.5 AND mean_token_len >= 2.0
+        ), canon AS (
+          SELECT doc_id, text,
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ctext
+          FROM qual
+        ), keep_exact AS (
+          SELECT ctext, min(doc_id) AS kdoc FROM canon GROUP BY ctext
+        ), survivors AS (
+          SELECT c.doc_id, c.text FROM canon c
+          JOIN keep_exact k ON c.doc_id = k.kdoc
+        ), {mh_surv}, edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+          UNION SELECT doc_b, doc_a FROM mh_pairs
+        ), reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), drops AS (
+          SELECT a AS doc_id FROM reach GROUP BY a
+          HAVING least(a, min(b)) <> a
+        )
+        SELECT doc_id,
+               CASE ({id_hash}) % 10
+                 WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train'
+               END AS split
+        FROM survivors
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        ORDER BY doc_id
+    """
     return {
+        "docs_curated": docs_curated_sql,
         "dedup_minhash": dedup_minhash_sql,
         "dedup_clusters": dedup_clusters_sql,
         "doc_winnow": _winnow_sql(),

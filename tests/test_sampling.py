@@ -78,6 +78,31 @@ def test_hopping_window_matches_pandas_brute(ray_session):
     )
 
 
+def test_curation_dag_invariants(ray_session):
+    """End-to-end curation: output is a subset of input docs, canonical
+    texts are unique post-exact-dedup, near-dup clusters keep exactly
+    their min doc_id, every row has a split."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.dedup import minhash_pairs
+    from ocr_ray.pipelines.curation import curate_documents
+
+    sf = "/root/testdata/sf0.001"
+    out = curate_documents(sf)
+    docs = pq.read_table(sf + "/documents.parquet").to_pandas()
+    assert set(out["doc_id"]) <= set(docs["doc_id"])
+    assert set(out["split"]) <= {"train", "val", "test"}
+    kept = docs[docs["doc_id"].isin(set(out["doc_id"]))].copy()
+    canon = kept["text"].str.strip().str.split().str.join(" ").str.lower()
+    assert canon.is_unique  # exact dedup happened
+    # no near-dup pair with BOTH sides kept (the cluster min survives alone)
+    import ray.data as rd
+
+    kept_ds = rd.from_pandas(kept[["doc_id", "text"]])
+    residual = minhash_pairs(kept_ds, threshold=0.5).to_pandas()
+    assert residual.empty
+
+
 def test_media_features_query(ray_session):
     from ocr_ray.functions.multimodal import make_media_table, media_pipeline
 
