@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -31,8 +30,10 @@ from ray.data.aggregate import Min
 __all__ = ["curate_documents"]
 
 
-def curate_documents(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
-    """Returns the curated corpus manifest: (doc_id, split), sorted."""
+def curate_documents(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """Returns the curated corpus manifest as a STREAMING Dataset of
+    (doc_id, split) — at 100 TB the manifest is itself corpus-sized, so it
+    must flow to a sink, never to the driver."""
     from ..functions.dedup import add_content_hash, dedup_keep_list
     from ..functions.sampling import stratified_split
     from ..functions.textstats import quality_batch
@@ -86,6 +87,5 @@ def curate_documents(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
 
     final = exact_survivors.map_batches(drop_neardups, batch_format="pyarrow")
 
-    # 4. deterministic split assignment
-    out = stratified_split(final, "doc_id").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # 4. deterministic split assignment — stays a Dataset (stream to sink)
+    return stratified_split(final, "doc_id")

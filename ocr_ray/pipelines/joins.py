@@ -212,15 +212,52 @@ def segment_revenue_native(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+# adaptive strategy gate for semi/anti joins (same idiom as the dedup
+# verify): at or below this many distinct build-side keys the exact set
+# broadcasts; above it the partitioned cogroup join runs — driver memory
+# stays bounded either way
+_BROADCAST_KEY_LIMIT = 100_000
+
+
 def semi_anti_join(
     probe: rd.Dataset, keys, on: str, anti: bool = False
 ) -> rd.Dataset:
-    """Broadcast semi/anti join: the build side's key set is shipped once
-    (ray.put) and the probe filters inside map_batches — no shuffle.
+    """Exact semi/anti join with adaptive strategy.
 
-    At scale the exact set is replaced by a Bloom pre-filter
-    (ocr_ray.functions.bloom) + exact re-verification for anti-joins."""
+    ``keys`` may be a sequence (always broadcast) or a Dataset with a
+    single key column: below ``_BROADCAST_KEY_LIMIT`` distinct keys the
+    exact set ships once via ray.put and the probe filters inside
+    map_batches (no shuffle); above it the build side STAYS a Dataset and
+    membership is decided by a partitioned cogroup join with a marker
+    column — no driver structure proportional to key count on either
+    path."""
     import ray
+
+    if isinstance(keys, rd.Dataset):
+        kcol = keys.schema().names[0]
+        distinct = (
+            keys.groupby(kcol).count().select_columns([kcol]).materialize()
+        )
+        n_keys = distinct.count()
+        if n_keys > _BROADCAST_KEY_LIMIT:
+            def mark(t: pa.Table) -> pa.Table:
+                return pa.Table.from_arrays(
+                    [t.column(kcol).combine_chunks(),
+                     pa.array(np.ones(t.num_rows, dtype=np.int64))],
+                    names=[on, "__hit"] if kcol != on else [kcol, "__hit"],
+                )
+
+            marker = distinct.map_batches(mark, batch_format="pyarrow")
+            nb = min(256, max(16, n_keys // 10_000))
+            joined = cogroup_bucket_join(probe, marker, on, n_buckets=nb, how="left")
+
+            def pick(df: pd.DataFrame) -> pd.DataFrame:
+                hit = df["__hit"].notna()
+                out = df[~hit if anti else hit]
+                return out.drop(columns=["__hit"])
+
+            return joined.map_batches(pick, batch_format="pandas")
+        keys = distinct.to_pandas()[kcol]  # bounded by the gate
 
     kref = ray.put(np.asarray(sorted(set(keys))))
 
@@ -247,7 +284,9 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
         ).select(["l_orderkey"]),
         batch_format="pyarrow",
     )
-    keys = late.unique("l_orderkey")
+    # build side stays a Dataset: semi_anti_join picks broadcast vs
+    # cogroup-join by distinct-key volume (was: driver-side unique())
+    keys = late.materialize()
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderstatus"],

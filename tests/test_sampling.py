@@ -88,7 +88,7 @@ def test_curation_dag_invariants(ray_session):
     from ocr_ray.pipelines.curation import curate_documents
 
     sf = "/root/testdata/sf0.001"
-    out = curate_documents(sf)
+    out = curate_documents(sf).to_pandas()
     docs = pq.read_table(sf + "/documents.parquet").to_pandas()
     assert set(out["doc_id"]) <= set(docs["doc_id"])
     assert set(out["split"]) <= {"train", "val", "test"}

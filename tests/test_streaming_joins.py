@@ -162,6 +162,38 @@ def test_cogroup_bucket_join_binary_payload(ray_session):
         assert (got == np.arange(r["doc_a"] - 1, r["doc_a"] + 2)).all()
 
 
+def test_semi_anti_join_distributed_path_matches_broadcast(ray_session):
+    """Force the cogroup-join strategy (gate=0) and check it produces the
+    same semi and anti results as the broadcast path."""
+    import ray.data as rd
+
+    import ocr_ray.pipelines.joins as J
+
+    probe = pd.DataFrame({"k": [1, 2, 3, 4, 5, 6], "v": list("abcdef")})
+    keys = pd.DataFrame({"k": [2, 4, 4, 9]})
+    probe_ds = rd.from_pandas(probe)
+    keys_ds = rd.from_pandas(keys)
+
+    def run(anti):
+        return (
+            J.semi_anti_join(probe_ds, keys_ds, on="k", anti=anti)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    want_semi, want_anti = run(False), run(True)
+    orig = J._BROADCAST_KEY_LIMIT
+    try:
+        J._BROADCAST_KEY_LIMIT = 0  # force the cogroup-join strategy
+        got_semi, got_anti = run(False), run(True)
+    finally:
+        J._BROADCAST_KEY_LIMIT = orig
+    pd.testing.assert_frame_equal(got_semi, want_semi, check_dtype=False)
+    pd.testing.assert_frame_equal(got_anti, want_anti, check_dtype=False)
+    assert list(want_semi["k"]) == [2, 4] and list(want_anti["k"]) == [1, 3, 5, 6]
+
+
 def test_cluster_pairs_dataset_matches_union_find(ray_session):
     """Distributed min-label propagation == driver union-find on a graph
     with a chain (multi-round convergence) and an isolated pair."""
