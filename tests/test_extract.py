@@ -199,6 +199,34 @@ def test_html_unterminated_quote_falls_back():
     assert spans[0]["text"] == "visible content words flow"
 
 
+def test_megabyte_single_payload():
+    """A ~1 MB single turn stays total and bounded: decode window caps at
+    MAX_DECODE_TOKENS, span cap at MAX_SPANS_PER_TURN, offsets valid —
+    and the per-turn chain finishes in bounded time (no quadratic blowup)."""
+    import time
+
+    from ocr_ray import config as C
+
+    words = ("content words flow here nicely " * 36000).split()  # ~180k tokens
+    # paragraph-structured plain payload ~1 MB
+    text = "\n\n".join(" ".join(words[i : i + 120]) for i in range(0, len(words), 120))
+    assert len(text) > 1_000_000
+    t0 = time.perf_counter()
+    spans = extract_turn(text)
+    wall = time.perf_counter() - t0
+    assert wall < 10.0
+    assert 1 <= len(spans) <= C.MAX_SPANS_PER_TURN
+    for s in spans:
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+        assert len(s["text"].split()) <= C.MAX_DECODE_TOKENS
+    # html flavor with the quote-aware tokenizer on a big doc
+    html = "<div>" + "<p>" + text[:500_000].replace("\n\n", "</p><p>") + "</p></div>"
+    spans_h = extract_turn(html)
+    assert len(spans_h) <= C.MAX_SPANS_PER_TURN
+    for s in spans_h:
+        assert len(s["text"].split()) <= C.MAX_DECODE_TOKENS
+
+
 def test_scores_deterministic_array():
     units = segment("some words here to score", "plain")
     s1 = score_units(units)
