@@ -12,6 +12,12 @@ summation order (the driver compares value hashes).
 Broadcast joins: the dimension side (customer / nation / region) is read
 once driver-side, shipped with ray.put, and merged per batch — no shuffle
 (SURVEY.md §2.4 J-ops pattern).
+
+Result shape: each query's final ``.to_pandas()`` is the DRIVER-RESULT
+adapter for the correctness gate (the gate hashes a DataFrame against the
+SQL twin's ordered output). Every aggregation is a Dataset right up to
+that last call — a production consumer writes that Dataset to a sink
+instead; nothing upstream materializes on the driver.
 """
 
 from __future__ import annotations

@@ -6,6 +6,12 @@ partition, window inside map_groups).
 Ordering assumption (stated per the guide): events are processed per
 ``user_id`` group sorted by ``ts``; output is independent of input block
 order. Exact-cents math keeps the SQL twins bit-identical.
+
+Result shape: the trailing ``.to_pandas()`` in each query is the
+driver-result adapter for the correctness gate; the windowed aggregation
+itself is a Dataset until that call, and a production consumer sinks the
+Dataset instead (window-aggregate outputs are corpus-scaled at 10^12
+events).
 """
 
 from __future__ import annotations
