@@ -409,6 +409,46 @@ def _q_docs_curated(sf_dir: str):
     return curate_documents(sf_dir)
 
 
+def _q_docs_packed(sf_dir: str):
+    """Sequence packing (training batch shaping): greedy in-order packing
+    of documents into <=512-token sequences inside contiguous doc_id
+    shards — shard-local determinism, embarrassingly parallel. SQL twin
+    replays the greedy scan with a recursive CTE per shard."""
+    import ray.data as rd
+
+    from ocr_ray.functions.packing import pack_sequences
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return pack_sequences(docs)
+
+
+def _q_docs_decontaminated(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
+    the eval set; every other doc sharing a word-3-gram with it is
+    dropped. Emits the surviving doc_ids."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import decontaminate
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def is_bench(t: pa.Table, flag: bool) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa_
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 50) == 0
+        return t.filter(pa_.array(m if flag else ~m))
+
+    bench = docs.map_batches(lambda t: is_bench(t, True), batch_format="pyarrow")
+    cand = docs.map_batches(lambda t: is_bench(t, False), batch_format="pyarrow")
+    return decontaminate(cand, bench).select_columns(["doc_id"])
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal decode/feature pipeline over a deterministic synthetic
     media table (binary payload column + typed metadata) sized to the
@@ -515,6 +555,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         # the composed curation DAG (quality -> dedup -> near-dup -> split)
         "docs_curated": _q_docs_curated,
+        # sequence packing (training batch shaping)
+        "docs_packed": _q_docs_packed,
+        # benchmark decontamination (eval-leakage guard)
+        "docs_decontaminated": _q_docs_decontaminated,
         # stream-shaped operators over the events log
         "events_tumbling": S.tumbling_window,
         "events_hopping": S.hopping_window,
@@ -749,8 +793,56 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "docs_curated": docs_curated_sql,
+        "docs_packed": """
+            -- greedy in-order sequence packing replayed per shard with a
+            -- recursive CTE: new pack when adding the next doc would
+            -- exceed the 512-token cap (docs never split)
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id // 256 AS shard,
+                     len(regexp_extract_all(text, '\\S+')) AS n,
+                     row_number() OVER (PARTITION BY doc_id // 256
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), p(shard, rn, doc_id, n, acc, pack) AS (
+              SELECT shard, rn, doc_id, n, n, CAST(0 AS BIGINT) FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.shard, t.rn, t.doc_id, t.n,
+                     CASE WHEN p.acc + t.n > 512 THEN t.n ELSE p.acc + t.n END,
+                     CASE WHEN p.acc + t.n > 512 THEN p.pack + 1 ELSE p.pack END
+              FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, pack, n AS n_tokens
+            FROM p ORDER BY doc_id
+        """,
         "dedup_minhash": dedup_minhash_sql,
         "dedup_clusters": dedup_clusters_sql,
+        "docs_decontaminated": f"""
+            -- shingle hashes exactly as the engine computes them (md5
+            -- little-endian mod 2^61-1 of lowercase word 3-grams); docs
+            -- with doc_id %% 50 == 0 are the benchmark set
+            WITH toks AS (
+              SELECT doc_id, tok, ord FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+              )
+            ), sh AS (
+              SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS s
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+              QUALIFY lead(tok, 2) OVER w IS NOT NULL
+            ), hv AS (
+              SELECT DISTINCT doc_id, ({_md5_le64_terms("s")}) % 2305843009213693951 AS v
+              FROM sh
+            ), bad AS (
+              SELECT DISTINCT d.doc_id FROM hv d
+              JOIN hv b ON d.v = b.v AND b.doc_id % 50 = 0
+              WHERE d.doc_id % 50 <> 0
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
+        """,
         "doc_winnow": _winnow_sql(),
         "docs_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -418,6 +418,59 @@ def ngram_jaccard_pairs(
                                          batch_size=16384)
 
 
+def decontaminate(
+    docs: rd.Dataset, bench: rd.Dataset, shingle_k: int = _SHINGLE_K
+) -> rd.Dataset:
+    """Benchmark decontamination: drop every candidate document sharing at
+    least one word-``shingle_k``-gram with the benchmark set (the
+    eval-leakage guard a training-data pipeline runs before packing).
+
+    Composition of existing adaptive ops — shingle both sides to
+    (doc_id, sh-hash) rows, semi-join candidate shingles against the
+    benchmark shingle set, anti-join the contaminated doc ids back out.
+    Both joins pick broadcast vs partitioned cogroup by build-side volume
+    (ocr_ray.pipelines.joins.semi_anti_join), so no driver structure
+    scales with corpus size.
+
+    Documents with fewer than ``shingle_k`` tokens carry no shingles and
+    are always clean (no padding — keeps the SQL twin exact)."""
+    from ..pipelines.joins import semi_anti_join
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_sh: list[int] = []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            toks = txt.lower().split()
+            if len(toks) < shingle_k:
+                continue
+            seen = set()
+            for i in range(len(toks) - shingle_k + 1):
+                s = " ".join(toks[i : i + shingle_k])
+                h = int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+                ) % _MERSENNE
+                seen.add(h)
+            out_id.extend([did] * len(seen))
+            out_sh.extend(sorted(seen))
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "sh": pa.array(out_sh, pa.int64())}
+        )
+
+    doc_sh = docs.map_batches(shingle_rows, batch_format="pyarrow")
+    bench_sh = bench.map_batches(shingle_rows, batch_format="pyarrow").select_columns(
+        ["sh"]
+    )
+    contaminated = (
+        semi_anti_join(doc_sh, bench_sh, on="sh")
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
+    )
+    return semi_anti_join(docs, contaminated, on="doc_id", anti=True)
+
+
 def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id)
     with cluster_id = min doc_id of the component.

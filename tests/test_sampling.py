@@ -103,6 +103,78 @@ def test_curation_dag_invariants(ray_session):
     assert residual.empty
 
 
+def test_pack_sequences_greedy_invariants(ray_session):
+    """Greedy shard-local packing: pack ids dense per shard, every pack's
+    token sum <= cap (except single oversized docs), assignment equals a
+    sequential replay, stable across partitionings."""
+    import ray.data as rd
+
+    from ocr_ray.functions.packing import pack_sequences
+
+    rng = np.random.RandomState(3)
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(600, dtype=np.int64),
+         "text": [" ".join(["w"] * int(n)) for n in rng.randint(1, 700, 600)]}
+    )
+    out = (
+        pack_sequences(rd.from_pandas(docs), cap=512, shard=256)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 600
+    for (s,), g in out.groupby(["shard"]):
+        g = g.sort_values("doc_id")
+        packs = g["pack"].to_numpy()
+        assert packs[0] == 0 and (np.diff(packs) >= 0).all()
+        assert set(np.diff(packs)) <= {0, 1}  # dense
+        # sequential replay
+        acc, pack = 0, -1
+        for tok, p in zip(g["n_tokens"], packs):
+            if pack < 0 or acc + tok > 512:
+                pack += 1
+                acc = int(tok)
+            else:
+                acc += int(tok)
+            assert p == pack
+        # pack token sums bounded unless a single oversized doc
+        sums = g.groupby("pack")["n_tokens"].agg(["sum", "size"])
+        over = sums[sums["sum"] > 512]
+        assert (over["size"] == 1).all()
+    # partition independence
+    out2 = (
+        pack_sequences(rd.from_pandas(docs).repartition(7), cap=512, shard=256)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_decontaminate_drops_overlapping_docs(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import decontaminate
+
+    bench = pd.DataFrame(
+        {"doc_id": [1000], "text": ["the secret benchmark answer phrase here"]}
+    )
+    cand = pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": [
+             "totally unrelated clean content words flow",
+             "contains the secret benchmark answer phrase here verbatim",
+             "short",  # < 3 tokens -> no shingles -> clean by contract
+         ]}
+    )
+    out = (
+        decontaminate(rd.from_pandas(cand), rd.from_pandas(bench))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == [1, 3]
+
+
 def test_media_features_query(ray_session):
     from ocr_ray.functions.multimodal import make_media_table, media_pipeline
 
