@@ -728,6 +728,53 @@ def _minhash_pairs_cte(src: str = "documents") -> str:
             )"""
 
 
+def _embedding_near_dup_sql(dim: int = 64) -> str:
+    """Exact SQL replay of the hyperplane-LSH embedding near-dup: the
+    seeded plane matrix is embedded as repr()-round-tripped double
+    literals (bit-exact), sign keys per 6-bit table, in-bucket unit-vector
+    cosine rounded to 6 dp. ``dim`` matches the testdata embeddings
+    (64-d across every sf)."""
+    from ocr_ray.functions.dedup import _planes
+
+    planes = _planes(dim, 48)
+    vals = ",".join(
+        f"({i},{j},{planes[i, j]!r})" for i in range(dim) for j in range(48)
+    )
+    return f"""
+        WITH planes(i, j, w) AS (SELECT * FROM (VALUES {vals})),
+        e AS (
+          SELECT vec_id, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id
+        ), u AS (
+          SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS ux
+          FROM e JOIN norms n ON e.vec_id = n.vec_id
+        ), dots AS (
+          SELECT u.vec_id, p.j, sum(u.ux * p.w) AS d
+          FROM u JOIN planes p ON u.i = p.i GROUP BY u.vec_id, p.j
+        ), keys AS (
+          SELECT vec_id, j // 6 AS tbl,
+                 sum(CASE WHEN d > 0 THEN 1::BIGINT << (j % 6) ELSE 0 END) AS key
+          FROM dots GROUP BY vec_id, j // 6
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM keys a JOIN keys b
+            ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+        ), cos AS (
+          SELECT c.vec_a, c.vec_b,
+                 round((SELECT sum(x.ux * y.ux) FROM u x JOIN u y ON x.i = y.i
+                        WHERE x.vec_id = c.vec_a AND y.vec_id = c.vec_b), 6)
+                   AS cosine
+          FROM cand c
+        )
+        SELECT vec_a, vec_b, cosine FROM cos
+        WHERE cosine >= 0.4 ORDER BY vec_a, vec_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mh = _minhash_pairs_cte()
     dedup_minhash_sql = (
@@ -844,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "doc_winnow": _winnow_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
         "docs_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE ({id_hash}) % 100 < 25 ORDER BY doc_id
