@@ -409,6 +409,24 @@ def _q_docs_curated(sf_dir: str):
     return curate_documents(sf_dir)
 
 
+def _q_media_frames(sf_dir: str):
+    """Video frame-sampling pipeline (synthetic containers sized to the
+    documents table): actor-pool FrameSampler keeps every 8th frame and
+    emits per-frame feature rows (rows-only by design)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ocr_ray.functions.multimodal import FrameSampler, make_video_table
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    vids = rd.from_arrow(make_video_table(min(n, 200)))
+    return vids.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 8), num_cpus=1,
+    )
+
+
 def _q_docs_packed(sf_dir: str):
     """Sequence packing (training batch shaping): greedy in-order packing
     of documents into <=512-token sequences inside contiguous doc_id
@@ -551,8 +569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / split (training-data pipeline ops)
         "docs_sample": _q_docs_sample,
         "docs_split": _q_docs_split,
-        # multimodal binary-column pipeline (deterministic fake codec)
+        # multimodal binary-column pipelines (deterministic fake codecs)
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         # the composed curation DAG (quality -> dedup -> near-dup -> split)
         "docs_curated": _q_docs_curated,
         # sequence packing (training batch shaping)

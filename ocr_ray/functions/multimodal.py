@@ -25,7 +25,10 @@ import ray.data as rd
 __all__ = [
     "MEDIA_SCHEMA",
     "make_media_table",
+    "make_video_table",
     "FakeImageDecoder",
+    "ImageResizer",
+    "FrameSampler",
     "decode_real",
     "media_pipeline",
 ]
@@ -130,3 +133,102 @@ def media_pipeline(media: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageResizer(FakeImageDecoder):
+    """Actor-pool resize stage (decode -> nearest-neighbor resize ->
+    re-encode). The resize itself is pure numpy striding — REAL compute,
+    no codec needed; only the byte-level decode is behind the fake header
+    parser. Emits the same payload format at (out_w, out_h)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16) -> None:
+        super().__init__()
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_payload, out_w, out_h = [], [], [], []
+        for mid, p in zip(ids, payloads):
+            img = self._decode(p)
+            out_id.append(mid)
+            if img is None:
+                out_payload.append(b"")
+                out_w.append(0)
+                out_h.append(0)
+                continue
+            h, w, c = img.shape
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            small = img[yi][:, xi]  # nearest-neighbor
+            out_payload.append(
+                _MAGIC + struct.pack("<HHB", self.out_w, self.out_h, c)
+                + small.tobytes()
+            )
+            out_w.append(self.out_w)
+            out_h.append(self.out_h)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_payload, pa.binary()),
+                pa.array(out_w, pa.int32()),
+                pa.array(out_h, pa.int32()),
+            ],
+            names=["media_id", "payload", "width", "height"],
+        )
+
+
+VIDEO_MAGIC = b"VID1"
+
+
+def make_video_table(n: int, seed: int = 43, frames: int = 24) -> pa.Table:
+    """Deterministic synthetic video table: VID1 + n_frames:u16 + w:u16 +
+    h:u16 + concatenated grayscale frames."""
+    rng = np.random.RandomState(seed)
+    rows_id, rows_payload, rows_frames = [], [], []
+    for i in range(n):
+        w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+        body = rng.randint(0, 256, size=frames * w * h, dtype=np.uint8).tobytes()
+        rows_id.append(i)
+        rows_payload.append(VIDEO_MAGIC + struct.pack("<HHH", frames, w, h) + body)
+        rows_frames.append(frames)
+    return pa.Table.from_pydict(
+        {"media_id": pa.array(rows_id, pa.int64()),
+         "payload": pa.array(rows_payload, pa.binary()),
+         "n_frames": pa.array(rows_frames, pa.int32())}
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: decode the synthetic video
+    container, keep every ``stride``-th frame, emit per-kept-frame feature
+    rows (flat_map shape: one input row -> several output rows). The
+    sampling arithmetic is real; only the container parse is synthetic."""
+
+    def __init__(self, stride: int = 8) -> None:
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, out_mean = [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            if p[:4] != VIDEO_MAGIC:
+                continue
+            n_frames, w, h = struct.unpack("<HHH", p[4:10])
+            body = np.frombuffer(p[10 : 10 + n_frames * w * h], dtype=np.uint8)
+            if body.size != n_frames * w * h:
+                continue
+            vid = body.reshape(n_frames, h, w)
+            for f in range(0, n_frames, self.stride):
+                out_id.append(mid)
+                out_frame.append(f)
+                out_mean.append(float(np.round(vid[f].mean(), 6)))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, pa.int64()),
+                pa.array(out_frame, pa.int32()),
+                pa.array(out_mean, pa.float64()),
+            ],
+            names=["media_id", "frame_idx", "mean_value"],
+        )

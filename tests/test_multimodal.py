@@ -52,3 +52,56 @@ def test_media_pipeline(ray_session):
     out = media_pipeline(ds).to_pandas()
     assert len(out) == 100
     assert out["decode_ok"].all()
+
+
+def test_image_resizer_roundtrip(ray_session):
+    """Resize stage: real nearest-neighbor numpy resize, payload format
+    preserved, decodable by the same decoder at the new dims."""
+    import ray.data as rd
+
+    from ocr_ray.functions.multimodal import (
+        FakeImageDecoder,
+        ImageResizer,
+        make_media_table,
+    )
+
+    media = rd.from_arrow(make_media_table(20))
+    out = media.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2), num_cpus=1,
+        fn_constructor_kwargs={"out_w": 12, "out_h": 10},
+    ).to_pandas()
+    assert len(out) == 20
+    assert (out["width"] == 12).all() and (out["height"] == 10).all()
+    dec = FakeImageDecoder()
+    img = dec._decode(out["payload"].iloc[0])
+    assert img is not None and img.shape == (10, 12, 3)
+
+
+def test_frame_sampler(ray_session):
+    """Frame sampling: every stride-th frame, one output row per kept
+    frame, means match a direct numpy replay."""
+    import numpy as np
+    import struct
+
+    import ray.data as rd
+
+    from ocr_ray.functions.multimodal import VIDEO_MAGIC, FrameSampler, make_video_table
+
+    table = make_video_table(6, frames=24)
+    out = (
+        rd.from_arrow(table)
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=4,
+                     concurrency=(1, 2), num_cpus=1)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6 * 3  # 24 frames, stride 8 -> frames 0, 8, 16
+    assert set(out["frame_idx"]) == {0, 8, 16}
+    p = table.column("payload")[0].as_py()
+    n_frames, w, h = struct.unpack("<HHH", p[4:10])
+    vid = np.frombuffer(p[10:], dtype=np.uint8).reshape(n_frames, h, w)
+    got = out[out["media_id"] == 0].set_index("frame_idx")["mean_value"]
+    for f in (0, 8, 16):
+        assert got[f] == float(np.round(vid[f].mean(), 6))
