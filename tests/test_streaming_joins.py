@@ -194,6 +194,45 @@ def test_semi_anti_join_distributed_path_matches_broadcast(ray_session):
     assert list(want_semi["k"]) == [2, 4] and list(want_anti["k"]) == [1, 3, 5, 6]
 
 
+def test_cogroup_bucket_join_randomized_vs_pandas(ray_session):
+    """Randomized cogroup join == pandas merge across seeds, key skews,
+    missing keys, bucket counts, and both key-name arrangements."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import cogroup_bucket_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 40, 200).astype(np.int64),
+             "a": rng.randint(0, 1000, 200).astype(np.int64)}
+        )
+        right = pd.DataFrame(
+            {"rk": rng.randint(20, 60, 80).astype(np.int64),
+             "b": [f"s{i}" for i in range(80)]}
+        )
+        nb = int(rng.choice([2, 8, 64]))
+        got = (
+            cogroup_bucket_join(
+                rd.from_pandas(left).repartition(5),
+                rd.from_pandas(right).repartition(3),
+                "k", "rk", n_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values(["k", "a", "b"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="k", right_on="rk")
+            .sort_values(["k", "a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
+        assert got["a"].dtype == "int64" and got["k"].dtype == "int64"
+
+
 def test_cluster_pairs_dataset_matches_union_find(ray_session):
     """Distributed min-label propagation == driver union-find on a graph
     with a chain (multi-round convergence) and an isolated pair."""
