@@ -38,6 +38,7 @@ __all__ = [
     "embedding_near_dup",
     "cluster_pairs",
     "cluster_pairs_dataset",
+    "dedup_drop_ids",
     "dedup_keep_list",
 ]
 
@@ -546,20 +547,49 @@ def cluster_pairs_dataset(pairs: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
         # uniform in block type for the aggregate's boundary sampling
         return pa.Table.from_pydict({"doc_id": t["dst"], "label": t["label"]})
 
+    # pointer-doubling side tables: label(d) <- label(label(d)) each round,
+    # so chain-shaped components converge in O(log diameter) rounds instead
+    # of O(diameter) — a 10^6-long boilerplate chain needs ~20 rounds, not
+    # 10^6 (every label value is itself a node id, so the self-join below
+    # always finds a parent row)
+    def as_ref(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"child": t["doc_id"], "ref": t["label"]})
+
+    def as_parent(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"parent": t["doc_id"], "plabel": t["label"]})
+
+    def jump(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"doc_id": t["child"], "label": t["plabel"]})
+
+    converged = False
     for _ in range(max_iters):
         msgs = cogroup_bucket_join(
             edges, labels, "src", "doc_id", n_buckets=nb
         ).map_batches(msg, batch_format="pyarrow")
+        lol = cogroup_bucket_join(
+            labels.map_batches(as_ref, batch_format="pyarrow"),
+            labels.map_batches(as_parent, batch_format="pyarrow"),
+            "ref", "parent", n_buckets=nb,
+        ).map_batches(jump, batch_format="pyarrow")
         labels = (
-            msgs.union(labels)
+            msgs.union(lol).union(labels)
             .groupby("doc_id")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
         cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # never return silently-wrong cluster labels: with pointer doubling
+        # max_iters=50 covers diameter ~2^50, so reaching here means the
+        # label sum genuinely failed to fix — a bug, not a big graph
+        raise RuntimeError(
+            f"cluster_pairs_dataset: no label fixpoint after {max_iters} "
+            "rounds of min-label propagation + pointer doubling"
+        )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"label": "cluster_id"})
@@ -567,21 +597,53 @@ def cluster_pairs_dataset(pairs: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
     return labels.map_batches(final, batch_format="pandas")
 
 
-def dedup_keep_list(docs: rd.Dataset, threshold: float = 0.5) -> pd.DataFrame:
-    """End-to-end near-dedup: MinHash-LSH pairs -> distributed connected
-    components -> keep the min doc_id per cluster. Returns (doc_id, keep)
-    for every doc that appears in any near-dup cluster (docs outside
-    clusters are implicitly kept)."""
+def _near_dup_clusters(docs: rd.Dataset, threshold: float) -> rd.Dataset | None:
+    """MinHash-LSH pairs -> connected components as a (doc_id, cluster_id)
+    Dataset, or None when there are no near-dup pairs. Below the pair gate
+    the driver union-find kernel runs (bounded, identical output) and is
+    lifted back into a Dataset; above it the distributed min-label
+    propagation runs — no driver structure proportional to cluster
+    membership on that path."""
     pairs = minhash_pairs(docs, threshold=threshold).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return pd.DataFrame({"doc_id": [], "keep": []})
+        return None
     if n_pairs <= _BROADCAST_PAIR_LIMIT:
-        # bounded graph: driver union-find kernel (identical output);
-        # beyond the gate the distributed min-label propagation runs
-        clusters = cluster_pairs(pairs.to_pandas())
-    else:
-        clusters = cluster_pairs_dataset(pairs).to_pandas()
+        return rd.from_pandas(cluster_pairs(pairs.to_pandas()))
+    return cluster_pairs_dataset(pairs)
+
+
+def dedup_drop_ids(docs: rd.Dataset, threshold: float = 0.5) -> rd.Dataset:
+    """Dataset of doc_ids to DROP under near-dedup (every clustered doc
+    except its cluster's min doc_id). This is the 100-TB path: cluster
+    membership of a web corpus is corpus-scale, so the drop set stays a
+    Dataset end-to-end — feed it to ``semi_anti_join(..., anti=True)``."""
+    clusters = _near_dup_clusters(docs, threshold)
+    if clusters is None:
+        return rd.from_arrow(pa.Table.from_pydict({"doc_id": pa.array([], pa.int64())}))
+
+    def drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t["doc_id"], t["cluster_id"])
+        return t.filter(pc.invert(keep)).select(["doc_id"])
+
+    return clusters.map_batches(drops, batch_format="pyarrow")
+
+
+def dedup_keep_list(docs: rd.Dataset, threshold: float = 0.5) -> pd.DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
+    keep the min doc_id per cluster. Returns (doc_id, keep) for every doc
+    that appears in any near-dup cluster (docs outside clusters are
+    implicitly kept).
+
+    Driver-side VIEW for bounded result sets (queries, notebooks). The
+    scale path is :func:`dedup_drop_ids` + ``semi_anti_join`` — no
+    driver DataFrame proportional to cluster membership."""
+    clusters_ds = _near_dup_clusters(docs, threshold)
+    if clusters_ds is None:
+        return pd.DataFrame({"doc_id": [], "keep": []})
+    clusters = clusters_ds.to_pandas()
     clusters = clusters.sort_values("doc_id").reset_index(drop=True)
     clusters["keep"] = clusters["doc_id"] == clusters["cluster_id"]
     return clusters[["doc_id", "keep"]]

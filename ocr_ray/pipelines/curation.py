@@ -6,8 +6,9 @@ at 100 TB:
       -> quality gate              (vectorized features, fixed thresholds)
       -> exact dedup               (canonical-text groupby, keep min doc_id;
                                     keeper set joined back Dataset-side)
-      -> near-dup keep-list        (MinHash-LSH pairs -> connected
-                                    components -> keep min of cluster)
+      -> near-dup anti-join        (MinHash-LSH pairs -> connected
+                                    components -> drop set stays a Dataset,
+                                    removed by adaptive semi/anti join)
       -> train/val/test split      (deterministic hash assignment)
 
 Every stage is individually SQL-verified elsewhere; the composed pipeline
@@ -19,11 +20,9 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
@@ -34,10 +33,10 @@ def curate_documents(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     """Returns the curated corpus manifest as a STREAMING Dataset of
     (doc_id, split) — at 100 TB the manifest is itself corpus-sized, so it
     must flow to a sink, never to the driver."""
-    from ..functions.dedup import add_content_hash, dedup_keep_list
+    from ..functions.dedup import add_content_hash, dedup_drop_ids
     from ..functions.sampling import stratified_split
     from ..functions.textstats import quality_batch
-    from .joins import cogroup_bucket_join
+    from .joins import cogroup_bucket_join, semi_anti_join
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -70,22 +69,16 @@ def curate_documents(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         survivors, keepers, "doc_id", n_buckets=32
     ).materialize()
 
-    # 3. near-dup keep-list (MinHash-LSH -> components -> keep min); drops
-    #    are bounded by near-dup cluster membership
-    kl = dedup_keep_list(exact_survivors, threshold=threshold)
-    drops = (
-        np.sort(kl.loc[~kl["keep"], "doc_id"].to_numpy(dtype=np.int64))
-        if len(kl)
-        else np.array([], dtype=np.int64)
+    # 3. near-dup drop list (MinHash-LSH -> components -> drop non-min of
+    #    each cluster). The drop set STAYS a Dataset and is removed with an
+    #    adaptive anti-join: at web scale cluster membership is
+    #    corpus-sized (majority-duplicate corpora), so no driver DataFrame
+    #    or broadcast array may be proportional to it — semi_anti_join
+    #    broadcasts only below its key gate, else cogroup-joins.
+    drops = dedup_drop_ids(exact_survivors, threshold=threshold)
+    final = semi_anti_join(
+        exact_survivors.select_columns(["doc_id"]), drops, on="doc_id", anti=True
     )
-    dref = ray.put(drops)
-
-    def drop_neardups(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = ~np.isin(ids, ray.get(dref))
-        return t.filter(pa.array(keep)).select(["doc_id"])
-
-    final = exact_survivors.map_batches(drop_neardups, batch_format="pyarrow")
 
     # 4. deterministic split assignment — stays a Dataset (stream to sink)
     return stratified_split(final, "doc_id")

@@ -128,6 +128,21 @@ def test_dedup_keep_list(ray_session):
     assert keep[1] and not keep[12]
 
 
+def test_dedup_drop_ids_matches_keep_list(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import dedup_drop_ids, dedup_keep_list
+
+    docs = _docs_with_dups()
+    kl = dedup_keep_list(rd.from_arrow(docs), threshold=0.5)
+    want = sorted(kl.loc[~kl["keep"], "doc_id"].astype(int))
+    got = sorted(
+        dedup_drop_ids(rd.from_arrow(docs), threshold=0.5)
+        .to_pandas()["doc_id"].astype(int)
+    )
+    assert got == want and got == [10, 11, 12]
+
+
 def test_training_reader_deterministic(ray_session, tmp_path):
     import os
 

@@ -256,6 +256,29 @@ def test_cluster_pairs_dataset_matches_union_find(ray_session):
     )
 
 
+def test_cluster_pairs_dataset_long_chain_pointer_doubling(ray_session):
+    """A 120-node chain converges within 10 rounds only via pointer
+    doubling (plain min-propagation needs ~120); also guards the loud
+    non-convergence contract — the old code returned wrong labels
+    silently when the iteration cap was hit."""
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import cluster_pairs_dataset
+
+    n = 120
+    pairs = pd.DataFrame(
+        {"doc_a": list(range(n - 1)), "doc_b": list(range(1, n))}
+    )
+    got = (
+        cluster_pairs_dataset(rd.from_pandas(pairs), max_iters=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert (got["cluster_id"] == 0).all()
+
+
 def test_order_lineitem_revenue(ray_session):
     from ocr_ray.pipelines.joins import order_lineitem_revenue
 
