@@ -178,6 +178,10 @@ _N_HASH_BUCKETS = 64  # shuffle granularity for LSH-bucket grouping
 # this many unique candidate pairs the verify side broadcasts the (bounded)
 # candidate payload table instead of running partitioned cogroup joins
 _BROADCAST_PAIR_LIMIT = 10_000
+# hard cap on the driver-merged Bloom bitset (~5 MB at 1% fp): past this
+# many candidate ids the fp rate degrades instead of the driver growing —
+# fps only cost wasted shingling, dropped by the inner verify joins
+_BLOOM_CAPACITY_CAP = 1 << 22
 
 
 def _lsh_candidate_pairs(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
@@ -229,26 +233,95 @@ def minhash_pairs(
         lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
         batch_format="pyarrow",
     )
-    cand = bucketed.groupby("bucket").map_groups(
+    cand_rows = bucketed.groupby("bucket").map_groups(
         lambda df: _lsh_candidate_pairs(df, ["band_idx", "band_key"]),
         batch_format="pandas",
     ).map_batches(
         _ensure_cols({"doc_a": "int64", "doc_b": "int64"}), batch_format="pandas"
-    )
+    ).materialize()
+    n_rows = cand_rows.count()
+    if n_rows == 0:
+        return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
+
+    # Adaptive verify strategy (the broadcast-join-threshold idiom), gated
+    # on RAW candidate rows (band-duplicated, so the true pair count is <=
+    # the gate too). Below the gate the whole candidate set is bounded:
+    # ONE driver pull replaces the cross-band pair-dedup shuffle, the
+    # Bloom build pass, and the broadcast-table gather of the wide path —
+    # those three fixed barriers dominated small-corpus wall time (r2
+    # bench: 3.4 s vs 2.8 s at sf0.1). Beyond the gate everything stays a
+    # Dataset — driver memory is capped either way.
+    if n_rows <= _BROADCAST_PAIR_LIMIT:
+        pairs_pd = (
+            cand_rows.to_pandas()  # bounded by the gate
+            .drop_duplicates()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        ids = np.unique(
+            np.concatenate(
+                [pairs_pd["doc_a"].to_numpy(np.int64),
+                 pairs_pd["doc_b"].to_numpy(np.int64)]
+            )
+        )
+        idref = ray.put(ids)
+
+        def shingle_exact(t: pa.Table) -> pa.Table:
+            col = t.column("doc_id").to_numpy(zero_copy_only=False)
+            member = np.isin(col, ray.get(idref))
+            sub = t.filter(pa.array(member))
+            out_id, out_sh = [], []
+            for did, txt in zip(sub.column("doc_id").to_pylist(),
+                                sub.column("text").to_pylist()):
+                out_id.append(did)
+                out_sh.append(_token_hashes(txt).tobytes())
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array(out_id, pa.int64()),
+                 "shingles": pa.array(out_sh, pa.binary())}
+            )
+
+        shingles: dict[int, bytes] = {}
+        for b in docs.map_batches(
+            shingle_exact, batch_format="pyarrow"
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for did, sh in zip(b.column("doc_id").to_pylist(),
+                               b.column("shingles").to_pylist()):
+                shingles[did] = sh
+        ref = ray.put(shingles)
+
+        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            table = ray.get(ref)
+            jac = np.zeros(len(df), dtype=np.float64)
+            for i, (a, b_) in enumerate(zip(df["doc_a"], df["doc_b"])):
+                sa = np.frombuffer(table[a], dtype=np.uint64)
+                sb = np.frombuffer(table[b_], dtype=np.uint64)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[i] = inter / union if union else 0.0
+            out = df[["doc_a", "doc_b"]].copy()
+            out["jaccard"] = np.round(jac, 6)
+            return out[out["jaccard"] >= threshold]
+
+        return rd.from_pandas(pairs_pd).map_batches(
+            verify_bcast, batch_format="pandas"
+        )
+
+    # ---- wide path: everything stays a Dataset ----
     # distributed cross-band pair dedup BEFORE the verify joins: band-copies
     # of a hot pair would otherwise multiply join rows and widen the
     # adaptive bucket count (measured slower than paying this shuffle)
     cand = (
-        cand.groupby(["doc_a", "doc_b"])
+        cand_rows.groupby(["doc_a", "doc_b"])
         .count()
         .select_columns(["doc_a", "doc_b"])
         .materialize()
     )
     n_cand = cand.count()
-    if n_cand == 0:
-        return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}))
 
-    # bounded Bloom semi-filter of the corpus down to candidate docs
+    # bounded Bloom semi-filter of the corpus down to candidate docs; the
+    # driver-merged bitset is CAPPED — past the cap the fp rate degrades
+    # gracefully, and a false positive only means one non-candidate doc is
+    # shingled and then dropped by the inner verify joins
     def pair_ids(t: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"doc_id": pa.concat_arrays(
@@ -259,7 +332,7 @@ def minhash_pairs(
     bloom = _dataset_bloom(
         cand.map_batches(pair_ids, batch_format="pyarrow"),
         "doc_id",
-        capacity=max(64, 2 * n_cand),
+        capacity=min(max(64, 2 * n_cand), _BLOOM_CAPACITY_CAP),
     )
     bref = ray.put(bloom)
 
@@ -280,34 +353,6 @@ def minhash_pairs(
         )
 
     sh_ds = docs.map_batches(shingle_cand, batch_format="pyarrow").materialize()
-
-    # Adaptive verify strategy (the broadcast-join-threshold idiom): below
-    # the gate the candidate shingle table is BOUNDED (<= 2 * limit blobs),
-    # so one broadcast + a single map pass beats four shuffle barriers;
-    # beyond it the partitioned cogroup-join path runs — driver memory
-    # stays capped either way.
-    if n_cand <= _BROADCAST_PAIR_LIMIT:
-        shingles: dict[int, bytes] = {}
-        for b in sh_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            for did, sh in zip(b.column("doc_id").to_pylist(),
-                               b.column("shingles").to_pylist()):
-                shingles[did] = sh
-        ref = ray.put(shingles)
-
-        def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
-            table = ray.get(ref)
-            jac = np.zeros(len(df), dtype=np.float64)
-            for i, (a, b_) in enumerate(zip(df["doc_a"], df["doc_b"])):
-                sa = np.frombuffer(table[a], dtype=np.uint64)
-                sb = np.frombuffer(table[b_], dtype=np.uint64)
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                jac[i] = inter / union if union else 0.0
-            out = df[["doc_a", "doc_b"]].copy()
-            out["jaccard"] = np.round(jac, 6)
-            return out[out["jaccard"] >= threshold]
-
-        return cand.map_batches(verify_bcast, batch_format="pandas")
 
     def rename_arrow(cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:

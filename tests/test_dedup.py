@@ -55,6 +55,28 @@ def test_minhash_pairs_finds_near_dups(ray_session):
         assert r.jaccard == pytest.approx(round(brute, 6))
 
 
+def test_minhash_pairs_wide_path_matches_broadcast(ray_session, monkeypatch):
+    """Force the wide (Dataset cogroup-join + capped-Bloom) verify path by
+    zeroing the broadcast gate; output must match the bounded path."""
+    import ray.data as rd
+
+    from ocr_ray.functions import dedup
+
+    docs = _docs_with_dups()
+    want = dedup.minhash_pairs(rd.from_arrow(docs), threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_PAIR_LIMIT", 0)
+    got = dedup.minhash_pairs(rd.from_arrow(docs), threshold=0.5).to_pandas()
+
+    def key(df):
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        key(got)[["doc_a", "doc_b", "jaccard"]],
+        key(want)[["doc_a", "doc_b", "jaccard"]],
+        check_dtype=False,
+    )
+
+
 def test_simhash_pairs(ray_session):
     import ray.data as rd
 
