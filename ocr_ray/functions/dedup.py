@@ -797,6 +797,13 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
 # was regenerated on every batch call
 _PLANES_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
+# embedding-LSH shuffle-amplification gate: with the blob path every unit
+# vector rides the LSH shuffle once PER TABLE (n_tables * dim * 8 bytes).
+# At sandbox dims (64 x 8 = 512) that wins — in-bucket BLAS beats per-pair
+# joins; at production dims (768 x 8 = 6144) it inverts, so above the gate
+# only id rows shuffle and vectors ship once per pair side.
+_EMB_BLOB_GATE = 1024
+
 
 def _planes(dim: int, n_cols: int) -> np.ndarray:
     key = (dim, n_cols)
@@ -821,17 +828,30 @@ def embedding_near_dup(
     Emits (vec_a, vec_b, cosine), deduplicated across tables. Recall is
     approximate (multi-table OR-amplification); precision is exact.
 
-    Scale shape: in-bucket vectorized cosine (one matmul per collision
-    set — when LSH keys are coarse relative to corpus size, candidates
-    approach all-pairs and a per-pair join loses badly to BLAS), unit
-    vectors ride the shuffle as compact binary blobs (n_tables x
-    dim x 8 bytes per vector, bounded), hyperplanes cached per process,
-    and the cross-table pair dedup is a distributed groupby — no driver
-    materialization anywhere.
+    Scale shape — ADAPTIVE on shuffle amplification ``dim * n_tables``:
+
+    - blob path (small dim): unit vectors ride the LSH shuffle as binary
+      blobs replicated once per table, and each collision set is verified
+      with ONE in-bucket matmul (measured: per-pair joins lose to BLAS at
+      sandbox dims, commit 4ec0cff).
+    - row path (``dim * n_tables > _EMB_BLOB_GATE``): only (vec_id,
+      band_idx, band_key) rows ride the LSH shuffle (no ~8x vector blob
+      amplification — at 768-dim production embeddings the blob path ships
+      ~48 KB/vector); candidate pairs are deduped distributed, then each
+      unit vector ships ONCE per pair side via two cogroup joins and the
+      cosine is a batched per-pair BLAS dot.
+
+    Hyperplanes are cached per process; cross-table pair dedup is a
+    distributed groupby — no driver materialization on either path.
     """
     from ray.data.aggregate import Min
 
     from ..stages.partial_agg import add_hash_bucket
+
+    # probe the embedding dim from one row (driver-side, O(1))
+    dim = len(embs.take(1)[0]["embedding"])
+    if dim * n_tables > _EMB_BLOB_GATE:
+        return _embedding_near_dup_rows(embs, threshold, n_tables, n_planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -908,3 +928,103 @@ def embedding_near_dup(
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(
         Min("cosine", alias_name="cosine")
     )
+
+
+def _embedding_near_dup_rows(
+    embs: rd.Dataset, threshold: float, n_tables: int, n_planes: int
+) -> rd.Dataset:
+    """High-dim path of :func:`embedding_near_dup`: the LSH shuffle carries
+    only (vec_id, band_idx, band_key) rows; unit vectors ship once per pair
+    side through cogroup joins after distributed candidate-pair dedup."""
+    from ..pipelines.joins import cogroup_bucket_join
+    from ..stages.partial_agg import add_hash_bucket
+
+    def bucketize_ids(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        planes = _planes(mat.shape[1], n_tables * n_planes)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        bits = ((mat / norms) @ planes) > 0
+        ids = batch.column("vec_id").to_pylist()
+        rows_id, rows_tab, rows_key = [], [], []
+        for t in range(n_tables):
+            chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+            keys = (chunk * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+            rows_id.extend(ids)
+            rows_tab.extend([t] * len(keys))
+            rows_key.extend(keys.tolist())
+        return pa.Table.from_arrays(
+            [pa.array(rows_id, pa.int64()),
+             pa.array(rows_tab, pa.int32()),
+             pa.array(rows_key, pa.int64())],
+            names=["doc_id", "band_idx", "band_key"],
+        )
+
+    buckets = embs.map_batches(bucketize_ids, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["band_idx", "band_key"], _N_HASH_BUCKETS),
+        batch_format="pyarrow",
+    )
+    cand = (
+        buckets.groupby("bucket")
+        .map_groups(
+            lambda df: _lsh_candidate_pairs(df, ["band_idx", "band_key"]),
+            batch_format="pandas",
+        )
+        .map_batches(
+            _ensure_cols({"doc_a": "int64", "doc_b": "int64"}),
+            batch_format="pandas",
+        )
+        .groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+    n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        )
+
+    def unit_blob(names: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            return pa.Table.from_arrays(
+                [batch.column("vec_id").cast(pa.int64()),
+                 pa.array([row.tobytes() for row in unit], pa.binary())],
+                names=names,
+            )
+
+        return fn
+
+    u_a = embs.map_batches(unit_blob(["doc_a", "ua"]), batch_format="pyarrow")
+    u_b = embs.map_batches(unit_blob(["doc_b", "ub"]), batch_format="pyarrow")
+    nb = min(256, max(8, n_cand // 64))
+    j = cogroup_bucket_join(cand, u_a, "doc_a", n_buckets=nb)
+    j = cogroup_bucket_join(j, u_b, "doc_b", n_buckets=nb)
+
+    def cos_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64")}
+            )
+        A = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["ua"]])
+        B = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["ub"]])
+        # batched per-pair BLAS dot (matmul over stacked row pairs)
+        vals = np.round(np.matmul(A[:, None, :], B[:, :, None]).ravel(), 6)
+        out = pd.DataFrame(
+            {"vec_a": df["doc_a"].to_numpy(dtype=np.int64),
+             "vec_b": df["doc_b"].to_numpy(dtype=np.int64),
+             "cosine": vals}
+        )
+        return out[out["cosine"] >= threshold]
+
+    return j.map_batches(cos_pairs, batch_format="pandas")

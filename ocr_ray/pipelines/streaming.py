@@ -127,30 +127,53 @@ def session_windows(sf_dir: str) -> pd.DataFrame:
     the previous event exceeds SESSION_GAP_MIN minutes. Emits one row per
     session: (user_id, session_start, n_events, duration_sec).
 
-    groupby(user_id) + in-group ts sort + vectorized gap/cumsum — the
-    map_groups stateful-window pattern."""
+    Scale shape: groupby a COARSE hash bucket of user_id (64 groups, not
+    one per user — per-group map_groups overhead is ~1 ms, fatal at 10^9
+    users), then sessionize the whole bucket in ONE vectorized pass:
+    sort by (user_id, ts), a session break is a user change OR a gap
+    over the threshold, and session rows are sliced at the break indices
+    — no per-user loop anywhere."""
+    from ..stages.partial_agg import add_hash_bucket
+
     ds = _events(sf_dir, ["user_id", "ts"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        users = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy()
-        gap = np.diff(ts) / np.timedelta64(1, "s")
-        new_session = np.concatenate([[True], gap > SESSION_GAP_MIN * 60])
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame({"sid": sid, "ts": g["ts"].to_numpy()})
-            .groupby("sid")
-            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
-                 n_events=("ts", "size"))
-            .reset_index(drop=True)
+        same_user = np.concatenate([[False], users[1:] == users[:-1]])
+        gap_ok = np.concatenate(
+            [[False],
+             (ts[1:] - ts[:-1]) / np.timedelta64(1, "s") <= SESSION_GAP_MIN * 60]
         )
-        out["user_id"] = g["user_id"].iloc[0]
-        out["duration_sec"] = (
-            (out["session_end"] - out["session_start"]).dt.total_seconds().astype(np.int64)
+        starts = np.flatnonzero(~(same_user & gap_ok))
+        ends = np.append(starts[1:], len(users)) - 1
+        return pd.DataFrame(
+            {"user_id": users[starts],
+             "session_start": ts[starts],
+             "n_events": (ends - starts + 1).astype(np.int64),
+             "duration_sec": (
+                 (ts[ends] - ts[starts]) / np.timedelta64(1, "s")
+             ).astype(np.int64)}
         )
-        return out[["user_id", "session_start", "n_events", "duration_sec"]]
 
-    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "session_start": "datetime64[us]",
+                "n_events": "int64", "duration_sec": "int64"}
+        if not all(c in df.columns for c in cols):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(sessionize_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
     return res.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 

@@ -225,3 +225,34 @@ def test_embedding_near_dup_precision(ray_session):
         assert (i, 100 + i) in pairs
     # precision: every reported pair really has cosine >= threshold
     assert (out["cosine"] >= 0.95).all()
+
+
+def test_embedding_near_dup_row_path_matches_blob(ray_session, monkeypatch):
+    """Force the high-dim row path (id-only LSH shuffle + cogroup vector
+    fetch) by zeroing the blob gate: same pair set and cosines as the
+    blob path on identical input."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions import dedup
+
+    rng = np.random.RandomState(1)
+    base = rng.standard_normal((30, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(30)]
+    for i in range(6):
+        rows.append(
+            {"vec_id": 200 + i,
+             "embedding": (base[i] + 0.01 * rng.standard_normal(16)).tolist()}
+        )
+    embs = pa.Table.from_pylist(rows)
+    want = dedup.embedding_near_dup(rd.from_arrow(embs), threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_EMB_BLOB_GATE", 0)
+    got = dedup.embedding_near_dup(rd.from_arrow(embs), threshold=0.5).to_pandas()
+
+    def key(df):
+        return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    want, got = key(want), key(got)
+    assert want[["vec_a", "vec_b"]].values.tolist() == got[["vec_a", "vec_b"]].values.tolist()
+    np.testing.assert_allclose(got["cosine"], want["cosine"], atol=2e-6)
