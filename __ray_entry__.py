@@ -113,10 +113,13 @@ def _q_collapse(sf_dir: str):
 
 
 def _q_langid(sf_dir: str):
+    import ray
+
     from ocr_ray.functions.textstats import LangId
 
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        LangId, batch_format="pyarrow", concurrency=(1, max(2, n_cpus))
     )
 
 

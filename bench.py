@@ -151,8 +151,14 @@ def run_bench(ncpu: int) -> dict:
         "doc_quality",
         "knn_brute",
     ]
+    # min-of-N per query too (not just the headline): the first run doubles
+    # as warm-up and min absorbs contended-VM windows — the round-2 driver
+    # record caught one-shot per-query times uniformly ~1.6x inflated
+    q_repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     for name in query_names:
-        per_query[name] = round(_timed(qs[name], SF_DIR), 3)
+        per_query[name] = round(
+            min(_timed(qs[name], SF_DIR) for _ in range(q_repeats)), 3
+        )
     result = {
         "metric": f"extract_{os.path.basename(os.path.normpath(SF_DIR))}_sec",
         "value": round(extract_sec, 3),

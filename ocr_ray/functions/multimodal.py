@@ -213,7 +213,9 @@ class FrameSampler:
         out_id, out_frame, out_mean = [], [], []
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload").to_pylist()):
-            if p[:4] != VIDEO_MAGIC:
+            if p[:4] != VIDEO_MAGIC or len(p) < 10:
+                # skip-and-continue over hostile input (a valid magic with a
+                # truncated header must not kill the task)
                 continue
             n_frames, w, h = struct.unpack("<HHH", p[4:10])
             body = np.frombuffer(p[10 : 10 + n_frames * w * h], dtype=np.uint8)

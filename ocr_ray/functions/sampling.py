@@ -23,10 +23,26 @@ __all__ = ["key_hash64", "hash_sample", "stratified_split"]
 
 
 def key_hash64(keys) -> np.ndarray:
-    """uint64 little-endian low-8-bytes md5 of str(key) per element."""
+    """uint64 little-endian low-8-bytes md5 per element.
+
+    Integer keys hash their decimal string (== DuckDB
+    ``md5(CAST(k AS VARCHAR))`` in the SQL twins); string keys hash
+    as-is (same VARCHAR-cast identity). Anything else — notably floats,
+    which would be silently truncated — is rejected up front."""
+
+    def to_s(k) -> str:
+        if isinstance(k, (int, np.integer)):
+            return str(int(k))
+        if isinstance(k, str):
+            return k
+        raise TypeError(
+            "hash_sample/stratified_split key values must be integers or "
+            f"strings, got {type(k).__name__}: {k!r}"
+        )
+
     return np.fromiter(
         (
-            int.from_bytes(hashlib.md5(str(int(k)).encode()).digest()[:8], "little")
+            int.from_bytes(hashlib.md5(to_s(k).encode()).digest()[:8], "little")
             for k in keys
         ),
         dtype=np.uint64,

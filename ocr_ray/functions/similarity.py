@@ -40,26 +40,20 @@ def _unit(mat: np.ndarray) -> np.ndarray:
 
 
 def _lowest_ids(embs: rd.Dataset, n: int) -> pd.DataFrame:
-    """The n lowest-vec_id rows WITHOUT a global sort: a vectorized
-    ``vec_id < threshold`` filter scan (streaming, no shuffle), widening the
-    threshold only if the id space is sparse. The tiny survivor set is
-    sorted client-side. Replaces the former ``sort("vec_id").limit(n)``
-    which paid a full corpus shuffle to pick a handful of rows."""
+    """The n lowest-vec_id rows WITHOUT a global sort: per-block partial
+    top-n (each block emits only its n smallest rows), merged and cut on
+    the driver. ONE streaming scan, <= n rows per block on the driver, and
+    no assumption about the id space — anchored-at-0, snowflake-style
+    large, or sparse ids all behave identically (the former
+    threshold-widening filter scan re-scanned the corpus up to ~20x and
+    could pull far more than n rows when ids clustered high)."""
     import pyarrow.compute as pc
 
-    int64_max = (1 << 63) - 1
-    n = min(n, embs.count())  # parquet-metadata count: avoids widening loops
-    thresh = max(4 * n, 64)
-    while True:
-        def keep(batch: pa.Table, t=thresh) -> pa.Table:
-            return batch.filter(
-                pc.less(batch.column("vec_id"), pa.scalar(t, pa.int64()))
-            )
+    def partial(batch: pa.Table, k=n) -> pa.Table:
+        idx = pc.select_k_unstable(batch, k, [("vec_id", "ascending")])
+        return batch.take(idx)
 
-        head = embs.map_batches(keep, batch_format="pyarrow").to_pandas()
-        if len(head) >= n or thresh >= int64_max:
-            break
-        thresh = min(thresh * 8, int64_max)
+    head = embs.map_batches(partial, batch_format="pyarrow").to_pandas()
     return head.sort_values("vec_id", kind="mergesort").head(n).reset_index(drop=True)
 
 

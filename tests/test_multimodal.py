@@ -105,3 +105,18 @@ def test_frame_sampler(ray_session):
     got = out[out["media_id"] == 0].set_index("frame_idx")["mean_value"]
     for f in (0, 8, 16):
         assert got[f] == float(np.round(vid[f].mean(), 6))
+
+
+def test_frame_sampler_truncated_header_skipped():
+    """A payload with a valid magic but <10 bytes must be skipped, not
+    crash the task (total over hostile input)."""
+    import pyarrow as pa
+
+    from ocr_ray.functions.multimodal import VIDEO_MAGIC, FrameSampler
+
+    t = pa.Table.from_pydict(
+        {"media_id": pa.array([1, 2], pa.int64()),
+         "payload": pa.array([VIDEO_MAGIC + b"\x01", b"junk"], pa.binary())}
+    )
+    out = FrameSampler()(t)
+    assert out.num_rows == 0

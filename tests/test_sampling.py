@@ -44,6 +44,24 @@ def test_stratified_split_exhaustive_and_stable(ray_session):
     assert (merged["split_a"] == merged["split_b"]).all()
 
 
+def test_key_hash64_dtypes():
+    """Integer and string keys hash (strings as their own bytes, ints as
+    decimal strings == DuckDB VARCHAR cast); floats are rejected loudly
+    instead of silently truncated."""
+    import hashlib
+
+    import pytest
+
+    from ocr_ray.functions.sampling import key_hash64
+
+    got = key_hash64([7, "7", "abc"])
+    want7 = int.from_bytes(hashlib.md5(b"7").digest()[:8], "little")
+    assert got[0] == want7 and got[1] == want7
+    assert got[2] == int.from_bytes(hashlib.md5(b"abc").digest()[:8], "little")
+    with pytest.raises(TypeError, match="integers or strings"):
+        key_hash64([1.5])
+
+
 def test_hopping_window_matches_pandas_brute(ray_session):
     """Every event lands in exactly LEN/STEP windows; counts/sums match a
     brute-force pandas replay on the sf0.001 events table."""

@@ -69,6 +69,25 @@ def test_langid_profiles():
     assert out[0]["pred_lang"] == "en" and out[1]["pred_lang"] == "und"
 
 
+def test_lowest_ids_large_anchored_ids(ray_session):
+    """_lowest_ids must not assume ids start near 0: snowflake-style large
+    ids resolve in one scan with a bounded driver pull."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import _lowest_ids
+
+    base = 1 << 40
+    rows = [
+        {"vec_id": base + i * 997, "embedding": [float(i), 1.0]}
+        for i in range(50)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    head = _lowest_ids(ds, 4)
+    assert head["vec_id"].tolist() == [base + i * 997 for i in range(4)]
+
+
 def test_knn_ivf_recall_vs_brute(ray_session):
     import ray.data as rd
 
