@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity search
         "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
         # stream-shaped operators over the events log
         "events_tumbling": S.tumbling_window,
         "events_hopping": S.hopping_window,
@@ -630,7 +631,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "kmeans_clusters": _q_kmeans,
         "events_hll_users": _q_events_hll_users,
-        "knn_ivf": _q_knn_ivf,
     }
 
 
@@ -801,6 +801,89 @@ def _embedding_near_dup_sql(dim: int = 64) -> str:
     """
 
 
+def _knn_ivf_sql(sf_dir: str | None = None) -> str | None:
+    """Exact SQL replay of knn_ivf's assignment + probe + top-k: the
+    trained centroid matrix is deterministic (seeded init over the
+    lowest-2048-vec_id sample, 10 fixed Lloyd rounds — see
+    ``similarity.train_centroids``), so it is embedded as
+    repr-round-tripped double literals, the same pattern as the
+    embedding-LSH plane matrix. Training is replayed at oracle-build time
+    from the grading-scale table (driver grades at sf0.01); the SQL then
+    independently verifies bucket assignment, probe-set choice, and the
+    probed top-k cut. Returns None when the table is unavailable."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.functions.similarity import _unit, train_centroids
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    df = (
+        pq_.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .head(2048)
+    )
+    train = _unit(np.array(df["embedding"].tolist(), dtype=np.float64))
+    cent = train_centroids(train, 16, 10)
+    vals = ",".join(
+        f"({c},{i},{cent[c, i]!r})"
+        for c in range(cent.shape[0])
+        for i in range(cent.shape[1])
+    )
+    return f"""
+        WITH cent(c, i, w) AS (SELECT * FROM (VALUES {vals})),
+        e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id
+        ), u AS (
+          SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS ux
+          FROM e JOIN norms n ON e.vec_id = n.vec_id
+        ), dots AS (
+          -- unit-vector x centroid dot == the engine's mat @ cent.T
+          SELECT u.vec_id, cent.c,
+                 sum(u.ux * cent.w) AS d,
+                 row_number() OVER (
+                   PARTITION BY u.vec_id
+                   ORDER BY sum(u.ux * cent.w) DESC, cent.c
+                 ) AS rn
+          FROM u JOIN cent ON u.i = cent.i GROUP BY u.vec_id, cent.c
+        ), asg AS (
+          SELECT vec_id, c AS bucket FROM dots WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 8
+        ), qprobe AS (
+          SELECT q.qid, d.c FROM q JOIN dots d ON d.vec_id = q.qid
+          WHERE d.rn <= 4
+        ), cand AS (
+          SELECT p.qid, a.vec_id AS nid
+          FROM qprobe p JOIN asg a ON a.bucket = p.c
+          WHERE a.vec_id <> p.qid
+        ), cos AS (
+          SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                 list_cosine_similarity(
+                   CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])
+                 ) AS cs
+          FROM cand c
+          JOIN embeddings qe ON qe.vec_id = c.qid
+          JOIN embeddings ne ON ne.vec_id = c.nid
+        )
+        SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM (
+          SELECT query_id, neighbor_id, cs,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC, neighbor_id
+                 ) AS rn
+          FROM cos
+        ) WHERE rn <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mh = _minhash_pairs_cte()
     dedup_minhash_sql = (
@@ -864,7 +947,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         ORDER BY doc_id
     """
-    return {
+    out = {
         "docs_curated": docs_curated_sql,
         "docs_packed": """
             -- greedy in-order sequence packing replayed per shard with a
@@ -1374,3 +1457,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
         """,
     }
+    ivf = _knn_ivf_sql()
+    if ivf is not None:
+        out["knn_ivf"] = ivf
+    return out

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-__all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign"]
+__all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign", "train_centroids"]
 
 _SEED = 42
 
@@ -121,6 +121,28 @@ def knn_brute(
     return res
 
 
+def train_centroids(train: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Seeded k-means-lite training: deterministic init (seeded choice over
+    the given unit-row sample), fixed Lloyd iterations on spherical means.
+    Shared by kmeans_assign, knn_ivf, AND the knn_ivf SQL oracle builder —
+    the oracle embeds the returned matrix as repr-round-tripped literals,
+    so parity is automatic."""
+    rng = np.random.RandomState(_SEED)
+    cent = train[
+        rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)
+    ].copy()
+    for _ in range(iters):
+        assign = np.argmax(train @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = train[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
 def kmeans_assign(
     embs: rd.Dataset,
     n_centroids: int = 10,
@@ -132,17 +154,7 @@ def kmeans_assign(
     assignment pass over the corpus. Emits (vec_id, cluster)."""
     sample = _lowest_ids(embs, train_sample)
     train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
-    rng = np.random.RandomState(_SEED)
-    cent = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)].copy()
-    for _ in range(iters):
-        assign = np.argmax(train @ cent.T, axis=1)
-        for c in range(cent.shape[0]):
-            m = assign == c
-            if m.any():
-                v = train[m].mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cent[c] = v / nv
+    cent = train_centroids(train, n_centroids, iters)
     import ray
 
     cref = ray.put(cent)
@@ -176,17 +188,7 @@ def knn_ivf(
     """
     sample = _lowest_ids(embs, train_sample)
     train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
-    rng = np.random.RandomState(_SEED)
-    cent = train[rng.choice(len(train), size=min(n_centroids, len(train)), replace=False)]
-    for _ in range(10):
-        assign = np.argmax(train @ cent.T, axis=1)
-        for c in range(cent.shape[0]):
-            m = assign == c
-            if m.any():
-                v = train[m].mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cent[c] = v / nv
+    cent = train_centroids(train, n_centroids, 10)
     cref = ray.put(cent)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
