@@ -354,6 +354,76 @@ def _q_extract_units_docs(sf_dir: str):
     return units.map_batches(finish, batch_format="pyarrow")
 
 
+# fixed entity-free boilerplate template for the html-path SQL twin: a nav
+# block (weight 0.15), the document text as the content <p>, and a trailing
+# link whose link_density masks it to score 0. Every offset below is
+# closed-form: prefix is 35 chars ("<html><body><nav>"=17, "menu home" at
+# [17,26), "</nav><p>"=9), the <a> text sits at [51+len, 60+len).
+_HTML_WRAP_PREFIX = '<html><body><nav>menu home</nav><p>'
+_HTML_WRAP_SUFFIX = '</p><a href="#">more link</a></body></html>'
+
+
+def _q_extract_units_html(sf_dir: str):
+    """HTML-path unit scorer with a closed-form SQL twin (the
+    extract_units_docs pattern extended past the plain path): each
+    entity-free document rides the fixed boilerplate template above, so
+    the quote-aware tokenizer's block stack, the inline-<a> link-density
+    mask, and the tag-weight scoring are all driver-verified on real html
+    markup (reference DetectUtil.py:127-216 conformance)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ocr_ray.stages.extractor import UnitScorer
+    from ocr_ray.stages.normalize import normalize_batch
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        # entity-free slice: text containing markup metacharacters would
+        # change the parse (the SQL twin filters identically)
+        mask = pc.and_(
+            pc.and_(
+                pc.invert(pc.match_substring(t["text"], "<")),
+                pc.invert(pc.match_substring(t["text"], "&")),
+            ),
+            pc.greater(pc.utf8_length(t["text"]), 0),
+        )
+        sub = t.filter(mask)
+        wrapped = pa.array(
+            [_HTML_WRAP_PREFIX + x + _HTML_WRAP_SUFFIX
+             for x in sub.column("text").to_pylist()],
+            pa.string(),
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(sub["doc_id"], pa.string()),
+             pa.array([0] * sub.num_rows, pa.int32()),
+             wrapped],
+            names=["conv_id", "turn_idx", "text"],
+        )
+
+    units = (
+        docs.map_batches(wrap, batch_format="pyarrow")
+        .map_batches(normalize_batch, batch_format="pyarrow")
+        .map_batches(UnitScorer, batch_format="pyarrow", concurrency=(1, 8))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["conv_id"], pa.int64()),
+             t["unit_idx"].combine_chunks(),
+             t["start"].combine_chunks(), t["end"].combine_chunks(),
+             t["geo_start"].combine_chunks(), t["geo_end"].combine_chunks(),
+             t["tag"].combine_chunks(), t["score"].combine_chunks()],
+            names=["doc_id", "unit_idx", "start", "end",
+                   "geo_start", "geo_end", "tag", "score"],
+        )
+
+    return units.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_extract_propose_docs(sf_dir: str):
     """Propose/NMS/order stage over the documents table (M4-M8 + D1/D2 on
     the plain path) — SQL-verifiable: threshold, text-size gate and the
@@ -564,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction family — doc-path queries with exact SQL twins
         "extract_docs": _q_extract_docs,
         "extract_units_docs": _q_extract_units_docs,
+        "extract_units_html": _q_extract_units_html,
         "extract_propose_docs": _q_extract_propose_docs,
         "docs_quality_filter": _q_docs_quality_filter,
         # sampling / split (training-data pipeline ops)
@@ -1316,6 +1387,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS geo_start, CAST(n AS BIGINT) AS geo_end,
                    'plain' AS tag, s AS score
             FROM u ORDER BY doc_id
+        """,
+        "extract_units_html": """
+            -- closed-form replay of the html tokenizer on the fixed
+            -- entity-free wrap template: unit 0 = nav block (weight .15),
+            -- unit 1 = document text inside <p> (weight 1.0, density
+            -- formula identical to the plain-path twin), unit 2 = the <a>
+            -- run attributed to its enclosing <body> block and masked to 0
+            -- by link_density
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n,
+                     (length(regexp_replace(text, '[^0-9a-zA-Z ]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)) AS dens
+              FROM documents
+              WHERE length(text) > 0
+                AND text NOT LIKE '%<%' AND text NOT LIKE '%&%'
+            )
+            SELECT * FROM (
+              SELECT doc_id, CAST(0 AS INTEGER) AS unit_idx,
+                     CAST(17 AS BIGINT) AS start, CAST(26 AS BIGINT) AS "end",
+                     CAST(17 AS BIGINT) AS geo_start, CAST(26 AS BIGINT) AS geo_end,
+                     'nav' AS tag, 0.15 * (0.5 + 0.5 * 1.0) AS score
+              FROM d
+              UNION ALL
+              SELECT doc_id, CAST(1 AS INTEGER), CAST(35 AS BIGINT), CAST(35 + n AS BIGINT),
+                     CAST(35 AS BIGINT), CAST(35 + n AS BIGINT), 'p',
+                     CASE WHEN text = '*' OR text LIKE '###%' THEN 0.0
+                          ELSE least(1.0, greatest(0.0, 1.0 * (0.5 + 0.5 * dens)))
+                     END
+              FROM d
+              UNION ALL
+              SELECT doc_id, CAST(2 AS INTEGER), CAST(51 + n AS BIGINT), CAST(60 + n AS BIGINT),
+                     CAST(51 + n AS BIGINT), CAST(60 + n AS BIGINT), 'body',
+                     least(1.0, greatest(0.0, 0.9 * (0.5 + 0.5 * 1.0) - 1.0))
+              FROM d
+            ) ORDER BY doc_id, unit_idx
         """,
         "extract_propose_docs": """
             WITH u AS (

@@ -2,9 +2,11 @@
 metadata, processed by actor-pool map_batches stages.
 
 The image/audio codec libraries are not available in this container, so the
-DECODE KERNELS ARE STUBS — ``FakeImageDecoder`` is a deterministic stand-in
-(parses our synthetic header; a real deployment swaps in cv2/PIL in
-``__init__``) and ``decode_real`` raises NotImplementedError. Everything
+default DECODE KERNEL is a deterministic synthetic-header parser. The
+backend is CONFIG-DRIVEN through the codec seam (``register_codec`` /
+``get_codec`` / ``$OCR_RAY_IMAGE_CODEC``): a real deployment selects
+``cv2`` or ``pillow`` (or registers its own factory) without editing this
+module, and the factory runs once per actor in ``__init__``. Everything
 Ray-side — schema, batch sizing for large binary rows, actor signature,
 output layout — is real and tested (per the round brief's multimodal
 requirement).
@@ -30,6 +32,8 @@ __all__ = [
     "ImageResizer",
     "FrameSampler",
     "decode_real",
+    "register_codec",
+    "get_codec",
     "media_pipeline",
 ]
 
@@ -65,12 +69,103 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def decode_real(payload: bytes) -> np.ndarray:
-    """Real decoder entry point — image/audio libs absent in this container."""
-    raise NotImplementedError(
-        "cv2/PIL not available in this environment; use FakeImageDecoder "
-        "(deterministic stand-in) or install a codec and swap it in here"
-    )
+# --- codec seam ------------------------------------------------------------
+# Decoder backends register here and are selected by NAME — via the
+# OCR_RAY_IMAGE_CODEC env var or an explicit ``codec=`` argument — so a
+# real deployment swaps cv2/PIL in WITHOUT editing this module (config,
+# not code). A backend is a FACTORY returning ``bytes -> ndarray | None``;
+# the factory runs once per actor (in ``FakeImageDecoder.__init__``), which
+# is where the heavy codec import/model load belongs.
+_CODEC_ENV = "OCR_RAY_IMAGE_CODEC"
+_CODEC_REGISTRY: dict[str, object] = {}
+
+
+def register_codec(name: str, factory) -> None:
+    """Register a decode backend: ``factory() -> (payload: bytes) ->
+    ndarray | None`` (None = undecodable payload, skip-and-continue)."""
+    _CODEC_REGISTRY[name] = factory
+
+
+def get_codec(name: str | None = None):
+    """Resolve a decode kernel by name (default: $OCR_RAY_IMAGE_CODEC,
+    falling back to the deterministic synthetic parser)."""
+    import os
+
+    name = name or os.environ.get(_CODEC_ENV, "synthetic")
+    if name not in _CODEC_REGISTRY:
+        raise KeyError(
+            f"unknown image codec {name!r}; registered: "
+            f"{sorted(_CODEC_REGISTRY)} (register_codec to add one)"
+        )
+    return _CODEC_REGISTRY[name]()
+
+
+def _synthetic_factory():
+    def decode(payload: bytes) -> np.ndarray | None:
+        if payload[:4] != _MAGIC or len(payload) < 9:
+            return None
+        w, h, c = struct.unpack("<HHB", payload[4:9])
+        body = np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8)
+        if body.size != w * h * c:
+            return None
+        return body.reshape(h, w, c)
+
+    return decode
+
+
+def _cv2_factory():
+    try:
+        import cv2  # noqa: F401 — absent in this container; real deployments have it
+    except ImportError as e:
+        raise NotImplementedError(
+            "cv2 not installed in this environment; use the 'synthetic' "
+            "codec or install opencv-python"
+        ) from e
+
+    def decode(payload: bytes) -> np.ndarray | None:
+        import cv2
+
+        return cv2.imdecode(np.frombuffer(payload, np.uint8), cv2.IMREAD_COLOR)
+
+    return decode
+
+
+def _pillow_factory():
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Pillow not installed in this environment; use the 'synthetic' "
+            "codec or install Pillow"
+        ) from e
+
+    def decode(payload: bytes) -> np.ndarray | None:
+        import io
+
+        import PIL.Image
+
+        try:
+            return np.asarray(PIL.Image.open(io.BytesIO(payload)))
+        except Exception:  # undecodable payload: skip, don't kill the task
+            return None
+
+    return decode
+
+
+register_codec("synthetic", _synthetic_factory)
+register_codec("cv2", _cv2_factory)
+register_codec("pillow", _pillow_factory)
+
+
+def decode_real(payload: bytes, codec: str | None = None) -> np.ndarray:
+    """Real-codec decode entry point: resolves the configured backend
+    (default ``cv2``) through the seam. In this container the codec libs
+    are absent, so resolution raises NotImplementedError — the swap-in is
+    ``OCR_RAY_IMAGE_CODEC=cv2`` (or ``pillow``) in the deployment env, not
+    an edit to this function."""
+    import os
+
+    return get_codec(codec or os.environ.get(_CODEC_ENV, "cv2"))(payload)
 
 
 class FakeImageDecoder:
@@ -82,17 +177,11 @@ class FakeImageDecoder:
     batch_size * concurrency * row_bytes must fit the worker heap
     (SURVEY.md §4 memory row)."""
 
-    def __init__(self) -> None:
-        self.magic = _MAGIC  # stand-in for codec/model load
-
-    def _decode(self, payload: bytes) -> np.ndarray | None:
-        if payload[:4] != self.magic:
-            return None
-        w, h, c = struct.unpack("<HHB", payload[4:9])
-        body = np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8)
-        if body.size != w * h * c:
-            return None
-        return body.reshape(h, w, c)
+    def __init__(self, codec: str | None = None) -> None:
+        # per-actor codec resolution through the config seam: the factory
+        # (and any heavy import/model load inside it) runs once here, not
+        # per batch; backend chosen by arg or $OCR_RAY_IMAGE_CODEC
+        self._decode = get_codec(codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()

@@ -45,6 +45,35 @@ def test_real_decoder_is_stubbed():
         decode_real(b"anything")
 
 
+def test_codec_seam_config_driven(monkeypatch):
+    """The decode backend is selected by config (env var / registry), not
+    by editing the module: a registered custom codec flows into the actor
+    stage via OCR_RAY_IMAGE_CODEC; unknown names fail loudly."""
+    from ocr_ray.functions import multimodal as mm
+
+    calls = []
+
+    def factory():
+        calls.append("loaded")  # per-actor load happens at __init__ time
+
+        def decode(payload):
+            return np.zeros((2, 2, 3), dtype=np.uint8)
+
+        return decode
+
+    mm.register_codec("testcodec", factory)
+    try:
+        monkeypatch.setenv("OCR_RAY_IMAGE_CODEC", "testcodec")
+        dec = mm.FakeImageDecoder()
+        assert calls == ["loaded"]
+        out = dec(make_media_table(2)).to_pylist()
+        assert all(r["decode_ok"] and r["width"] == 2 for r in out)
+        with pytest.raises(KeyError, match="unknown image codec"):
+            mm.get_codec("nope")
+    finally:
+        mm._CODEC_REGISTRY.pop("testcodec", None)
+
+
 def test_media_pipeline(ray_session):
     import ray.data as rd
 
