@@ -25,6 +25,7 @@ __all__ = [
     "winnow_batch",
     "LangId",
     "collapse_docs_batch",
+    "bigram_topk",
 ]
 
 _WS_RE = re.compile(r"\s+")
@@ -222,3 +223,52 @@ def collapse_docs_batch(batch: pa.Table) -> pa.Table:
         [batch.column("doc_id"), pa.array(out, pa.string())],
         names=["doc_id", "collapsed"],
     )
+
+
+def bigram_topk(docs, k: int = 20):
+    """Corpus-wide top-k word bigrams by count (ties broken bigram-asc) —
+    the global term-statistics operator (vocabulary/ngram frequency tables
+    for tokenizer training).
+
+    Scale shape: per-batch partial Counter (map-side combiner: only
+    distinct bigrams per block ride the shuffle) -> hash-bucketed grouped
+    sum over the bigram key (cardinality ~ corpus size, so the bucket
+    pattern, not a raw groupby) -> per-bucket top-k cut (each bigram lives
+    in exactly one bucket after the sum, so block-local top-k is globally
+    sound) -> bounded driver merge of n_buckets * k rows.
+    """
+    import collections
+
+    import pandas as pd
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t.column("text").to_pylist():
+            toks = txt.lower().split()
+            c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+        return pa.Table.from_pydict(
+            {"bigram": pa.array(list(c.keys()), pa.string()),
+             "n": pa.array(list(c.values()), pa.int64())}
+        )
+
+    summed = hash_bucket_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["bigram"], ["n"], count_alias="n_partials",
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if "bigram" not in df.columns:
+            return pd.DataFrame(
+                {"bigram": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        return df.sort_values(
+            ["n", "bigram"], ascending=[False, True], kind="mergesort"
+        ).head(k)[["bigram", "n"]]
+
+    merged = summed.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return merged.sort_values(
+        ["n", "bigram"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)

@@ -33,6 +33,8 @@ __all__ = [
     "session_windows",
     "asof_last_login",
     "sessionize_incremental",
+    "rolling_user_sum",
+    "top_events_per_user",
 ]
 
 SESSION_GAP_MIN = 30
@@ -242,6 +244,117 @@ def sessionize_incremental(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
     )
     out = out[["user_id", "session_start", "n_events", "duration_sec"]]
     return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+def rolling_user_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user cumulative (running) exact-cents sum ordered by
+    (ts, event_id) — the unbounded-preceding window aggregate
+    (``SUM() OVER (PARTITION BY user ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``).
+
+    Scale shape: coarse hash bucket of user_id (64 groups) -> ONE
+    vectorized pass per bucket: sort by (user, ts, event_id), np.cumsum
+    over the whole bucket, per-user segment reset by subtracting each
+    segment's starting offset (np.repeat over segment lengths — sign-safe,
+    no per-user loop)."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_id"].combine_chunks(), t["user_id"].combine_chunks(),
+             t["ts"].combine_chunks(), _cents(t["value"])],
+            names=["event_id", "user_id", "ts", "value_c"],
+        )
+
+    bucketed = ds.map_batches(widen, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = g["value_c"].to_numpy(np.int64)
+        users = g["user_id"].to_numpy()
+        cs = np.cumsum(v)
+        new = np.concatenate([[True], users[1:] != users[:-1]])
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.append(starts, len(v)))
+        offset = np.repeat(cs[starts] - v[starts], seg_len)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": users,
+             "running_c": cs - offset}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64", "running_c": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(roll, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    res["running_sum"] = res["running_c"] / 100.0
+    return res[["event_id", "user_id", "running_sum"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+TOP_PER_USER_N = 3
+
+
+def top_events_per_user(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-N: each user's 3 highest-value events (ties by
+    event_id) with their rank — the ``row_number() OVER (PARTITION BY
+    user ORDER BY value DESC, event_id) <= 3`` shape.
+
+    Scale shape: a per-BATCH partial top-N combiner first (only <= N rows
+    per user per block ride the shuffle — the partial top-k idiom), then
+    hash-bucketed final top-N, vectorized via groupby cumcount (no
+    per-user map_groups)."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def topn_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        r = df.groupby("user_id", sort=False).cumcount()
+        out = df[r < TOP_PER_USER_N].copy()
+        out["rank"] = (r[r < TOP_PER_USER_N] + 1).to_numpy(np.int64)
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return topn_kernel(df)[["event_id", "user_id", "value"]]
+
+    bucketed = ds.map_batches(partial, batch_format="pandas").map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return topn_kernel(df)[["event_id", "user_id", "value", "rank"]]
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "value": "float64", "rank": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values(["user_id", "rank"]).reset_index(drop=True)
 
 
 def asof_last_login(sf_dir: str) -> pd.DataFrame:

@@ -256,6 +256,40 @@ def test_cluster_pairs_dataset_matches_union_find(ray_session):
     )
 
 
+def test_rolling_user_sum_matches_pandas(ray_session):
+    """Hash-bucketed segment-cumsum == pandas groupby().cumsum() brute."""
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.pipelines.streaming import rolling_user_sum
+
+    got = rolling_user_sum(SF)
+    ev = pq_.read_table(os.path.join(SF, "events.parquet"),
+                        columns=["event_id", "user_id", "ts", "value"]).to_pandas()
+    ev["value_c"] = np.round(ev["value"] * 100).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["running_sum"] = ev.groupby("user_id")["value_c"].cumsum() / 100.0
+    want = ev.sort_values("event_id")[["event_id", "user_id", "running_sum"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_top_events_per_user_matches_pandas(ray_session):
+    """Partial+final grouped top-N == pandas rank brute (ties by event_id)."""
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.pipelines.streaming import top_events_per_user
+
+    got = top_events_per_user(SF)
+    ev = pq_.read_table(os.path.join(SF, "events.parquet"),
+                        columns=["event_id", "user_id", "value"]).to_pandas()
+    ev = ev.sort_values(["user_id", "value", "event_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    ev["rank"] = ev.groupby("user_id").cumcount() + 1
+    want = ev[ev["rank"] <= 3].sort_values(["user_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[["event_id", "user_id", "value", "rank"]], check_dtype=False
+    )
+
+
 def test_cluster_pairs_dataset_long_chain_pointer_doubling(ray_session):
     """A 120-node chain converges within 10 rounds only via pointer
     doubling (plain min-propagation needs ~120); also guards the loud

@@ -69,6 +69,37 @@ def test_langid_profiles():
     assert out[0]["pred_lang"] == "en" and out[1]["pred_lang"] == "und"
 
 
+def test_bigram_topk_matches_counter(ray_session):
+    """Partial-Counter + bucketed sum + per-bucket cut == direct Counter."""
+    import collections
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import bigram_topk
+
+    texts = [
+        "the quick brown fox the quick brown dog",
+        "THE QUICK brown fox runs",
+        "one two one two one two",
+        "",
+        "single",
+    ]
+    docs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )
+    ).repartition(3)
+    got = bigram_topk(docs, k=4)
+    c: collections.Counter = collections.Counter()
+    for t in texts:
+        toks = t.lower().split()
+        c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(map(tuple, got[["bigram", "n"]].to_numpy())) == want
+
+
 def test_lowest_ids_large_anchored_ids(ray_session):
     """_lowest_ids must not assume ids start near 0: snowflake-style large
     ids resolve in one scan with a bounded driver pull."""
