@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-__all__ = ["key_hash64", "hash_sample", "stratified_split"]
+__all__ = ["key_hash64", "hash_sample", "stratified_split", "stratified_topn"]
 
 
 def key_hash64(keys) -> np.ndarray:
@@ -80,3 +80,54 @@ def stratified_split(ds: rd.Dataset, key: str, n_buckets: int = 10) -> rd.Datase
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_topn(ds: rd.Dataset, group: str, key: str, n: int) -> rd.Dataset:
+    """Deterministic BALANCED subset: the ``n`` rows per ``group`` with the
+    lowest ``key_hash64(key)`` — an order/partition-independent "random"
+    choice per stratum that reruns identically (class-balanced training
+    subsets, per-language caps).
+
+    Scale shape: per-BATCH partial top-n per group (combiner: at most n
+    rows per group per block ride the shuffle), then hash-bucketed final
+    top-n via one vectorized sort + cumcount per bucket — no per-group
+    map_groups, no RNG, no scan-order dependence. Emits
+    (key, group, rank) with rank 1..n in hash order (ties by key).
+    """
+    import pandas as pd
+
+    from ..stages.partial_agg import add_hash_bucket
+
+    def topn_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__h=key_hash64(df[key]))
+        df = df.sort_values([group, "__h", key], kind="mergesort")
+        r = df.groupby(group, sort=False).cumcount()
+        out = df[r < n].copy()
+        out["rank"] = (r[r < n] + 1).to_numpy(np.int64)
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return topn_kernel(df)[[key, group]]
+
+    bucketed = ds.map_batches(partial, batch_format="pandas").map_batches(
+        lambda t: add_hash_bucket(t, [group], 64), batch_format="pyarrow"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return topn_kernel(df)[[key, group, "rank"]]
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [key, group, "rank"]
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame(
+                {key: pd.Series([], dtype="int64"),
+                 group: pd.Series([], dtype="object"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        return df[cols]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+    )

@@ -451,3 +451,41 @@ def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
     return agg[["n_name", "n_suppliers", "sum_acctbal"]].sort_values(
         "n_name"
     ).reset_index(drop=True)
+
+
+# value-tier boundaries for the broadcast range join: [lo, hi) half-open
+# ranges over the events value column (histogram/binning shape)
+VALUE_TIERS = (("low", 0.0, 20.0), ("mid", 20.0, 80.0), ("high", 80.0, None))
+
+
+def events_value_tiers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast RANGE join: every event joins the tier whose [lo, hi)
+    value range contains it — the non-equi-join / binning shape (feature
+    bucketing, histogram tiers). The tiny range table is a constant
+    shipped in the task closure; per batch the lookup is ONE vectorized
+    np.searchsorted against the sorted boundaries (never a per-row scan,
+    never a shuffle on the build side), then exact-cents count + sum per
+    tier. SQL twin states it as an actual range join against VALUES."""
+    ds = _read(sf_dir, "events", ["value"])
+    bounds = np.array([t[1] for t in VALUE_TIERS[1:]], dtype=np.float64)
+    names = np.array([t[0] for t in VALUE_TIERS])
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        tier = names[np.searchsorted(bounds, v, side="right")]
+        value_c = _cents_np(v)  # half-away-from-zero == DuckDB round()
+        df = pd.DataFrame({"tier": tier, "value_c": value_c})
+        g = df.groupby("tier", as_index=False).agg(
+            value_c=("value_c", "sum"), n=("value_c", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("tier")
+        .aggregate(Sum("value_c", alias_name="value_c"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["value_c"] / 100.0
+    out["n"] = out["n"].astype(np.int64)
+    return out[["tier", "n", "sum_value"]].sort_values("tier").reset_index(drop=True)

@@ -44,6 +44,31 @@ def test_stratified_split_exhaustive_and_stable(ray_session):
     assert (merged["split_a"] == merged["split_b"]).all()
 
 
+def test_stratified_topn_balanced_and_partition_independent(ray_session):
+    """Per-group deterministic top-n: exactly n per group, hash-ordered,
+    identical across repartitionings (order independence)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import key_hash64, stratified_topn
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3]} for i in range(90)]
+    t = pa.Table.from_pylist(rows)
+    a = stratified_topn(rd.from_arrow(t), "lang", "doc_id", 5).to_pandas()
+    b = stratified_topn(
+        rd.from_arrow(t).repartition(7), "lang", "doc_id", 5
+    ).to_pandas()
+    key = lambda df: df.sort_values(["lang", "rank"]).reset_index(drop=True)  # noqa: E731
+    a, b = key(a), key(b)
+    assert a.equals(b)
+    assert (a.groupby("lang").size() == 5).all()
+    # rank order == hash order within each group (brute check for one group)
+    en = [r["doc_id"] for r in rows if r["lang"] == "en"]
+    want = sorted(en, key=lambda d: (int(key_hash64([d])[0]), d))[:5]
+    assert a[a["lang"] == "en"]["doc_id"].tolist() == want
+
+
 def test_key_hash64_dtypes():
     """Integer and string keys hash (strings as their own bytes, ints as
     decimal strings == DuckDB VARCHAR cast); floats are rejected loudly

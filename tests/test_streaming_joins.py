@@ -256,6 +256,29 @@ def test_cluster_pairs_dataset_matches_union_find(ray_session):
     )
 
 
+def test_events_value_tiers_matches_pandas(ray_session):
+    """Broadcast range-join binning == pandas cut brute (half-open [lo,hi)
+    ranges, unbounded ends)."""
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.pipelines.relational import events_value_tiers
+
+    got = events_value_tiers(SF)
+    ev = pq_.read_table(os.path.join(SF, "events.parquet"),
+                        columns=["value"]).to_pandas()
+    tier = np.where(ev["value"] < 20.0, "low",
+                    np.where(ev["value"] < 80.0, "mid", "high"))
+    from ocr_ray.money import cents_np
+
+    ev = ev.assign(tier=tier, value_c=cents_np(ev["value"].to_numpy()))
+    want = ev.groupby("tier", as_index=False).agg(
+        n=("value_c", "size"), value_c=("value_c", "sum")
+    )
+    want["sum_value"] = want["value_c"] / 100.0
+    want = want[["tier", "n", "sum_value"]].sort_values("tier").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_rolling_user_sum_matches_pandas(ray_session):
     """Hash-bucketed segment-cumsum == pandas groupby().cumsum() brute."""
     import pyarrow.parquet as pq_
