@@ -362,9 +362,10 @@ def minhash_pairs(
 
     sh_a = sh_ds.map_batches(rename_arrow(["doc_a", "sh_a"]), batch_format="pyarrow")
     sh_b = sh_ds.map_batches(rename_arrow(["doc_b", "sh_b"]), batch_format="pyarrow")
-    # join parallelism sized to candidate volume: per-bucket task overhead
-    # dominates tiny verifies; 100 TB candidate sets get wide joins
-    nb = min(256, max(8, n_cand // 64))
+    # join parallelism sized to candidate volume (>= ~20k pairs per bucket
+    # before widening): per-bucket task overhead dominates tiny verifies;
+    # 100 TB candidate sets still clamp to 256-wide joins
+    nb = min(256, max(8, n_cand // 20_000))
     with_a = cogroup_bucket_join(cand, sh_a, "doc_a", n_buckets=nb)
     with_ab = cogroup_bucket_join(with_a, sh_b, "doc_b", n_buckets=nb)
 
@@ -571,7 +572,12 @@ def cluster_pairs_dataset(pairs: rd.Dataset, max_iters: int = 50) -> rd.Dataset:
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         bidir, batch_format="pyarrow"
     ).materialize()
-    nb = min(256, max(8, edges.count() // 64))  # join width ~ edge volume
+    # join width ~ edge volume, targeting >=50k edges per bucket: each
+    # extra bucket adds fixed per-round shuffle/task overhead (2 cogroup
+    # joins x O(rounds)), so width must be earned by data volume —
+    # measured: 64k edges across 256 buckets paid ~100 s/round in
+    # scheduling on a 32-CPU box vs seconds at 8 buckets
+    nb = min(256, max(8, edges.count() // 50_000))
 
     # init: label(d) = min(d, min neighbor)
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
@@ -1005,7 +1011,7 @@ def _embedding_near_dup_rows(
 
     u_a = embs.map_batches(unit_blob(["doc_a", "ua"]), batch_format="pyarrow")
     u_b = embs.map_batches(unit_blob(["doc_b", "ub"]), batch_format="pyarrow")
-    nb = min(256, max(8, n_cand // 64))
+    nb = min(256, max(8, n_cand // 20_000))
     j = cogroup_bucket_join(cand, u_a, "doc_a", n_buckets=nb)
     j = cogroup_bucket_join(j, u_b, "doc_b", n_buckets=nb)
 
