@@ -81,6 +81,21 @@ def cmd_split(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Full curation DAG (quality gate -> exact dedup -> near-dup
+    anti-join -> split) streamed to a hive-partitioned manifest sink —
+    the corpus-scale production consumer (the manifest itself is
+    corpus-sized at 100 TB, so it flows to parquet, never the driver)."""
+    _ensure_ray()
+    from .pipelines.curation import curate_documents
+
+    ds = curate_documents(args.input, threshold=args.threshold)
+    ds.write_parquet(args.output, partition_cols=["split"])
+    print(json.dumps({"input": args.input, "output": args.output,
+                      "threshold": args.threshold}))
+    return 0
+
+
 def cmd_gen_corpus(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .corpus import ensure_transcripts
@@ -115,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--key", default="doc_id")
     ps.add_argument("--pct", type=int, default=10)
     ps.set_defaults(fn=cmd_sample)
+
+    pc_ = sub.add_parser("curate", help="quality->dedup->near-dup->split DAG")
+    pc_.add_argument("--input", required=True,
+                     help="dir containing documents.parquet")
+    pc_.add_argument("--output", required=True)
+    pc_.add_argument("--threshold", type=float, default=0.5,
+                     help="near-dup Jaccard threshold")
+    pc_.set_defaults(fn=cmd_curate)
 
     pp = sub.add_parser("split", help="deterministic train/val/test split")
     pp.add_argument("--input", required=True)

@@ -41,6 +41,25 @@ def test_cli_resume(ray_session, tmp_path, capsys):
     assert all(p.get("skipped") for p in rec["partitions"])
 
 
+def test_cli_curate(ray_session, tmp_path, capsys):
+    """curate subcommand: full DAG to a hive-partitioned manifest sink."""
+    import duckdb
+
+    from ocr_ray.cli import main
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    assert main(["curate", "--input", sf, "--output", out]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["threshold"] == 0.5
+    splits = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert splits and set(splits) <= {"split=test", "split=train", "split=val"}
+    n = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT doc_id) FROM read_parquet('{out}/*/*.parquet')"
+    ).fetchone()
+    assert n[0] == n[1] > 0  # one manifest row per surviving doc
+
+
 def test_csv_sink(ray_session, tmp_path):
     import ray.data as rd
 
