@@ -369,6 +369,55 @@ _HTML_WRAP_PREFIX = '<html><body><nav>menu home</nav><p>'
 _HTML_WRAP_SUFFIX = '</p><a href="#">more link</a></body></html>'
 
 
+def _wrapped_docs_as_turns(sf_dir: str, prefix: str, suffix: str, forbid: str):
+    """documents reshaped to the turn schema with each text riding a
+    fixed payload template. Rows whose text contains any char of
+    ``forbid`` (which would change the parse) or is empty are filtered —
+    each SQL twin filters identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        mask = pc.greater(pc.utf8_length(t["text"]), 0)
+        for ch in forbid:
+            mask = pc.and_(mask, pc.invert(pc.match_substring(t["text"], ch)))
+        sub = t.filter(mask)
+        wrapped = pa.array(
+            [prefix + x + suffix for x in sub.column("text").to_pylist()],
+            pa.string(),
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(sub["doc_id"], pa.string()),
+             pa.array([0] * sub.num_rows, pa.int32()),
+             wrapped],
+            names=["conv_id", "turn_idx", "text"],
+        )
+
+    return docs.map_batches(wrap, batch_format="pyarrow")
+
+
+def _finish_doc_spans(spans):
+    """Project turn-keyed span rows back to the documents key space."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["conv_id"], pa.int64()),
+             pc.cast(t["span_idx"], pa.int32()),
+             t["start"].combine_chunks(), t["end"].combine_chunks(),
+             t["text"].combine_chunks(), t["score"].combine_chunks()],
+            names=["doc_id", "span_idx", "start", "end", "text", "score"],
+        )
+
+    return spans.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_extract_units_html(sf_dir: str):
     """HTML-path unit scorer with a closed-form SQL twin (the
     extract_units_docs pattern extended past the plain path): each
@@ -379,39 +428,11 @@ def _q_extract_units_html(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    import ray.data as rd
-
     from ocr_ray.stages.extractor import UnitScorer
     from ocr_ray.stages.normalize import normalize_batch
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
-
-    def wrap(t: pa.Table) -> pa.Table:
-        # entity-free slice: text containing markup metacharacters would
-        # change the parse (the SQL twin filters identically)
-        mask = pc.and_(
-            pc.and_(
-                pc.invert(pc.match_substring(t["text"], "<")),
-                pc.invert(pc.match_substring(t["text"], "&")),
-            ),
-            pc.greater(pc.utf8_length(t["text"]), 0),
-        )
-        sub = t.filter(mask)
-        wrapped = pa.array(
-            [_HTML_WRAP_PREFIX + x + _HTML_WRAP_SUFFIX
-             for x in sub.column("text").to_pylist()],
-            pa.string(),
-        )
-        return pa.Table.from_arrays(
-            [pc.cast(sub["doc_id"], pa.string()),
-             pa.array([0] * sub.num_rows, pa.int32()),
-             wrapped],
-            names=["conv_id", "turn_idx", "text"],
-        )
-
     units = (
-        docs.map_batches(wrap, batch_format="pyarrow")
+        _wrapped_docs_as_turns(sf_dir, _HTML_WRAP_PREFIX, _HTML_WRAP_SUFFIX, "<&")
         .map_batches(normalize_batch, batch_format="pyarrow")
         .map_batches(UnitScorer, batch_format="pyarrow", concurrency=(1, 8))
     )
@@ -440,49 +461,15 @@ def _q_extract_docs_html(sf_dir: str):
     plain-path span shifted by the 35-char template prefix — verified
     per-row by the DuckDB twin (DetectUtil.py:127-216 +
     test_img.py:78-132 conformance on markup payloads)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    import ray.data as rd
-
     from ocr_ray.pipelines.extract import extract_spans
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
-
-    def wrap(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.and_(
-                pc.invert(pc.match_substring(t["text"], "<")),
-                pc.invert(pc.match_substring(t["text"], "&")),
-            ),
-            pc.greater(pc.utf8_length(t["text"]), 0),
+    return _finish_doc_spans(
+        extract_spans(
+            _wrapped_docs_as_turns(
+                sf_dir, _HTML_WRAP_PREFIX, _HTML_WRAP_SUFFIX, "<&"
+            )
         )
-        sub = t.filter(mask)
-        wrapped = pa.array(
-            [_HTML_WRAP_PREFIX + x + _HTML_WRAP_SUFFIX
-             for x in sub.column("text").to_pylist()],
-            pa.string(),
-        )
-        return pa.Table.from_arrays(
-            [pc.cast(sub["doc_id"], pa.string()),
-             pa.array([0] * sub.num_rows, pa.int32()),
-             wrapped],
-            names=["conv_id", "turn_idx", "text"],
-        )
-
-    spans = extract_spans(docs.map_batches(wrap, batch_format="pyarrow"))
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pc.cast(t["conv_id"], pa.int64()),
-             pc.cast(t["span_idx"], pa.int32()),
-             t["start"].combine_chunks(), t["end"].combine_chunks(),
-             t["text"].combine_chunks(), t["score"].combine_chunks()],
-            names=["doc_id", "span_idx", "start", "end", "text", "score"],
-        )
-
-    return spans.map_batches(finish, batch_format="pyarrow")
+    )
 
 
 # pdfish wrap: each document becomes a one-record layout payload
@@ -499,45 +486,13 @@ def _q_extract_docs_pdfish(sf_dir: str):
     whole text, so each doc emits the plain-path span shifted by the
     13-char record prefix (reference pdfish analog of
     DetectUtil.py:201-203 ordering + decode)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    import ray.data as rd
-
     from ocr_ray.pipelines.extract import extract_spans
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
-
-    def wrap(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.invert(pc.match_substring(t["text"], "\n")),
-            pc.greater(pc.utf8_length(t["text"]), 0),
+    return _finish_doc_spans(
+        extract_spans(
+            _wrapped_docs_as_turns(sf_dir, _PDFISH_WRAP_PREFIX, "", "\n")
         )
-        sub = t.filter(mask)
-        wrapped = pa.array(
-            [_PDFISH_WRAP_PREFIX + x for x in sub.column("text").to_pylist()],
-            pa.string(),
-        )
-        return pa.Table.from_arrays(
-            [pc.cast(sub["doc_id"], pa.string()),
-             pa.array([0] * sub.num_rows, pa.int32()),
-             wrapped],
-            names=["conv_id", "turn_idx", "text"],
-        )
-
-    spans = extract_spans(docs.map_batches(wrap, batch_format="pyarrow"))
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pc.cast(t["conv_id"], pa.int64()),
-             pc.cast(t["span_idx"], pa.int32()),
-             t["start"].combine_chunks(), t["end"].combine_chunks(),
-             t["text"].combine_chunks(), t["score"].combine_chunks()],
-            names=["doc_id", "span_idx", "start", "end", "text", "score"],
-        )
-
-    return spans.map_batches(finish, batch_format="pyarrow")
+    )
 
 
 def _q_extract_propose_docs(sf_dir: str):
@@ -733,20 +688,9 @@ def _q_extract_docs(sf_dir: str):
             names=["conv_id", "turn_idx", "text"],
         )
 
-    spans = extract_spans(docs.map_batches(as_turns, batch_format="pyarrow"))
-
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.Table.from_arrays(
-            [pc.cast(t["conv_id"], pa.int64()),
-             pc.cast(t["span_idx"], pa.int32()),
-             t["start"].combine_chunks(), t["end"].combine_chunks(),
-             t["text"].combine_chunks(), t["score"].combine_chunks()],
-            names=["doc_id", "span_idx", "start", "end", "text", "score"],
-        )
-
-    return spans.map_batches(finish, batch_format="pyarrow")
+    return _finish_doc_spans(
+        extract_spans(docs.map_batches(as_turns, batch_format="pyarrow"))
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

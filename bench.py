@@ -70,7 +70,7 @@ def _bench_extract(sf_dir: str) -> tuple[float, int]:
 
     rd.range(100_000).map_batches(lambda b: b, batch_format="pyarrow").count()
     out = f"/tmp/ocr_ray_bench/{os.path.basename(os.path.normpath(sf_dir))}"
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
     sec = float("inf")
     for _ in range(repeats):  # min-of-N: absorb scheduler/VM noise
         shutil.rmtree(out, ignore_errors=True)
@@ -154,7 +154,7 @@ def run_bench(ncpu: int) -> dict:
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver
     # record caught one-shot per-query times uniformly ~1.6x inflated
-    q_repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    q_repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
     for name in query_names:
         per_query[name] = round(
             min(_timed(qs[name], SF_DIR) for _ in range(q_repeats)), 3

@@ -855,7 +855,16 @@ def embedding_near_dup(
     from ..stages.partial_agg import add_hash_bucket
 
     # probe the embedding dim from one row (driver-side, O(1))
-    dim = len(embs.take(1)[0]["embedding"])
+    probe = embs.take(1)
+    if not probe:  # empty input -> schema'd empty pairs, not a crash
+        return rd.from_arrow(
+            pa.Table.from_pydict(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        )
+    dim = len(probe[0]["embedding"])
     if dim * n_tables > _EMB_BLOB_GATE:
         return _embedding_near_dup_rows(embs, threshold, n_tables, n_planes)
 

@@ -88,46 +88,20 @@ def stratified_topn(ds: rd.Dataset, group: str, key: str, n: int) -> rd.Dataset:
     choice per stratum that reruns identically (class-balanced training
     subsets, per-language caps).
 
-    Scale shape: per-BATCH partial top-n per group (combiner: at most n
-    rows per group per block ride the shuffle), then hash-bucketed final
-    top-n via one vectorized sort + cumcount per bucket — no per-group
-    map_groups, no RNG, no scan-order dependence. Emits
-    (key, group, rank) with rank 1..n in hash order (ties by key).
+    Scale shape: the shared ``grouped_topn`` stage (per-BATCH partial
+    top-n combiner, hash-bucketed vectorized final cut — no per-group
+    map_groups, no RNG, no scan-order dependence); the hash sort key is
+    derived transiently inside each kernel call. Emits (key, group, rank)
+    with rank 1..n in hash order (ties by key).
     """
-    import pandas as pd
+    from ..stages.partial_agg import grouped_topn
 
-    from ..stages.partial_agg import add_hash_bucket
+    def with_hash(df):
+        return df.assign(__h=key_hash64(df[key]))
 
-    def topn_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(__h=key_hash64(df[key]))
-        df = df.sort_values([group, "__h", key], kind="mergesort")
-        r = df.groupby(group, sort=False).cumcount()
-        out = df[r < n].copy()
-        out["rank"] = (r[r < n] + 1).to_numpy(np.int64)
-        return out
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return topn_kernel(df)[[key, group]]
-
-    bucketed = ds.map_batches(partial, batch_format="pandas").map_batches(
-        lambda t: add_hash_bucket(t, [group], 64), batch_format="pyarrow"
-    )
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return topn_kernel(df)[[key, group, "rank"]]
-
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = [key, group, "rank"]
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame(
-                {key: pd.Series([], dtype="int64"),
-                 group: pd.Series([], dtype="object"),
-                 "rank": pd.Series([], dtype="int64")}
-            )
-        return df[cols]
-
-    return (
-        bucketed.groupby("bucket")
-        .map_groups(final, batch_format="pandas")
-        .map_batches(norm, batch_format="pandas")
+    return grouped_topn(
+        ds, group, ["__h", key], [True, True], n,
+        payload_cols=[key, group],
+        out_dtypes={key: "int64", group: "object"},
+        prep=with_hash,
     )

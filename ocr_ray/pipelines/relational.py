@@ -454,8 +454,11 @@ def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # value-tier boundaries for the broadcast range join: [lo, hi) half-open
-# ranges over the events value column (histogram/binning shape)
-VALUE_TIERS = (("low", 0.0, 20.0), ("mid", 20.0, 80.0), ("high", 80.0, None))
+# ranges over the events value column (histogram/binning shape). End tiers
+# are UNBOUNDED (lo/hi None) — the searchsorted assignment and the SQL
+# twin's NULL bounds both bin by upper bounds only, so a negative value
+# lands in 'low'.
+VALUE_TIERS = (("low", None, 20.0), ("mid", 20.0, 80.0), ("high", 80.0, None))
 
 
 def events_value_tiers(sf_dir: str) -> pd.DataFrame:

@@ -313,48 +313,21 @@ def top_events_per_user(sf_dir: str) -> pd.DataFrame:
     event_id) with their rank — the ``row_number() OVER (PARTITION BY
     user ORDER BY value DESC, event_id) <= 3`` shape.
 
-    Scale shape: a per-BATCH partial top-N combiner first (only <= N rows
-    per user per block ride the shuffle — the partial top-k idiom), then
-    hash-bucketed final top-N, vectorized via groupby cumcount (no
+    Scale shape: the shared ``grouped_topn`` stage — a per-BATCH partial
+    top-N combiner (only <= N rows per user per block ride the shuffle),
+    then a hash-bucketed final cut, vectorized via sort + cumcount (no
     per-user map_groups)."""
-    from ..stages.partial_agg import add_hash_bucket
+    from ..stages.partial_agg import grouped_topn
 
     ds = _events(sf_dir, ["event_id", "user_id", "value"])
-
-    def topn_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["user_id", "value", "event_id"],
-            ascending=[True, False, True], kind="mergesort",
-        )
-        r = df.groupby("user_id", sort=False).cumcount()
-        out = df[r < TOP_PER_USER_N].copy()
-        out["rank"] = (r[r < TOP_PER_USER_N] + 1).to_numpy(np.int64)
-        return out
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return topn_kernel(df)[["event_id", "user_id", "value"]]
-
-    bucketed = ds.map_batches(partial, batch_format="pandas").map_batches(
-        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
-    )
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return topn_kernel(df)[["event_id", "user_id", "value", "rank"]]
-
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_id": "int64", "user_id": "int64",
-                "value": "float64", "rank": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
-
-    res = (
-        bucketed.groupby("bucket")
-        .map_groups(final, batch_format="pandas")
-        .map_batches(norm, batch_format="pandas")
-        .to_pandas()
-    )
-    return res.sort_values(["user_id", "rank"]).reset_index(drop=True)
+    res = grouped_topn(
+        ds, "user_id", ["value", "event_id"], [False, True], TOP_PER_USER_N,
+        payload_cols=["event_id", "user_id", "value"],
+        out_dtypes={"event_id": "int64", "user_id": "int64", "value": "float64"},
+    ).to_pandas()
+    return res[["event_id", "user_id", "value", "rank"]].sort_values(
+        ["user_id", "rank"]
+    ).reset_index(drop=True)
 
 
 def asof_last_login(sf_dir: str) -> pd.DataFrame:

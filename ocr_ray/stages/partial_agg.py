@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-__all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket"]
+__all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket", "grouped_topn"]
 
 
 def add_hash_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> pa.Table:
@@ -33,6 +33,62 @@ def add_hash_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> pa.Table:
         h = h * np.uint64(1099511628211) + v
     bucket = ((h * np.uint64(2654435761)) % np.uint64(n_buckets)).astype(np.int64)
     return t.append_column("bucket", pa.array(bucket))
+
+
+def grouped_topn(
+    ds: rd.Dataset,
+    group: str,
+    order_cols: list[str],
+    ascending: list[bool],
+    n: int,
+    payload_cols: list[str],
+    out_dtypes: dict[str, str],
+    prep=None,
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Grouped top-n with a per-BATCH partial combiner: each block first
+    cuts to its own top-n per group (at most n rows per group per block
+    ride the shuffle — the partial top-k idiom), then a hash-bucketed
+    final cut runs ONE vectorized sort + cumcount per bucket (never a
+    per-group map_groups). Emits ``payload_cols + [rank]`` with rank 1..n
+    in the given order (``prep``, if set, derives transient sort columns
+    inside each kernel call — e.g. a key hash)."""
+    import numpy as np
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if prep is not None:
+            df = prep(df)
+        df = df.sort_values(
+            [group] + order_cols, ascending=[True] + ascending, kind="mergesort"
+        )
+        r = df.groupby(group, sort=False).cumcount()
+        out = df[r < n].copy()
+        out["rank"] = (r[r < n] + 1).to_numpy(np.int64)
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df)[payload_cols]
+
+    bucketed = ds.map_batches(partial, batch_format="pandas").map_batches(
+        lambda t: add_hash_bucket(t, [group], n_buckets), batch_format="pyarrow"
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return kernel(df)[payload_cols + ["rank"]]
+
+    cols = {**out_dtypes, "rank": "int64"}
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+    )
 
 
 def partial_sum_count(

@@ -38,6 +38,9 @@ def canon(df):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # data-coupled oracles (knn_ivf trains its centroid literals from the
+    # graded table) must build against THIS sf dir, not their default
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import duckdb
     import numpy as np
