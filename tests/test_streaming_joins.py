@@ -256,6 +256,82 @@ def test_cluster_pairs_dataset_matches_union_find(ray_session):
     )
 
 
+def test_grouped_topn_randomized_matches_pandas(ray_session):
+    """Randomized grouped_topn vs pandas rank brute: seeds x group skews x
+    bucket counts x n; rank order and payload identical."""
+    from ocr_ray.stages.partial_agg import grouped_topn
+
+    import ray.data as rd
+
+    for seed, n_groups, n_rows, nb, topn in [
+        (0, 3, 200, 4, 2), (1, 40, 500, 64, 3), (2, 1, 50, 8, 5),
+    ]:
+        rng = np.random.RandomState(seed)
+        df = pd.DataFrame(
+            {"g": rng.randint(0, n_groups, size=n_rows).astype(np.int64),
+             "k": np.arange(n_rows, dtype=np.int64),
+             "v": np.round(rng.standard_normal(n_rows), 6)}
+        )
+        got = (
+            grouped_topn(
+                rd.from_pandas(df).repartition(5), "g",
+                ["v", "k"], [False, True], topn,
+                payload_cols=["k", "g", "v"],
+                out_dtypes={"k": "int64", "g": "int64", "v": "float64"},
+                n_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values(["g", "rank"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["g", "v", "k"], ascending=[True, False, True],
+                              kind="mergesort")
+        want["rank"] = want.groupby("g").cumcount() + 1
+        want = want[want["rank"] <= topn].sort_values(["g", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, want[["k", "g", "v", "rank"]], check_dtype=False
+        )
+
+
+def test_rolling_user_sum_negative_values(ray_session, tmp_path):
+    """Segment-offset cumsum is sign-safe: synthetic events with negative
+    values match the pandas groupby cumsum brute."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.pipelines.streaming import rolling_user_sum
+
+    rng = np.random.RandomState(3)
+    n = 400
+    ev = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 20, size=n).astype(np.int64),
+         "ts": pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.randint(0, 10_000, size=n), unit="s"),
+         "value": np.round(rng.standard_normal(n) * 50, 2)}  # negatives
+    )
+    d = str(tmp_path / "neg")
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        _os.path.join(d, "events.parquet"),
+    )
+    got = rolling_user_sum(d)
+    ev["value_c"] = np.where(
+        ev["value"] >= 0,
+        np.floor(ev["value"] * 100 + 0.5),
+        np.ceil(ev["value"] * 100 - 0.5),
+    ).astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ev["running_sum"] = ev.groupby("user_id")["value_c"].cumsum() / 100.0
+    want = ev.sort_values("event_id")[
+        ["event_id", "user_id", "running_sum"]
+    ].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_events_value_tiers_matches_pandas(ray_session):
     """Broadcast range-join binning == pandas cut brute (half-open [lo,hi)
     ranges, unbounded ends)."""
