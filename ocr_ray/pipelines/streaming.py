@@ -192,26 +192,41 @@ def sessionize_incremental(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
     identical to the batch ``session_windows`` (tested) — the difference
     is execution shape: O(open sessions) state instead of all-events
     materialization per group.
+
+    The driver never touches event data: it submits the sorted Dataset's
+    BLOCK REFS to every actor in order (O(blocks) driver work); each actor
+    reads the shared block zero-copy from the object store and masks its
+    own user-hash partition. Per-actor calls from one submitter are
+    processed in submission order, so every actor sees its users' events
+    in global ts order.
     """
     import ray
 
     @ray.remote
     class SessionBucket:
-        def __init__(self) -> None:
+        def __init__(self, bucket: int, n_buckets: int) -> None:
+            self.bucket = np.uint64(bucket)
+            self.n_buckets = np.uint64(n_buckets)
             self.open: dict[int, tuple] = {}  # user -> (start, last, n)
             self.closed: list[tuple] = []
 
-        def feed(self, users: np.ndarray, ts: np.ndarray) -> int:
+        def feed_block(self, t: pa.Table) -> int:
+            users = t.column("user_id").to_numpy(zero_copy_only=False)
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            m = (
+                users.astype(np.uint64) * np.uint64(2654435761)
+            ) % self.n_buckets == self.bucket
+            users, ts = users[m], ts[m]
             gap = np.timedelta64(SESSION_GAP_MIN * 60, "s")
-            for u, t in zip(users.tolist(), ts):
+            for u, t_ in zip(users.tolist(), ts):
                 cur = self.open.get(u)
                 if cur is None:
-                    self.open[u] = (t, t, 1)
-                elif t - cur[1] > gap:
+                    self.open[u] = (t_, t_, 1)
+                elif t_ - cur[1] > gap:
                     self.closed.append((u, cur[0], cur[2], cur[1]))
-                    self.open[u] = (t, t, 1)
+                    self.open[u] = (t_, t_, 1)
                 else:
-                    self.open[u] = (cur[0], t, cur[2] + 1)
+                    self.open[u] = (cur[0], t_, cur[2] + 1)
             return len(self.closed)
 
         def flush(self) -> list[tuple]:
@@ -220,20 +235,14 @@ def sessionize_incremental(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
             self.open.clear()
             return self.closed
 
-    actors = [SessionBucket.remote() for _ in range(n_buckets)]
-    # materialize after the sort so block iteration follows range order
+    actors = [SessionBucket.remote(b, n_buckets) for b in range(n_buckets)]
+    # materialize after the sort so block refs follow range order
     ds = _events(sf_dir, ["user_id", "ts"]).sort("ts").materialize()
-    pending = []
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        users = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = batch.column("ts").to_numpy(zero_copy_only=False)
-        bucket = (users.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_buckets)
-        for b in range(n_buckets):
-            m = bucket == b
-            if m.any():
-                # per-actor calls are queued in submission order -> each
-                # actor sees its users' events in global ts order
-                pending.append(actors[b].feed.remote(users[m], ts[m]))
+    pending = [
+        actors[b].feed_block.remote(ref)
+        for ref in ds.to_arrow_refs()
+        for b in range(n_buckets)
+    ]
     import itertools
 
     ray.get(pending)
@@ -334,16 +343,26 @@ def asof_last_login(sf_dir: str) -> pd.DataFrame:
     """As-of (backward) self-join: for every 'click' event, the timestamp
     of that user's most recent earlier-or-equal 'login' event.
 
-    Composition: groupby(user_id) -> in-group sort -> pd.merge_asof (the
-    documented as-of pattern: sort both sides within the key partition).
+    Scale shape: groupby a COARSE hash bucket of user_id (64 groups — a
+    per-USER map_groups pays ~1 ms/group, fatal at 10^9 users), then ONE
+    ``pd.merge_asof(..., by="user_id")`` per bucket: both sides sorted by
+    ts once, the by= key scopes the backward search per user inside a
+    single vectorized pass.
 
     Tie rule: a login sharing the click's exact ts IS a match
     (allow_exact_matches=True); the SQL twin's RANGE window frame states
     the same rule."""
-    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    from ..stages.partial_agg import add_hash_bucket
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         logins = g[g["event_type"] == "login"].sort_values("ts", kind="mergesort")
         if clicks.empty:
             return pd.DataFrame(
@@ -354,11 +373,24 @@ def asof_last_login(sf_dir: str) -> pd.DataFrame:
             )
         merged = pd.merge_asof(
             clicks[["event_id", "user_id", "ts"]],
-            logins[["ts"]].rename(columns={"ts": "last_login_ts"}),
-            left_on="ts", right_on="last_login_ts",
+            logins[["user_id", "ts"]].assign(last_login_ts=lambda d: d["ts"]),
+            on="ts", by="user_id",
             direction="backward", allow_exact_matches=True,
         )
-        return merged
+        return merged[["event_id", "user_id", "ts", "last_login_ts"]]
 
-    res = ds.groupby("user_id").map_groups(asof, batch_format="pandas").to_pandas()
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "ts": "datetime64[us]", "last_login_ts": "datetime64[us]"}
+        if not all(c in df.columns for c in cols):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
     return res.sort_values("event_id").reset_index(drop=True)
