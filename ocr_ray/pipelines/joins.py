@@ -31,6 +31,7 @@ __all__ = [
     "semi_anti_join",
     "orders_without_lineitems",
     "nation_revenue",
+    "orders_above_cust_avg",
 ]
 
 
@@ -432,3 +433,60 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderstatus", "n_orders", "revenue"]].sort_values(
         "o_orderstatus"
     ).reset_index(drop=True)
+
+def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated-subquery pattern: orders whose price strictly exceeds
+    the ordering customer's own average order price — the
+    ``o_totalprice > avg(o_totalprice) OVER (PARTITION BY o_custkey)``
+    shape, decorrelated the distributed way: pre-aggregate per customer,
+    join the (tiny-per-key) aggregate back, filter.
+
+    Exactness: the comparison is done in integer cents cross-multiplied
+    (price_c * n > sum_c) so no float division enters the predicate —
+    the SQL twin states the identical integer inequality.
+
+    Scale shape: per-cust (sum, n) via hash_bucket_sum partials (the
+    aggregate side is |customers|, not |orders|); the join back is the
+    partitioned bucket_hash_join — customer cardinality scales with the
+    corpus, so no broadcast."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderkey"].combine_chunks(), t["o_custkey"].combine_chunks(),
+             t["o_totalprice"].combine_chunks(), _cents(t["o_totalprice"])],
+            names=["o_orderkey", "o_custkey", "o_totalprice", "price_c"],
+        )
+
+    wide = orders.map_batches(widen, batch_format="pyarrow")
+    per_cust = hash_bucket_sum(
+        wide.select_columns(["o_custkey", "price_c"]), ["o_custkey"], ["price_c"]
+    ).map_batches(
+        lambda df: df.rename(columns={"price_c": "sum_c"})[["o_custkey", "sum_c", "n"]],
+        batch_format="pandas",
+    )
+
+    joined = bucket_hash_join(wide, per_cust, on="o_custkey")
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderkey": "int64", "o_custkey": "int64",
+                "o_totalprice": "float64"}
+        need = ["o_orderkey", "o_custkey", "o_totalprice", "price_c", "sum_c", "n"]
+        if not all(c in df.columns for c in need):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        keep = df[df["price_c"].to_numpy(np.int64) * df["n"].to_numpy(np.int64)
+                  > df["sum_c"].to_numpy(np.int64)]
+        return keep[list(cols)].astype(cols)
+
+    return (
+        joined.map_batches(flt, batch_format="pandas")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )

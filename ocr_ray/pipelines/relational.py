@@ -45,6 +45,7 @@ __all__ = [
     "order_revenue_topk",
     "distinct_event_types",
     "supplier_nation_stats",
+    "docs_jsonl_source",
 ]
 
 
@@ -492,3 +493,57 @@ def events_value_tiers(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = out["value_c"] / 100.0
     out["n"] = out["n"].astype(np.int64)
     return out[["tier", "n", "sum_value"]].sort_values("tier").reset_index(drop=True)
+
+
+def _docs_jsonl_dir(sf_dir: str) -> str:
+    """One-time parquet->json-lines conversion of the documents table,
+    cached under /tmp keyed by the source dir (atomic rename so
+    concurrent queries share one conversion). The conversion itself is a
+    Ray Data job: read_parquet -> write_json, no driver materialization."""
+    import hashlib as _hl
+    import shutil
+
+    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "ocr_ray_jsonl", key, "documents")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _read(sf_dir, "documents", ["doc_id", "text", "lang"]).write_json(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+    return out
+
+
+def docs_jsonl_source(sf_dir: str) -> pd.DataFrame:
+    """Source-format parity (S-ops, json-lines): the documents table is
+    round-tripped parquet -> JSONL -> ``ray.data.read_json``, then
+    aggregated per lang — doc count, sum of doc_id (proves row identity)
+    and sum of text length in code points (proves the TEXT column
+    round-trips byte-exactly through JSON escaping). The SQL twin runs
+    the same aggregate over the original parquet, so any JSONL
+    encode/decode corruption flips the hash."""
+    ds = rd.read_json(_docs_jsonl_dir(sf_dir))
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["lang"].combine_chunks(),
+             t["doc_id"].cast(pa.int64()).combine_chunks(),
+             pc.cast(pc.utf8_length(t["text"].combine_chunks()), pa.int64())],
+            names=["lang", "doc_id", "len"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["lang"], ["doc_id", "len"],
+    ).to_pandas()
+    out = agg.rename(columns={"doc_id": "sum_ids", "len": "sum_len",
+                              "n": "n_docs"})
+    return out[["lang", "n_docs", "sum_ids", "sum_len"]].sort_values(
+        "lang"
+    ).reset_index(drop=True)

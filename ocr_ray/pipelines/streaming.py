@@ -35,6 +35,9 @@ __all__ = [
     "sessionize_incremental",
     "rolling_user_sum",
     "top_events_per_user",
+    "lag_delta",
+    "user_value_median",
+    "user_mode_type",
 ]
 
 SESSION_GAP_MIN = 30
@@ -394,3 +397,135 @@ def asof_last_login(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return res.sort_values("event_id").reset_index(drop=True)
+
+def lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-event LAG window: microseconds since the same user's previous
+    event (-1 for the user's first) — the ``epoch_us(ts) -
+    lag(epoch_us(ts)) OVER (PARTITION BY user ORDER BY ts, event_id)``
+    shape.
+
+    Scale shape: coarse hash bucket of user_id (64 groups), then ONE
+    vectorized pass per bucket — sort by (user, ts, event_id), np.diff
+    over the whole bucket, user-boundary rows reset to the -1 sentinel
+    (no per-user loop, no per-user map_groups)."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        delta = np.empty(len(us), dtype=np.int64)
+        if len(us):
+            delta[0] = -1
+            delta[1:] = us[1:] - us[:-1]
+            delta[np.concatenate([[True], users[1:] != users[:-1]])] = -1
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": users,
+             "delta_us": delta}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64", "delta_us": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(lag_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def user_value_median(sf_dir: str) -> pd.DataFrame:
+    """Scalable grouped quantile: per-user event count + discrete median
+    of ``value`` (``quantile_disc(value, 0.5)`` — the smallest element
+    with cume_dist >= 0.5, i.e. index ceil(0.5*n)-1 in sorted order, so
+    the result is an actual input element and floats compare exactly).
+
+    Scale shape: per-TYPE quantiles (5 groups) can afford map_groups
+    (events_value_quantiles); per-USER cardinality scales with the corpus,
+    so this uses the coarse hash bucket + ONE vectorized pass per bucket:
+    sort by (user, value), per-user segment starts via np.flatnonzero,
+    element pick at start + ceil(n/2) - 1."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["user_id", "value"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def med_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        vals = g["value"].to_numpy(np.float64)
+        if not len(users):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "median_value": pd.Series([], dtype=np.float64)}
+            )
+        starts = np.flatnonzero(np.concatenate([[True], users[1:] != users[:-1]]))
+        seg_len = np.diff(np.append(starts, len(users)))
+        pick = starts + np.ceil(seg_len / 2).astype(np.int64) - 1
+        return pd.DataFrame(
+            {"user_id": users[starts],
+             "n_events": seg_len.astype(np.int64),
+             "median_value": vals[pick]}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_events": "int64", "median_value": "float64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(med_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def user_mode_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped mode (argmax): each user's most frequent event_type, ties
+    broken by lexicographically smallest type — the ``row_number() OVER
+    (PARTITION BY user ORDER BY cnt DESC, type) = 1`` shape over grouped
+    counts.
+
+    Scale shape: (user, type) counts via hash_bucket_sum (per-block
+    partial counts ride the shuffle, not raw events), then the shared
+    grouped_topn stage with n=1 — a per-batch partial argmax combiner and
+    a hash-bucketed vectorized final cut."""
+    from ..stages.partial_agg import grouped_topn, hash_bucket_sum
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    counts = hash_bucket_sum(ds, ["user_id", "event_type"], [], count_alias="n")
+
+    def drop_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "event_type", "n"]]
+
+    top = grouped_topn(
+        counts.map_batches(drop_bucket, batch_format="pandas"),
+        "user_id", ["n", "event_type"], [False, True], 1,
+        payload_cols=["user_id", "event_type", "n"],
+        out_dtypes={"user_id": "int64", "event_type": "object", "n": "int64"},
+    ).to_pandas()
+    return (
+        top.rename(columns={"event_type": "top_type"})
+        [["user_id", "top_type", "n"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

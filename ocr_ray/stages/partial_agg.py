@@ -140,10 +140,12 @@ def hash_bucket_sum(
         return add_hash_bucket(t, keys, n_buckets)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(keys, as_index=False, sort=False).size()
+        if not sum_cols:  # count-only grouped aggregate
+            return cnt.rename(columns={"size": count_alias})
         g = df.groupby(keys, as_index=False, sort=False).agg(
             {c: "sum" for c in sum_cols}
         )
-        cnt = df.groupby(keys, as_index=False, sort=False).size()
         g[count_alias] = cnt["size"].to_numpy()
         return g
 

@@ -432,3 +432,77 @@ def test_order_lineitem_revenue(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_lag_delta_matches_pandas(ray_session):
+    from ocr_ray.pipelines.streaming import lag_delta
+
+    got = lag_delta(SF)
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    us = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    exp = (us - us.groupby(ev["user_id"]).shift(1)).fillna(-1).astype(np.int64)
+    exp = pd.DataFrame(
+        {"event_id": ev["event_id"], "user_id": ev["user_id"], "delta_us": exp}
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_value_median_matches_pandas(ray_session):
+    from ocr_ray.pipelines.streaming import user_value_median
+
+    got = user_value_median(SF)
+    rows = []
+    for uid, g in _events().groupby("user_id"):
+        v = np.sort(g["value"].to_numpy())
+        # quantile_disc(0.5): first element with cume_dist >= 0.5
+        rows.append((uid, len(v), v[int(np.ceil(0.5 * len(v))) - 1]))
+    exp = pd.DataFrame(rows, columns=["user_id", "n_events", "median_value"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_mode_type_matches_pandas(ray_session):
+    from ocr_ray.pipelines.streaming import user_mode_type
+
+    got = user_mode_type(SF)
+    cnt = (
+        _events().groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    )
+    # argmax by (count desc, type asc)
+    cnt = cnt.sort_values(
+        ["user_id", "n", "event_type"], ascending=[True, False, True]
+    )
+    exp = cnt.groupby("user_id").head(1).rename(columns={"event_type": "top_type"})
+    exp = exp[["user_id", "top_type", "n"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_orders_above_cust_avg_matches_pandas(ray_session):
+    from ocr_ray.pipelines.joins import orders_above_cust_avg
+
+    got = orders_above_cust_avg(SF)
+    od = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+    c = np.round(od["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    od = od.assign(price_c=c)
+    g = od.groupby("o_custkey")["price_c"]
+    keep = od[od["price_c"] * g.transform("size") > g.transform("sum")]
+    exp = keep[["o_orderkey", "o_custkey", "o_totalprice"]].sort_values(
+        "o_orderkey"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_docs_jsonl_source_roundtrip(ray_session, tmp_path):
+    """JSONL round trip must preserve doc ids and text exactly."""
+    from ocr_ray.pipelines.relational import docs_jsonl_source
+
+    got = docs_jsonl_source(SF)
+    docs = pq.read_table(os.path.join(SF, "documents.parquet")).to_pandas()
+    exp = (
+        docs.assign(len=docs["text"].str.len())
+        .groupby("lang")
+        .agg(n_docs=("doc_id", "size"), sum_ids=("doc_id", "sum"), sum_len=("len", "sum"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
