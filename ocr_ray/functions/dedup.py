@@ -21,6 +21,7 @@ Pair outputs are canonical (doc_a < doc_b) and deduplicated across buckets.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -87,12 +88,31 @@ _SHINGLE_K = 3
 _SEED = 42
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    """Stable 61-bit hashes of word 3-gram shingles (canonical lowercase)."""
+def _token_hashes(text: str, fast: bool | None = None) -> np.ndarray:
+    """Stable 61-bit hashes of word 3-gram shingles (canonical lowercase).
+
+    Default path: md5 of the joined shingle string — pinned because the
+    DuckDB oracle replays it bit-for-bit (`_md5_le64_terms`). Production
+    flag ``OCR_RAY_FAST_HASH=1``: hash each TOKEN once (pandas
+    hash_array — one C pass, process-stable) and combine K consecutive
+    token hashes with a vectorized polynomial mix — no shingle-string
+    construction and no per-shingle Python md5 call. The two paths give
+    different (equally uniform) hash values, so candidate generation is
+    statistically identical but not bit-identical; keep the default for
+    oracle parity, flip the flag for throughput."""
     toks = text.lower().split()
     if len(toks) < _SHINGLE_K:
         toks = toks + ["\x00"] * (_SHINGLE_K - len(toks))
-    out = np.empty(len(toks) - _SHINGLE_K + 1, dtype=np.uint64)
+    if fast is None:
+        fast = os.environ.get("OCR_RAY_FAST_HASH", "") not in ("", "0")
+    n_sh = len(toks) - _SHINGLE_K + 1
+    if fast:
+        th = pd.util.hash_array(np.array(toks, dtype=object), categorize=False)
+        h = th[:n_sh].copy()
+        for k in range(1, _SHINGLE_K):
+            h = h * np.uint64(1099511628211) + th[k : n_sh + k]
+        return np.unique(h % _MERSENNE)
+    out = np.empty(n_sh, dtype=np.uint64)
     for i in range(len(out)):
         sh = " ".join(toks[i : i + _SHINGLE_K])
         out[i] = int.from_bytes(
