@@ -32,6 +32,7 @@ __all__ = [
     "orders_without_lineitems",
     "nation_revenue",
     "orders_above_cust_avg",
+    "cust_order_counts",
 ]
 
 
@@ -488,5 +489,45 @@ def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
         joined.map_batches(flt, batch_format="pandas")
         .to_pandas()
         .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def cust_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join: every customer with their order count, customers
+    without orders kept at 0 (TPC-H leaves ~1/3 of customers orderless).
+
+    Scale shape: orders pre-aggregated to per-customer counts first
+    (hash_bucket_sum partials — the join never sees raw order rows), then
+    a partitioned bucket_hash_join with how='left'; both sides scale with
+    the corpus so neither broadcasts."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    per_cust = hash_bucket_sum(orders, ["c_custkey"], [])
+
+    joined = bucket_hash_join(cust, per_cust, on="c_custkey", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"c_custkey": "int64", "n_orders": "int64"}
+        if "c_custkey" not in df.columns:
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        out = pd.DataFrame({"c_custkey": df["c_custkey"].astype(np.int64)})
+        n = df["n"] if "n" in df.columns else pd.Series(np.nan, index=df.index)
+        out["n_orders"] = n.fillna(0).astype(np.int64)
+        return out
+
+    return (
+        joined.map_batches(finish, batch_format="pandas")
+        .to_pandas()
+        .sort_values("c_custkey")
         .reset_index(drop=True)
     )

@@ -506,3 +506,26 @@ def test_docs_jsonl_source_roundtrip(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cust_order_counts_left_join_zero_path(ray_session, tmp_path):
+    """The synthetic tables give every customer at least one order, so
+    this pins the LEFT semantics on a corpus where a third of the
+    customers are orderless."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from ocr_ray.pipelines.joins import cust_order_counts
+
+    cust = pa.table({"c_custkey": list(range(30))})
+    # customers 0,3,6,... get no orders
+    okeys = [c for c in range(30) if c % 3][:]
+    orders = pa.table({"o_custkey": okeys * 2})
+    pqw.write_table(cust, str(tmp_path / "customer.parquet"))
+    pqw.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    got = cust_order_counts(str(tmp_path))
+    assert len(got) == 30
+    exp = {c: (0 if c % 3 == 0 else 2) for c in range(30)}
+    assert dict(zip(got["c_custkey"], got["n_orders"])) == exp
+    assert got["n_orders"].dtype == np.int64
