@@ -26,6 +26,8 @@ __all__ = [
     "LangId",
     "collapse_docs_batch",
     "bigram_topk",
+    "redact_batch",
+    "repetition_batch",
 ]
 
 _WS_RE = re.compile(r"\s+")
@@ -272,3 +274,54 @@ def bigram_topk(docs, k: int = 20):
     return merged.sort_values(
         ["n", "bigram"], ascending=[False, True], kind="mergesort"
     ).head(k).reset_index(drop=True)
+
+
+# Redaction pattern — must match the SQL oracle's regexp verbatim (kept
+# RE2-compatible: no lookarounds, greedy classes only).
+REDACT_PATTERN = r"\b(table|value)\b"
+_REDACT_RE = re.compile(REDACT_PATTERN)
+REDACT_TOKEN = "[X]"
+
+
+def redact_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized-per-batch regex redaction (the PII-scrub shape): every
+    match of REDACT_PATTERN is replaced with REDACT_TOKEN; emits
+    (doc_id, n_redacted, n_chars_after, redacted_fingerprint) where the
+    fingerprint is the code-point length of the rewritten text — enough
+    for the SQL twin to verify the rewrite without shipping it back."""
+    texts = batch.column("text").to_pylist()
+    n_red = np.empty(len(texts), dtype=np.int64)
+    n_after = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        out, cnt = _REDACT_RE.subn(REDACT_TOKEN, t or "")
+        n_red[i] = cnt
+        n_after[i] = len(out)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(n_red), pa.array(n_after)],
+        names=["doc_id", "n_redacted", "n_chars_after"],
+    )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition score: per doc, the fraction of word
+    trigrams that are repeats (1 - distinct/total), 6 dp — the
+    boilerplate/templated-page signal a web-corpus quality filter cuts
+    on. Tokenization matches bigram_topk (lowercase, whitespace split,
+    empties dropped)."""
+    texts = batch.column("text").to_pylist()
+    ratio = np.zeros(len(texts), dtype=np.float64)
+    n_tri = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = [w for w in _WS_RE.split((t or "").lower()) if w]
+        total = max(0, len(toks) - 2)
+        n_tri[i] = total
+        if total:
+            tris = set(zip(toks, toks[1:], toks[2:]))
+            ratio[i] = 1.0 - len(tris) / total
+    # half-away-from-zero at 6 dp (DuckDB round(); np.round is half-even —
+    # a ratio with a power-of-two trigram count CAN land exactly on a tie)
+    r6 = np.floor(ratio * 1e6 + 0.5) / 1e6
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(n_tri), pa.array(r6)],
+        names=["doc_id", "n_trigrams", "dup_trigram_ratio"],
+    )

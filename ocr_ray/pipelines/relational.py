@@ -46,6 +46,7 @@ __all__ = [
     "distinct_event_types",
     "supplier_nation_stats",
     "docs_jsonl_source",
+    "events_value_decile",
 ]
 
 
@@ -547,3 +548,73 @@ def docs_jsonl_source(sf_dir: str) -> pd.DataFrame:
     return out[["lang", "n_docs", "sum_ids", "sum_len"]].sort_values(
         "lang"
     ).reset_index(drop=True)
+
+
+def events_value_decile(sf_dir: str) -> pd.DataFrame:
+    """Global order statistics: every event's decile by value — the
+    ``(row_number() OVER (ORDER BY value, event_id) - 1) * 10 // n``
+    shape, i.e. a GLOBAL rank over the whole corpus.
+
+    Scale shape (the reconcile_sorted pattern, extract.py): ONE
+    range-partitioning sort, then a per-block boundary summary (min key +
+    row count — O(1) rows per block), a driver prefix-sum over those
+    O(blocks) summaries, and a second vectorized pass that adds the
+    broadcast block offset to the in-block index. Driver state is
+    O(blocks), independent of row count."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    nblocks = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    sorted_ds = (
+        ds.materialize().repartition(nblocks).sort(["value", "event_id"]).materialize()
+    )
+
+    _SUM = pa.schema([("k_value", pa.float64()), ("k_event", pa.int64()),
+                      ("n", pa.int64())])
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SUM.empty_table()
+        return pa.Table.from_pydict(
+            {"k_value": [t.column("value")[0].as_py()],
+             "k_event": [t.column("event_id")[0].as_py()],
+             "n": [t.num_rows]},
+            schema=_SUM,
+        )
+
+    summ = (
+        sorted_ds.map_batches(summarize, batch_size=None, batch_format="pyarrow")
+        .to_pandas()  # one row per non-empty block — O(blocks)
+        .sort_values(["k_value", "k_event"], kind="mergesort")
+    )
+    counts = summ["n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    omap = ray.put(
+        {(v, e): int(o)
+         for v, e, o in zip(summ["k_value"], summ["k_event"], offsets)}
+    )
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("value", pa.float64()),
+                      ("decile", pa.int64())])
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        off = ray.get(omap)[
+            (t.column("value")[0].as_py(), t.column("event_id")[0].as_py())
+        ]
+        r = off + np.arange(t.num_rows, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [t.column("event_id").cast(pa.int64()).combine_chunks(),
+             t.column("value").combine_chunks(),
+             pa.array(r * 10 // total)],
+            names=["event_id", "value", "decile"],
+        )
+
+    return (
+        sorted_ds.map_batches(rank_block, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

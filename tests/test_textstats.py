@@ -2,6 +2,7 @@
 heuristic operators that have no SQL oracle)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ocr_ray.functions.textstats import (
@@ -161,3 +162,61 @@ def test_knn_brute_is_exact(ray_session):
             ["cosine", "neighbor_id"], ascending=[False, True]
         ).neighbor_id.tolist()
         assert got == expected
+
+
+def test_redact_batch_matches_re(ray_session):
+    import pyarrow as pa
+    import re
+
+    from ocr_ray.functions.textstats import REDACT_TOKEN, redact_batch
+
+    texts = ["a table of value and tables", "", "value value table", "no hits here",
+             "tablevalue table value"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = redact_batch(t).to_pandas()
+    pat = re.compile(r"\b(table|value)\b")
+    for i, txt in enumerate(texts):
+        red, cnt = pat.subn(REDACT_TOKEN, txt)
+        assert out.loc[i, "n_redacted"] == cnt
+        assert out.loc[i, "n_chars_after"] == len(red)
+    assert out["n_redacted"].sum() > 0
+
+
+def test_repetition_batch_brute(ray_session):
+    import pyarrow as pa
+
+    from ocr_ray.functions.textstats import repetition_batch
+
+    texts = ["a b c a b c a b c",      # 7 trigrams, 3 distinct
+             "x y z w",                 # 2 trigrams, distinct
+             "one two",                 # < 3 tokens
+             ""]
+    t = pa.table({"doc_id": [0, 1, 2, 3], "text": texts})
+    out = repetition_batch(t).to_pandas()
+    assert out["n_trigrams"].tolist() == [7, 2, 0, 0]
+    assert abs(out.loc[0, "dup_trigram_ratio"] - round(1 - 3 / 7, 6)) < 1e-9
+    assert out.loc[1, "dup_trigram_ratio"] == 0.0
+    assert out.loc[2, "dup_trigram_ratio"] == 0.0
+
+
+def test_events_value_decile_brute(ray_session):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import events_value_decile
+
+    sf = "/root/testdata/sf0.001"
+    got = events_value_decile(sf)
+    ev = pq.read_table(os.path.join(sf, "events.parquet"),
+                       columns=["event_id", "value"]).to_pandas()
+    ev = ev.sort_values(["value", "event_id"]).reset_index(drop=True)
+    n = len(ev)
+    ev["decile"] = (np.arange(n) * 10) // n
+    exp = ev.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp[["event_id", "value", "decile"]], check_dtype=False
+    )
+    # every decile holds n/10 +- 1 rows
+    c = got["decile"].value_counts()
+    assert c.min() >= n // 10 - 1 and c.max() <= n // 10 + 1
