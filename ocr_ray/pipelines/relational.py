@@ -47,6 +47,8 @@ __all__ = [
     "supplier_nation_stats",
     "docs_jsonl_source",
     "events_value_decile",
+    "events_csv_source",
+    "events_value_quantiles_cont",
 ]
 
 
@@ -618,3 +620,85 @@ def events_value_decile(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def _events_csv_dir(sf_dir: str) -> str:
+    """One-time parquet->CSV conversion of the events table (cached under
+    /tmp keyed by source dir, atomic rename). Ray Data job end-to-end;
+    arrow's CSV writer emits shortest-round-trip doubles, so ``value``
+    survives the text round trip bit-exactly (pinned by pytest)."""
+    import hashlib as _hl
+    import shutil
+
+    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "ocr_ray_csv", key, "events")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _read(sf_dir, "events", ["event_id", "event_type", "value"]).write_csv(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+    return out
+
+
+def events_csv_source(sf_dir: str) -> pd.DataFrame:
+    """Source-format parity (S-ops, csv): the events table round-tripped
+    parquet -> CSV -> ``ray.data.read_csv``, aggregated per type — count,
+    sum of event_ids (row identity) and exact-cents value sum (proves the
+    DOUBLE column survives the text round trip). The SQL twin reads the
+    original parquet, so any CSV encode/decode corruption flips the
+    hash."""
+    ds = rd.read_csv(_events_csv_dir(sf_dir))
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(),
+             t["event_id"].cast(pa.int64()).combine_chunks(),
+             _cents(t["value"])],
+            names=["event_type", "event_id", "value_c"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["event_type"], ["event_id", "value_c"],
+    ).to_pandas()
+    out = pd.DataFrame(
+        {"event_type": agg["event_type"], "n": agg["n"],
+         "sum_ids": agg["event_id"].astype(np.int64),
+         "sum_value": agg["value_c"] / 100.0}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated per-type quantiles (``quantile_cont`` semantics:
+    position q*(n-1), linear blend lo*(1-frac) + hi*frac — the exact
+    DuckDB formula, verified op-for-op). Five types -> map_groups is
+    fine; the per-USER variant at corpus-scale cardinality is
+    events_user_median's hash-bucket kernel."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def qs(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        n = len(v)
+
+        def pick(q: float) -> float:
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            frac = pos - lo
+            return float(v[lo] * (1 - frac) + v[hi] * frac)
+
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "p50": [pick(0.5)], "p90": [pick(0.9)], "p99": [pick(0.99)]}
+        )
+
+    out = ds.groupby("event_type").map_groups(qs, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)

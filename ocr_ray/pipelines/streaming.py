@@ -38,6 +38,7 @@ __all__ = [
     "lag_delta",
     "user_value_median",
     "user_mode_type",
+    "user_first_last",
 ]
 
 SESSION_GAP_MIN = 30
@@ -526,6 +527,55 @@ def user_mode_type(sf_dir: str) -> pd.DataFrame:
     return (
         top.rename(columns={"event_type": "top_type"})
         [["user_id", "top_type", "n"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def user_first_last(sf_dir: str) -> pd.DataFrame:
+    """Per-user first/last event (the ``first_value`` / ``last_value``
+    window shape ordered by (ts, event_id)): one row per user with the
+    first and last event_type and their timestamps.
+
+    Scale shape: coarse hash bucket of user_id, ONE vectorized pass per
+    bucket — sort by (user, ts, event_id), per-user segment starts/ends
+    via np.flatnonzero; no per-user map_groups."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    cols = {"user_id": "int64",
+            "first_type": "object", "first_ts": "datetime64[us]",
+            "last_type": "object", "last_ts": "datetime64[us]"}
+
+    def fl_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        if not len(users):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        starts = np.flatnonzero(np.concatenate([[True], users[1:] != users[:-1]]))
+        ends = np.append(starts[1:], len(users)) - 1
+        types = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy("datetime64[us]")
+        return pd.DataFrame(
+            {"user_id": users[starts],
+             "first_type": types[starts], "first_ts": ts[starts],
+             "last_type": types[ends], "last_ts": ts[ends]}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(fl_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
     )

@@ -529,3 +529,54 @@ def test_cust_order_counts_left_join_zero_path(ray_session, tmp_path):
     exp = {c: (0 if c % 3 == 0 else 2) for c in range(30)}
     assert dict(zip(got["c_custkey"], got["n_orders"])) == exp
     assert got["n_orders"].dtype == np.int64
+
+
+def test_user_first_last_matches_pandas(ray_session):
+    from ocr_ray.pipelines.streaming import user_first_last
+
+    got = user_first_last(SF)
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    first = ev.groupby("user_id").first()
+    last = ev.groupby("user_id").last()
+    exp = pd.DataFrame(
+        {"user_id": first.index,
+         "first_type": first["event_type"].to_numpy(),
+         "first_ts": first["ts"].to_numpy(),
+         "last_type": last["event_type"].to_numpy(),
+         "last_ts": last["ts"].to_numpy()}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_csv_source_float_roundtrip(ray_session):
+    """The CSV source path must round-trip the DOUBLE value column
+    bit-exactly (arrow CSV writer emits shortest-round-trip doubles)."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.relational import _events_csv_dir
+
+    back = (
+        rd.read_csv(_events_csv_dir(SF)).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    orig = (
+        pq.read_table(os.path.join(SF, "events.parquet"),
+                      columns=["event_id", "event_type", "value"]).to_pandas()
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    assert np.array_equal(back["value"].to_numpy(), orig["value"].to_numpy())
+    assert back["event_type"].tolist() == orig["event_type"].tolist()
+
+
+def test_quantiles_cont_matches_numpy(ray_session):
+    from ocr_ray.pipelines.relational import events_value_quantiles_cont
+
+    got = events_value_quantiles_cont(SF)
+    ev = _events()
+    for _, row in got.iterrows():
+        v = np.sort(ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy())
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            pos = q * (len(v) - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            frac = pos - lo
+            assert row[col] == v[lo] * (1 - frac) + v[hi] * frac
