@@ -49,6 +49,7 @@ __all__ = [
     "events_value_decile",
     "events_csv_source",
     "events_value_quantiles_cont",
+    "docs_source_lang_pivot",
 ]
 
 
@@ -702,3 +703,32 @@ def events_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("event_type").map_groups(qs, batch_format="pandas").to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# Fixed pivot column set — matches the corpus generator's lang list and
+# the SQL twin's FILTER clauses verbatim (an unknown lang raises rather
+# than silently dropping counts).
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def docs_source_lang_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (long -> wide): per source, one doc-count column per lang
+    plus the row total. The wide step is driver-side over the (source,
+    lang) AGGREGATE — |sources| x |langs| rows, never the corpus; the
+    corpus-scale work is the hash_bucket_sum grouped count."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    counts = hash_bucket_sum(ds, ["source", "lang"], []).to_pandas()
+    unknown = set(counts["lang"]) - set(PIVOT_LANGS)
+    if unknown:
+        raise ValueError(f"unexpected langs for pivot: {sorted(unknown)}")
+    wide = (
+        counts.pivot_table(index="source", columns="lang", values="n",
+                           aggfunc="sum", fill_value=0)
+        .reindex(columns=list(PIVOT_LANGS), fill_value=0)
+        .astype(np.int64)
+    )
+    wide.columns = [f"n_{c}" for c in wide.columns]
+    wide["n_total"] = wide.sum(axis=1)
+    return wide.reset_index().sort_values("source").reset_index(drop=True)

@@ -39,6 +39,7 @@ __all__ = [
     "user_value_median",
     "user_mode_type",
     "user_first_last",
+    "rolling_range_sum",
 ]
 
 SESSION_GAP_MIN = 30
@@ -579,3 +580,105 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+ROLLING_RANGE_MIN = 60  # trailing RANGE window length (minutes)
+
+
+def rolling_range_sum(sf_dir: str) -> pd.DataFrame:
+    """Bounded trailing TIME window: per event, the exact-cents sum of the
+    same user's values in [ts - 1h, ts] — the ``SUM() OVER (PARTITION BY
+    user ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW)`` frame. RANGE semantics: rows sharing the current ts (peers)
+    are INCLUDED, so equal-ts rows of one user all get the peer-group
+    total.
+
+    Scale shape: coarse hash bucket of user_id, then ONE vectorized pass
+    per bucket. Window boundaries per row come from a merge trick instead
+    of a per-user searchsorted loop: concatenate the sorted (seg, ts)
+    originals with (seg, ts - 1h) targets, lexsort once, and a cumsum of
+    the original-indicator read off at target positions IS searchsorted
+    of every target within its own segment. Sum = prefix-sum difference."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_id"].combine_chunks(), t["user_id"].combine_chunks(),
+             t["ts"].combine_chunks(), _cents(t["value"])],
+            names=["event_id", "user_id", "ts", "value_c"],
+        )
+
+    bucketed = ds.map_batches(widen, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+    gap_us = ROLLING_RANGE_MIN * 60 * 1_000_000
+
+    def seg_searchsorted(seg_id: np.ndarray, ts: np.ndarray,
+                         targets: np.ndarray, side: str) -> np.ndarray:
+        """searchsorted of targets[i] within its own (sorted) segment,
+        vectorized across ALL segments via one lexsort."""
+        n = len(ts)
+        arr = np.concatenate([ts, targets])
+        seg = np.concatenate([seg_id, seg_id])
+        is_target = np.concatenate(
+            [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+        )
+        # side='left': target sorts BEFORE equal originals; 'right': after
+        tag = 1 - is_target if side == "left" else is_target
+        order = np.lexsort((tag, arr, seg))
+        n_orig_before = np.cumsum(1 - is_target[order]) - (1 - is_target[order])
+        pos_in_merge = np.empty(2 * n, dtype=np.int64)
+        pos_in_merge[order] = np.arange(2 * n)
+        # segment-relative: subtract originals before the segment start
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], seg_id[1:] != seg_id[:-1]])
+        )
+        return (n_orig_before[pos_in_merge[n:]]
+                - np.repeat(seg_starts, np.diff(np.append(seg_starts, n))))
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        if not len(users):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype=np.int64),
+                 "user_id": pd.Series([], dtype=np.int64),
+                 "window_sum_c": pd.Series([], dtype=np.int64)}
+            )
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        v = g["value_c"].to_numpy(np.int64)
+        seg_id = np.cumsum(
+            np.concatenate([[0], (users[1:] != users[:-1]).astype(np.int64)])
+        )
+        left = seg_searchsorted(seg_id, ts, ts - gap_us, "left")
+        right = seg_searchsorted(seg_id, ts, ts, "right")  # peers included
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], users[1:] != users[:-1]])
+        )
+        seg_len = np.diff(np.append(seg_starts, len(users)))
+        base = np.repeat(seg_starts, seg_len)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        win = cs[base + right] - cs[base + left]
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": users, "window_sum_c": win}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64", "window_sum_c": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    res["window_sum"] = res["window_sum_c"] / 100.0
+    return res[["event_id", "user_id", "window_sum"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)

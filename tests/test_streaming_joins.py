@@ -580,3 +580,27 @@ def test_quantiles_cont_matches_numpy(ray_session):
             lo, hi = int(np.floor(pos)), int(np.ceil(pos))
             frac = pos - lo
             assert row[col] == v[lo] * (1 - frac) + v[hi] * frac
+
+
+def test_rolling_range_sum_peer_semantics(ray_session, tmp_path):
+    """RANGE CURRENT ROW includes ts-peers: equal-ts rows of one user all
+    get the peer-group total; rows just past the 1h boundary drop out."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from ocr_ray.pipelines.streaming import rolling_range_sum
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600, "s")
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [7, 7, 7, 7, 7, 9],
+        "ts": [base, base + h // 2, base + h // 2,           # peers at +30m
+               base + h + np.timedelta64(1, "us"),            # 0 drops out
+               base + 3 * h, base],
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+    }
+    pqw.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    got = rolling_range_sum(str(tmp_path))
+    want = {1: 1.0, 2: 7.0, 3: 7.0, 4: 14.0, 5: 16.0, 6: 32.0}
+    assert dict(zip(got["event_id"], got["window_sum"])) == want
