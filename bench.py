@@ -150,6 +150,8 @@ def run_bench(ncpu: int) -> dict:
         "dedup_minhash",
         "doc_quality",
         "knn_brute",
+        "events_rolling_range",
+        "events_value_decile",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver

@@ -50,6 +50,7 @@ __all__ = [
     "events_csv_source",
     "events_value_quantiles_cont",
     "docs_source_lang_pivot",
+    "events_user_type_count",
 ]
 
 
@@ -732,3 +733,42 @@ def docs_source_lang_pivot(sf_dir: str) -> pd.DataFrame:
     wide.columns = [f"n_{c}" for c in wide.columns]
     wide["n_total"] = wide.sum(axis=1)
     return wide.reset_index().sort_values("source").reset_index(drop=True)
+
+
+def events_user_type_count(sf_dir: str) -> pd.DataFrame:
+    """Grouped COUNT DISTINCT at corpus-scale key cardinality: per user,
+    the number of distinct event types plus total events.
+
+    Scale shape: the shuffle carries deduped (user, type) partial counts
+    (hash_bucket_sum over the pair — every block contributes at most one
+    row per pair), then one bucketed pass per user folds pair rows into
+    (n_types = rows, n_events = sum of counts). Never a raw-row
+    groupby(user)."""
+    from ..stages.partial_agg import add_hash_bucket, hash_bucket_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = hash_bucket_sum(ds, ["user_id", "event_type"], [])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            n_types=("event_type", "size"), n_events=("n", "sum")
+        )
+        return g
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_types": "int64", "n_events": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)].astype(cols)
+
+    return (
+        pairs.map_batches(
+            lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

@@ -40,6 +40,7 @@ __all__ = [
     "user_mode_type",
     "user_first_last",
     "rolling_range_sum",
+    "moving_avg",
 ]
 
 SESSION_GAP_MIN = 30
@@ -680,5 +681,79 @@ def rolling_range_sum(sf_dir: str) -> pd.DataFrame:
     )
     res["window_sum"] = res["window_sum_c"] / 100.0
     return res[["event_id", "user_id", "window_sum"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+MOVING_AVG_ROWS = 3  # trailing ROWS frame width (2 PRECEDING + CURRENT)
+
+
+def moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Bounded ROWS frame: per event, the mean of the same user's last 3
+    values ordered by (ts, event_id) — ``AVG() OVER (... ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW)``. Exact-cents sums divided once at the
+    end, mirroring the SQL twin's integer-sum / count / 100 order.
+
+    Scale shape: coarse hash bucket, one vectorized pass per bucket —
+    prefix-sum difference with the left edge clamped to the user's
+    segment start (np.maximum, no per-user loop)."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_id"].combine_chunks(), t["user_id"].combine_chunks(),
+             t["ts"].combine_chunks(), _cents(t["value"])],
+            names=["event_id", "user_id", "ts", "value_c"],
+        )
+
+    bucketed = ds.map_batches(widen, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+    w = MOVING_AVG_ROWS
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        if not len(users):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype=np.int64),
+                 "user_id": pd.Series([], dtype=np.int64),
+                 "win_c": pd.Series([], dtype=np.int64),
+                 "k": pd.Series([], dtype=np.int64)}
+            )
+        v = g["value_c"].to_numpy(np.int64)
+        n = len(v)
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], users[1:] != users[:-1]])
+        )
+        seg_len = np.diff(np.append(seg_starts, n))
+        base = np.repeat(seg_starts, seg_len)
+        i = np.arange(n, dtype=np.int64)
+        left = np.maximum(i - (w - 1), base)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": users,
+             "win_c": cs[i + 1] - cs[left],
+             "k": i - left + 1}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_id": "int64", "user_id": "int64",
+                "win_c": "int64", "k": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(roll, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    res["moving_avg"] = res["win_c"] / res["k"] / 100.0
+    return res[["event_id", "user_id", "moving_avg"]].sort_values(
         "event_id"
     ).reset_index(drop=True)

@@ -604,3 +604,31 @@ def test_rolling_range_sum_peer_semantics(ray_session, tmp_path):
     got = rolling_range_sum(str(tmp_path))
     want = {1: 1.0, 2: 7.0, 3: 7.0, 4: 14.0, 5: 16.0, 6: 32.0}
     assert dict(zip(got["event_id"], got["window_sum"])) == want
+
+
+def test_moving_avg_matches_pandas(ray_session):
+    from ocr_ray.pipelines.streaming import moving_avg
+
+    got = moving_avg(SF)
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    c = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    ev = ev.assign(c=c)
+    r = ev.groupby("user_id")["c"].rolling(3, min_periods=1)
+    win = r.sum().reset_index(level=0, drop=True)
+    k = r.count().reset_index(level=0, drop=True)
+    exp = pd.DataFrame(
+        {"event_id": ev["event_id"], "user_id": ev["user_id"],
+         "moving_avg": win / k / 100.0}
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_type_count_matches_pandas(ray_session):
+    from ocr_ray.pipelines.relational import events_user_type_count
+
+    got = events_user_type_count(SF)
+    ev = _events()
+    exp = ev.groupby("user_id").agg(
+        n_types=("event_type", "nunique"), n_events=("event_type", "size")
+    ).reset_index()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
