@@ -1,0 +1,123 @@
+"""Scale/skew demonstration for the windowed-operator kernels.
+
+The sf events tables are small (100k rows at sf0.1), so this synthesizes
+a 10M-row event log with corpus-scale key cardinality PLUS one
+mega-user holding 1M rows (10% of the corpus in a single partition key —
+the skewed-key shape the hash-bucket kernels must absorb: the mega-user
+lands in ONE bucket and is processed by the single vectorized pass).
+
+Runs rolling_range_sum (RANGE time frame via the lexsort merge trick),
+session_windows and events_user_type_count end-to-end and verifies the
+rolling output against DuckDB's window engine on the identical file via
+an exact integer-cents checksum (sum over all 10M window sums).
+
+Usage: python tools/scale_demo_windows.py [n_rows] [n_users]
+Prints one JSON line; run from the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build(n_rows: int, n_users: int, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(11)
+    n_mega = n_rows // 10  # one user owns 10% of the corpus
+    users = np.concatenate([
+        np.full(n_mega, 1, dtype=np.int64),
+        rng.randint(2, n_users + 2, size=n_rows - n_mega).astype(np.int64),
+    ])
+    # timestamps over ~30 days, microsecond precision
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    ts = base + rng.randint(0, 30 * 86400 * 1_000_000, size=n_rows)
+    value = np.round(rng.uniform(0, 100, size=n_rows), 2)
+    types = np.array(["click", "view", "purchase", "login", "error"])
+    etype = types[rng.randint(0, len(types), size=n_rows)]
+    t = pa.table({
+        "event_id": np.arange(n_rows, dtype=np.int64),
+        "user_id": users,
+        "ts": ts.astype("datetime64[us]"),
+        "event_type": etype,
+        "value": value,
+    })
+    pq.write_table(t, os.path.join(path, "events.parquet"))
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_users = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    work = "/tmp/ocr_ray_windemo"
+    os.makedirs(work, exist_ok=True)
+    if not os.path.exists(os.path.join(work, "events.parquet")):
+        build(n_rows, n_users, work)
+
+    from ocr_ray.pipelines.relational import events_user_type_count
+    from ocr_ray.pipelines.streaming import rolling_range_sum, session_windows
+
+    out = {"n_rows": n_rows, "n_users": n_users, "mega_user_rows": n_rows // 10}
+
+    t0 = time.perf_counter()
+    roll = rolling_range_sum(work)
+    out["rolling_range_sec"] = round(time.perf_counter() - t0, 2)
+    got_sum = int(np.round(roll["window_sum"].to_numpy() * 100).astype(np.int64).sum())
+    out["rolling_rows"] = len(roll)
+    del roll
+
+    t0 = time.perf_counter()
+    sess = session_windows(work)
+    out["sessions_sec"] = round(time.perf_counter() - t0, 2)
+    out["n_sessions"] = len(sess)
+    del sess
+
+    t0 = time.perf_counter()
+    utc = events_user_type_count(work)
+    out["type_count_sec"] = round(time.perf_counter() - t0, 2)
+    out["n_user_rows"] = len(utc)
+    del utc
+
+    t0 = time.perf_counter()
+    con = duckdb.connect()
+    exp_sum, exp_n = con.execute(f"""
+        SELECT CAST(sum(w) AS HUGEINT), count(*) FROM (
+          SELECT sum(CAST(round(value*100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                 ) AS w
+          FROM '{work}/events.parquet')
+    """).fetchone()
+    out["duckdb_verify_sec"] = round(time.perf_counter() - t0, 2)
+    out["rolling_checksum_match"] = bool(got_sum == int(exp_sum)
+                                         and len_ok(out["rolling_rows"], exp_n))
+    out["rows_per_sec_rolling"] = round(n_rows / out["rolling_range_sec"], 1)
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0 if out["rolling_checksum_match"] else 1
+
+
+def len_ok(a, b) -> bool:
+    return int(a) == int(b)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
