@@ -41,6 +41,9 @@ __all__ = [
     "cluster_pairs_dataset",
     "dedup_drop_ids",
     "dedup_keep_list",
+    "shingle_hash_rows",
+    "decontaminate",
+    "contamination_scores",
 ]
 
 
@@ -485,6 +488,33 @@ def ngram_jaccard_pairs(
                                          batch_size=16384)
 
 
+def shingle_hash_rows(t: pa.Table, shingle_k: int = _SHINGLE_K) -> pa.Table:
+    """(doc_id, sh) rows: the DISTINCT md5-le64 mod 2^61-1 hashes of the
+    lowercase word-``shingle_k``-grams of each doc. Docs with fewer than
+    ``shingle_k`` tokens emit nothing. Shared by decontaminate /
+    contamination_scores and replayed bit-exactly by their SQL twins."""
+    out_id: list[int] = []
+    out_sh: list[int] = []
+    for did, txt in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+        toks = txt.lower().split()
+        if len(toks) < shingle_k:
+            continue
+        seen = set()
+        for i in range(len(toks) - shingle_k + 1):
+            s = " ".join(toks[i : i + shingle_k])
+            h = int.from_bytes(
+                hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
+            ) % _MERSENNE
+            seen.add(h)
+        out_id.extend([did] * len(seen))
+        out_sh.extend(sorted(seen))
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(out_id, pa.int64()),
+         "sh": pa.array(out_sh, pa.int64())}
+    )
+
+
 def decontaminate(
     docs: rd.Dataset, bench: rd.Dataset, shingle_k: int = _SHINGLE_K
 ) -> rd.Dataset:
@@ -504,26 +534,7 @@ def decontaminate(
     from ..pipelines.joins import semi_anti_join
 
     def shingle_rows(t: pa.Table) -> pa.Table:
-        out_id: list[int] = []
-        out_sh: list[int] = []
-        for did, txt in zip(t.column("doc_id").to_pylist(),
-                            t.column("text").to_pylist()):
-            toks = txt.lower().split()
-            if len(toks) < shingle_k:
-                continue
-            seen = set()
-            for i in range(len(toks) - shingle_k + 1):
-                s = " ".join(toks[i : i + shingle_k])
-                h = int.from_bytes(
-                    hashlib.md5(s.encode("utf-8")).digest()[:8], "little"
-                ) % _MERSENNE
-                seen.add(h)
-            out_id.extend([did] * len(seen))
-            out_sh.extend(sorted(seen))
-        return pa.Table.from_pydict(
-            {"doc_id": pa.array(out_id, pa.int64()),
-             "sh": pa.array(out_sh, pa.int64())}
-        )
+        return shingle_hash_rows(t, shingle_k)
 
     doc_sh = docs.map_batches(shingle_rows, batch_format="pyarrow")
     bench_sh = bench.map_batches(shingle_rows, batch_format="pyarrow").select_columns(
@@ -536,6 +547,60 @@ def decontaminate(
         .select_columns(["doc_id"])
     )
     return semi_anti_join(docs, contaminated, on="doc_id", anti=True)
+
+
+def contamination_scores(
+    docs: rd.Dataset, bench: rd.Dataset, shingle_k: int = _SHINGLE_K
+) -> rd.Dataset:
+    """Per-document contamination measurement: for every candidate doc,
+    how many of its DISTINCT word-``shingle_k``-gram hashes also occur in
+    the benchmark set (``matched``) out of how many it has (``total``) —
+    the graded variant of :func:`decontaminate` (which drops on >=1 hit),
+    used to rank docs by eval-overlap severity instead of hard-dropping.
+
+    Scale shape: only (doc_id, sh-hash) rows ride the joins (the adaptive
+    semi join picks broadcast vs cogroup by benchmark volume); the two
+    counts are folded WITHOUT a second join — total rows tagged 0 and
+    matched rows tagged 1 ride ONE union into a hash-bucketed grouped
+    sum, so per doc: matched = sum(tag), total = n - matched. No driver
+    structure proportional to docs or shingles.
+
+    Docs with fewer than ``shingle_k`` tokens carry no shingles and are
+    absent from the output (they cannot be contaminated)."""
+    from ..pipelines.joins import semi_anti_join
+    from ..stages.partial_agg import hash_bucket_sum
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        return shingle_hash_rows(t, shingle_k)
+
+    doc_sh = docs.map_batches(shingle_rows, batch_format="pyarrow")
+    bench_sh = bench.map_batches(shingle_rows, batch_format="pyarrow").select_columns(
+        ["sh"]
+    )
+    matched = semi_anti_join(doc_sh, bench_sh, on="sh")
+
+    def tag(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t.column("doc_id").combine_chunks(),
+                 pa.array(np.full(t.num_rows, flag, dtype=np.int64))],
+                names=["doc_id", "is_match"],
+            )
+        return fn
+
+    tagged = doc_sh.map_batches(tag(0), batch_format="pyarrow").union(
+        matched.map_batches(tag(1), batch_format="pyarrow")
+    )
+    agg = hash_bucket_sum(tagged, ["doc_id"], ["is_match"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "matched": df["is_match"].astype(np.int64),
+             "total": (df["n"] - df["is_match"]).astype(np.int64)}
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:

@@ -19,7 +19,13 @@ import pyarrow as pa
 
 import ray.data as rd
 
-__all__ = ["key_hash64", "hash_sample", "stratified_split", "stratified_topn"]
+__all__ = [
+    "key_hash64",
+    "hash_sample",
+    "stratified_split",
+    "stratified_topn",
+    "rebalance_by_group",
+]
 
 
 def key_hash64(keys) -> np.ndarray:
@@ -105,3 +111,41 @@ def stratified_topn(ds: rd.Dataset, group: str, key: str, n: int) -> rd.Dataset:
         out_dtypes={key: "int64", group: "object"},
         prep=with_hash,
     )
+
+
+def rebalance_by_group(
+    ds: rd.Dataset, group: str, key: str, scale: int = 1_000_000
+) -> rd.Dataset:
+    """Deterministic distribution rebalancing (data mixing): downsample
+    every ``group`` toward the MINORITY group's size by keeping each row
+    iff ``key_hash64(key) % scale < (min_count * scale) // group_count``
+    — per-group acceptance rates derived from the actual group counts, so
+    every group lands at ~min_count rows in expectation while the
+    majority keeps a deterministic, rerun-stable subset.
+
+    Scale shape: ONE distributed grouped count (hash-bucketed) produces
+    the O(groups)-row rate table, broadcast once via ray.put; the keep
+    decision is then a pure per-row predicate — no shuffle of the data
+    rows, order/partition independent, resumable. Integer threshold
+    arithmetic so the SQL twin replays the rates exactly."""
+    import ray
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    counts = hash_bucket_sum(ds.select_columns([group]), [group], []).to_pandas()
+    mc = int(counts["n"].min())
+    thresh = {
+        g: (mc * scale) // int(c) for g, c in zip(counts[group], counts["n"])
+    }
+    ref = ray.put(thresh)
+
+    def flt(t: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        h = key_hash64(t.column(key).to_pylist()) % np.uint64(scale)
+        lim = np.fromiter(
+            (th[g] for g in t.column(group).to_pylist()),
+            dtype=np.uint64, count=t.num_rows,
+        )
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

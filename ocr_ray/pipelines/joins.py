@@ -29,6 +29,7 @@ __all__ = [
     "order_lineitem_revenue",
     "segment_revenue_native",
     "semi_anti_join",
+    "distinct_set_op",
     "orders_without_lineitems",
     "nation_revenue",
     "orders_above_cust_avg",
@@ -270,6 +271,26 @@ def semi_anti_join(
         return t.filter(pa.array(~member if anti else member))
 
     return probe.map_batches(flt, batch_format="pyarrow")
+
+
+def distinct_set_op(
+    a: rd.Dataset, b: rd.Dataset, on: str, anti: bool = False
+) -> rd.Dataset:
+    """SQL INTERSECT / EXCEPT (DISTINCT set semantics) on one key column:
+    the distinct ``on`` values of ``a`` that do (``anti=False``) or do not
+    (``anti=True``) occur in ``b``.
+
+    Scale shape: the probe side is first deduped with a hash-bucketed
+    grouped count (one row per distinct key rides the membership check,
+    never the raw rows), then membership is the adaptive semi/anti join —
+    broadcast below the key gate, partitioned cogroup above it. Emits a
+    single-column Dataset of the surviving keys."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    a_distinct = hash_bucket_sum(
+        a.select_columns([on]), [on], []
+    ).select_columns([on])
+    return semi_anti_join(a_distinct, b.select_columns([on]), on=on, anti=anti)
 
 
 def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:

@@ -51,6 +51,10 @@ __all__ = [
     "events_value_quantiles_cont",
     "docs_source_lang_pivot",
     "events_user_type_count",
+    "lineitem_rollup",
+    "events_corr_stats",
+    "users_purchase_and_error",
+    "users_click_no_purchase",
 ]
 
 
@@ -772,3 +776,130 @@ def events_user_type_count(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (GROUP BY ROLLUP shape): quantity sum + row
+    count at (returnflag, linestatus), per returnflag, and grand total,
+    with rolled-up columns labelled 'ALL'.
+
+    Scale shape: the corpus-scale work is ONE distributed partial-agg
+    pass at the finest grouping; the coarser levels are derived from that
+    O(groups)-row result on the driver (re-aggregating 6 rows), never by
+    re-scanning the input per level."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["l_returnflag"].combine_chunks(), t["l_linestatus"].combine_chunks(),
+             _cents(t["l_quantity"])],
+            names=["l_returnflag", "l_linestatus", "qty_c"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    fine = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], ["qty_c"],
+    ).to_pandas()
+    lvl1 = fine.groupby("l_returnflag", as_index=False).agg(
+        qty_c=("qty_c", "sum"), n=("n", "sum")
+    )
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+         "qty_c": [int(fine["qty_c"].sum())], "n": [int(fine["n"].sum())]}
+    )
+    allr = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    allr["sum_qty"] = allr["qty_c"] / 100.0
+    allr["n"] = allr["n"].astype(np.int64)
+    return allr[["l_returnflag", "l_linestatus", "sum_qty", "n"]].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
+def events_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation per event type between the value column and the
+    integer 'k' field of the JSON props — computed from EXACT integer
+    sufficient statistics (sum x, y, xy, x2, y2 on cents) folded by one
+    distributed partial-agg pass, then combined with a fixed IEEE-double
+    expression mirrored term-for-term by the SQL twin, so both sides
+    produce bit-identical doubles regardless of partitioning."""
+    import re as re_
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+    k_re = re_.compile(r'"k":\s*(\d+)')
+
+    def widen(t: pa.Table) -> pa.Table:
+        x = _cents_np(t.column("value").to_numpy(zero_copy_only=False))
+        y = np.fromiter(
+            (
+                int(m.group(1)) if (m := k_re.search(p or "")) else 0
+                for p in t.column("props").to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), pa.array(x), pa.array(y),
+             pa.array(x * y), pa.array(x * x), pa.array(y * y)],
+            names=["event_type", "x", "y", "xy", "x2", "y2"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["event_type"], ["x", "y", "xy", "x2", "y2"],
+    ).to_pandas()
+    nf = agg["n"].astype(np.float64)
+    sx = agg["x"].astype(np.float64)
+    sy = agg["y"].astype(np.float64)
+    sxy = agg["xy"].astype(np.float64)
+    sxx = agg["x2"].astype(np.float64)
+    syy = agg["y2"].astype(np.float64)
+    corr = (nf * sxy - sx * sy) / np.sqrt(nf * sxx - sx * sx) / np.sqrt(
+        nf * syy - sy * sy
+    )
+    out = pd.DataFrame(
+        {"event_type": agg["event_type"], "n": agg["n"].astype(np.int64),
+         "corr_vk": corr}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _typed_users(ds: rd.Dataset, etype: str) -> rd.Dataset:
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], etype)).select(["user_id"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def users_purchase_and_error(sf_dir: str) -> pd.DataFrame:
+    """SQL INTERSECT at corpus key cardinality: distinct users with at
+    least one 'purchase' AND at least one 'error' event (distinct_set_op:
+    hash-bucketed dedup + adaptive semi join — raw rows never shuffle)."""
+    from .joins import distinct_set_op
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = distinct_set_op(
+        _typed_users(ds, "purchase"), _typed_users(ds, "error"), on="user_id"
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def users_click_no_purchase(sf_dir: str) -> pd.DataFrame:
+    """SQL EXCEPT at corpus key cardinality: distinct users with a 'click'
+    event and NO 'purchase' event (distinct_set_op anti path)."""
+    from .joins import distinct_set_op
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = distinct_set_op(
+        _typed_users(ds, "click"), _typed_users(ds, "purchase"),
+        on="user_id", anti=True,
+    ).to_pandas()
+    if "user_id" not in out.columns:  # empty result drops the schema
+        out = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64)})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
