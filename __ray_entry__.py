@@ -666,6 +666,20 @@ def _q_docs_contamination(sf_dir: str):
     )
 
 
+def _q_rare_terms(sf_dir: str):
+    """Per-doc top-3 rarest terms by corpus document frequency — the
+    integer-exact TF-IDF-keyword analog (large-large join + grouped
+    top-n)."""
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import rare_terms
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = rare_terms(docs).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def _q_docs_rebalance(sf_dir: str):
     """Distribution rebalancing (data mixing): deterministically
     downsample every lang toward the minority lang's count via per-group
@@ -782,8 +796,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_propose_docs": _q_extract_propose_docs,
         "docs_quality_filter": _q_docs_quality_filter,
         # sampling / split (training-data pipeline ops)
-        "docs_sample": _q_docs_sample,
-        "docs_split": _q_docs_split,
         "docs_lang_sample": _q_docs_lang_sample,
         "docs_rebalance": _q_docs_rebalance,
         "docs_source_lang_pivot": R.docs_source_lang_pivot,
@@ -818,8 +830,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_topk": _q_bigram_topk,
         "doc_redact": _q_redact,
         "doc_repetition": _q_repetition,
+        "doc_rare_terms": _q_rare_terms,
+        "events_transitions": S.transition_counts,
+        # multiway dim+fact join plan (TPC-H Q5 shape)
+        "q5_local_supplier_volume": J.q5_local_supplier_volume,
         # large-large partitioned hash join
-        "order_lineitem_revenue": J.order_lineitem_revenue,
         "orders_above_cust_avg": J.orders_above_cust_avg,
         "cust_order_counts": J.cust_order_counts,
         "events_hll_users": _q_events_hll_users,
@@ -845,6 +860,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_incremental": S.sessionize_incremental,
         "events_asof_login": S.asof_last_login,
         "q1_pricing_summary": R.q1_pricing_summary,
+        "docs_sample": _q_docs_sample,
+        "docs_split": _q_docs_split,
+        "order_lineitem_revenue": J.order_lineitem_revenue,
         "nation_revenue": _q_nation_revenue,
         "events_distinct_users": _q_events_distinct_users,
         "orders_shipment_semi": _q_orders_shipment_semi,
@@ -1432,6 +1450,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n,
                    (nf * sxy - sx * sy) / sqrt(nf * sxx - sx * sx) / sqrt(nf * syy - sy * sy) AS corr_vk
             FROM s ORDER BY event_type
+        """,
+        "doc_rare_terms": """
+            -- per-doc lowest-document-frequency terms: integer-only
+            -- TF-IDF-keyword analog (rank by df asc, term asc)
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+                FROM documents
+              )
+            ), dfs AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+            ), r AS (
+              SELECT doc_id, tok, df,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS rank
+              FROM toks JOIN dfs USING (tok)
+            )
+            SELECT doc_id, tok, df, rank FROM r WHERE rank <= 3
+            ORDER BY doc_id, rank
+        """,
+        "events_transitions": """
+            WITH w AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            )
+            SELECT prev AS prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
         """,
         "users_purchase_and_error": """
             SELECT user_id FROM (

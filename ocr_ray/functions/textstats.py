@@ -28,6 +28,7 @@ __all__ = [
     "bigram_topk",
     "redact_batch",
     "repetition_batch",
+    "rare_terms",
 ]
 
 _WS_RE = re.compile(r"\s+")
@@ -274,6 +275,50 @@ def bigram_topk(docs, k: int = 20):
     return merged.sort_values(
         ["n", "bigram"], ascending=[False, True], kind="mergesort"
     ).head(k).reset_index(drop=True)
+
+
+def rare_terms(docs, n: int = 3):
+    """Per-doc distinctive keywords: the ``n`` terms of each document with
+    the LOWEST corpus document frequency (ties term-asc) — the
+    integer-only analog of TF-IDF keyword extraction (rank by df instead
+    of a transcendental idf, so the SQL twin is exact).
+
+    Scale shape: distinct (doc_id, term) pairs are emitted locally per
+    batch (a doc's distinct set never crosses blocks); document
+    frequencies come from ONE hash-bucketed grouped count over the pair
+    stream; df rides back onto the pairs via the partitioned bucket hash
+    join (large-large: pairs ~ corpus, vocab ~ corpus); the final cut is
+    the shared grouped_topn kernel (per-batch partial top-n combiner —
+    at most n rows per doc per block reach the last shuffle). Returns a
+    Dataset of (doc_id, tok, df, rank), rank 1..n.
+    """
+    import pandas as pd
+
+    from ..pipelines.joins import bucket_hash_join
+    from ..stages.partial_agg import grouped_topn, hash_bucket_sum
+
+    def pairs_of(t: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_tok: list[str] = []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            toks = sorted(set(txt.lower().split()))
+            out_id.extend([did] * len(toks))
+            out_tok.extend(toks)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "tok": pa.array(out_tok, pa.string())}
+        )
+
+    pairs = docs.map_batches(pairs_of, batch_format="pyarrow")
+    dfs = hash_bucket_sum(pairs.select_columns(["tok"]), ["tok"], [],
+                          count_alias="df")
+    joined = bucket_hash_join(pairs, dfs, on="tok")
+    return grouped_topn(
+        joined, "doc_id", ["df", "tok"], [True, True], n,
+        payload_cols=["doc_id", "tok", "df"],
+        out_dtypes={"doc_id": "int64", "tok": "object", "df": "int64"},
+    )
 
 
 # Redaction pattern — must match the SQL oracle's regexp verbatim (kept

@@ -34,6 +34,7 @@ __all__ = [
     "nation_revenue",
     "orders_above_cust_avg",
     "cust_order_counts",
+    "q5_local_supplier_volume",
 ]
 
 
@@ -455,6 +456,105 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["o_orderstatus", "n_orders", "revenue"]].sort_values(
         "o_orderstatus"
     ).reset_index(drop=True)
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H Q5 shape: 1996 revenue from lineitems whose supplier and
+    ordering customer share a nation in ``region``, grouped by nation —
+    a six-table query plan: two broadcast dimension hops (supplier ->
+    nation, customer -> nation, nation -> region) feeding ONE large-large
+    partitioned hash join (lineitem x orders on orderkey) with the
+    nation-equality as a vectorized post-filter.
+
+    Reference shape: multiway dim+fact join plan (SURVEY.md §2.4 J-ops).
+
+    Scale shape: selective filters are pushed BEFORE the join — orders
+    keeps only the date window and ships (orderkey, cust_nation) [two
+    ints]; lineitem keeps only region suppliers and ships (orderkey,
+    supp_nation, rev_c4). Dimension maps ship once via ray.put (int->int
+    arrays; above the broadcast gate the same query composes from
+    bucket_hash_join against the dimension instead). Exact integer-cents
+    revenue."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..money import cents_np as _cents_np
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region_t = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rk = set(region_t.loc[region_t["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rk)]
+    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    nat_ref = ray.put(nat_names)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= "1996-01-01") & (df["o_orderdate"] < "1997-01-01")]
+        lut = ray.get(cust_ref)
+        return pd.DataFrame(
+            {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "c_nk": df["o_custkey"].map(lut).to_numpy(np.int64)}
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(supp_ref)
+        names = ray.get(nat_ref)
+        s_nk = df["l_suppkey"].map(lut)
+        df = df[s_nk.isin(names.keys())]
+        price_c = _cents_np(df["l_extendedprice"].to_numpy())
+        disc_c = _cents_np(df["l_discount"].to_numpy())
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "s_nk": s_nk[df.index].to_numpy(np.int64),
+             "rev_c4": price_c * (100 - disc_c)}
+        )
+
+    joined = bucket_hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders.map_batches(o_side, batch_format="pandas"),
+        on="l_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nk"] == df["c_nk"]]
+        names = ray.get(nat_ref)
+        out = pd.DataFrame(
+            {"n_name": df["s_nk"].map(names), "rev_c4": df["rev_c4"]}
+        )
+        return out.groupby("n_name", as_index=False).agg(rev_c4=("rev_c4", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .to_pandas()
+    )
+    out["revenue"] = out["rev_c4"] / 10000.0
+    return out[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+
 
 def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     """Correlated-subquery pattern: orders whose price strictly exceeds

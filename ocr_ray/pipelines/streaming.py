@@ -41,6 +41,7 @@ __all__ = [
     "user_first_last",
     "rolling_range_sum",
     "moving_avg",
+    "transition_counts",
 ]
 
 SESSION_GAP_MIN = 30
@@ -447,6 +448,52 @@ def lag_delta(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def transition_counts(sf_dir: str) -> pd.DataFrame:
+    """Event-type transition (Markov) matrix: corpus-wide counts of every
+    consecutive (prev_type -> next_type) pair within a user's timeline —
+    the ``lag(event_type) OVER (PARTITION BY user ORDER BY ts, id)``
+    shape feeding a grouped count (user-journey / funnel analysis).
+
+    Scale shape: the lag kernel (coarse user hash bucket, ONE vectorized
+    lexsorted pass per bucket — adjacent-row shift, user-boundary rows
+    masked out), but each bucket emits only its |types|^2-row partial
+    count matrix; the final merge is over O(n_buckets * |types|^2) rows —
+    bounded by the type vocabulary, independent of corpus size."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = users[1:] == users[:-1]
+        df = pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+        out = df.groupby(["prev_type", "next_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"prev_type": "object", "next_type": "object", "n": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    partials = (
+        bucketed.groupby("bucket")
+        .map_groups(trans_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()  # O(n_buckets * |types|^2) rows — bounded
+    )
+    out = partials.groupby(["prev_type", "next_type"], as_index=False).agg(
+        n=("n", "sum")
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
 
 
 def user_value_median(sf_dir: str) -> pd.DataFrame:

@@ -140,3 +140,67 @@ def test_events_corr_stats_matches_numpy(ray_session):
         g = t[t["event_type"] == row["event_type"]]
         expect = np.corrcoef(g["x"], g["y"])[0, 1]
         assert abs(row["corr_vk"] - expect) < 1e-9
+
+
+def test_transition_counts_matches_pandas(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.streaming import transition_counts
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 40, n).astype(np.int64),
+         "ts": pd.to_datetime("2024-01-01")
+               + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+         "event_type": np.array(["a", "b", "c"])[rng.randint(0, 3, n)]}
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = transition_counts(str(tmp_path))
+
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    same = s["user_id"].to_numpy()[1:] == s["user_id"].to_numpy()[:-1]
+    et = s["event_type"].to_numpy()
+    brute = (
+        pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+        .groupby(["prev_type", "next_type"], as_index=False).size()
+        .rename(columns={"size": "n"})
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    )
+    brute["n"] = brute["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, brute)
+    assert out["n"].sum() == same.sum()
+
+
+def test_rare_terms_ranks_by_df(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import rare_terms
+
+    docs = pd.DataFrame(
+        {"doc_id": np.array([0, 1, 2], dtype=np.int64),
+         "text": ["common alpha beta", "common alpha gamma", "common delta"]}
+    )
+    out = (
+        rare_terms(rd.from_pandas(docs).repartition(2), n=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # df: common=3, alpha=2, beta/gamma/delta=1
+    d0 = out[out["doc_id"] == 0]
+    assert list(d0["tok"]) == ["beta", "alpha"]
+    assert list(d0["df"]) == [1, 2]
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["tok"]) == ["delta", "common"]
+
+
+def test_q5_shape(ray_session):
+    from ocr_ray.pipelines.joins import q5_local_supplier_volume
+
+    out = q5_local_supplier_volume("/root/testdata/sf0.001")
+    assert (out["revenue"] > 0).all()
+    assert out["n_name"].is_unique
