@@ -794,7 +794,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs_html": _q_extract_docs_html,
         "extract_docs_pdfish": _q_extract_docs_pdfish,
         "extract_propose_docs": _q_extract_propose_docs,
-        "docs_quality_filter": _q_docs_quality_filter,
         # sampling / split (training-data pipeline ops)
         "docs_lang_sample": _q_docs_lang_sample,
         "docs_rebalance": _q_docs_rebalance,
@@ -848,8 +847,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_decile": R.events_value_decile,
         "events_value_quantiles_cont": R.events_value_quantiles_cont,
         # multi-format source parity (S-ops: parquet -> JSONL round trip)
+        # + predicate-pushdown scan
         "docs_jsonl_source": R.docs_jsonl_source,
         "events_csv_source": R.events_csv_source,
+        "events_pruned_scan": R.events_pruned_scan,
         # text analysis (SQL twins where exact)
         "doc_token_stats": _q_token_stats,
         # ---- oracle-backed overflow (driver-green in CORRECTNESS_r02;
@@ -860,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_incremental": S.sessionize_incremental,
         "events_asof_login": S.asof_last_login,
         "q1_pricing_summary": R.q1_pricing_summary,
+        "docs_quality_filter": _q_docs_quality_filter,
         "docs_sample": _q_docs_sample,
         "docs_split": _q_docs_split,
         "order_lineitem_revenue": J.order_lineitem_revenue,
@@ -1450,6 +1452,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n,
                    (nf * sxy - sx * sy) / sqrt(nf * sxx - sx * sx) / sqrt(nf * syy - sy * sy) AS corr_vk
             FROM s ORDER BY event_type
+        """,
+        "events_pruned_scan": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY day ORDER BY day
         """,
         "doc_rare_terms": """
             -- per-doc lowest-document-frequency terms: integer-only

@@ -55,6 +55,7 @@ __all__ = [
     "events_corr_stats",
     "users_purchase_and_error",
     "users_click_no_purchase",
+    "events_pruned_scan",
 ]
 
 
@@ -776,6 +777,40 @@ def events_user_type_count(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def events_pruned_scan(sf_dir: str) -> pd.DataFrame:
+    """Predicate-pushdown source (prune at the read): the row filter is
+    handed to ``read_parquet`` as an Arrow dataset expression, so
+    row-group statistics skip non-matching groups and only the THREE
+    needed columns of the matching rows leave storage — the 100-TB rule
+    that a scan feeding a selective pipeline must never materialize
+    non-qualifying rows. Downstream: exact-cents daily purchase revenue
+    (O(days) groups)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "value"],
+        filter=(pads.field("event_type") == "purchase"),
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(t["ts"], format="%Y-%m-%d"), _cents(t["value"])],
+            names=["day", "value_c"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["day"], ["value_c"]
+    ).to_pandas()
+    out = pd.DataFrame(
+        {"day": agg["day"], "n": agg["n"].astype(np.int64),
+         "sum_value": agg["value_c"] / 100.0}
+    )
+    return out.sort_values("day").reset_index(drop=True)
 
 
 def lineitem_rollup(sf_dir: str) -> pd.DataFrame:

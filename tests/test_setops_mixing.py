@@ -204,3 +204,25 @@ def test_q5_shape(ray_session):
     out = q5_local_supplier_volume("/root/testdata/sf0.001")
     assert (out["revenue"] > 0).all()
     assert out["n_name"].is_unique
+
+
+def test_events_pruned_scan_matches_brute(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_ray.money import cents_np
+    from ocr_ray.pipelines.relational import events_pruned_scan
+
+    out = events_pruned_scan("/root/testdata/sf0.001")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["ts", "event_type", "value"]).to_pandas()
+    t = t[t["event_type"] == "purchase"]
+    brute = (
+        t.assign(day=t["ts"].dt.strftime("%Y-%m-%d"),
+                 value_c=cents_np(t["value"].to_numpy()))
+        .groupby("day", as_index=False)
+        .agg(n=("value_c", "size"), value_c=("value_c", "sum"))
+    )
+    brute["sum_value"] = brute["value_c"] / 100.0
+    brute["n"] = brute["n"].astype(np.int64)
+    brute = brute[["day", "n", "sum_value"]].sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, brute)
