@@ -666,6 +666,29 @@ def _q_docs_contamination(sf_dir: str):
     )
 
 
+def _q_heavy_bigrams(sf_dir: str):
+    """Exact 1/700-heavy-hitter word bigrams via the Misra-Gries
+    candidate sketch + exact recount (the output is EXACT — the sketch
+    only bounds the candidate set, see ocr_ray.functions.sketch)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import heavy_hitters
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+
+    def bigrams_of(t):
+        out: list[str] = []
+        for txt in t.column("text").to_pylist():
+            toks = txt.lower().split()
+            out.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+        return np.array(out, dtype=object)
+
+    return heavy_hitters(docs, k=700, items_of=bigrams_of)
+
+
 def _q_rare_terms(sf_dir: str):
     """Per-doc top-3 rarest terms by corpus document frequency — the
     integer-exact TF-IDF-keyword analog (large-large join + grouped
@@ -800,8 +823,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_lang_pivot": R.docs_source_lang_pivot,
         # the composed curation DAG (quality -> dedup -> near-dup -> split)
         "docs_curated": _q_docs_curated,
-        # sequence packing (training batch shaping)
-        "docs_packed": _q_docs_packed,
         # benchmark decontamination (eval-leakage guard) + per-doc scores
         "docs_decontaminated": _q_docs_decontaminated,
         "docs_contamination": _q_docs_contamination,
@@ -830,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact": _q_redact,
         "doc_repetition": _q_repetition,
         "doc_rare_terms": _q_rare_terms,
+        "doc_heavy_bigrams": _q_heavy_bigrams,
         "events_transitions": S.transition_counts,
         # multiway dim+fact join plan (TPC-H Q5 shape)
         "q5_local_supplier_volume": J.q5_local_supplier_volume,
@@ -862,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_login": S.asof_last_login,
         "q1_pricing_summary": R.q1_pricing_summary,
         "docs_quality_filter": _q_docs_quality_filter,
+        "docs_packed": _q_docs_packed,
         "docs_sample": _q_docs_sample,
         "docs_split": _q_docs_split,
         "order_lineitem_revenue": J.order_lineitem_revenue,
@@ -1478,6 +1501,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tok, df, rank FROM r WHERE rank <= 3
             ORDER BY doc_id, rank
+        """,
+        "doc_heavy_bigrams": """
+            -- exact phi=1/700 heavy hitters over per-doc word bigrams
+            WITH toks AS (
+              SELECT doc_id, tok, ord FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok,
+                       generate_subscripts(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), 1) AS ord
+                FROM documents
+              )
+            ), bg AS (
+              SELECT tok || ' ' || lead(tok, 1) OVER (
+                       PARTITION BY doc_id ORDER BY ord) AS term
+              FROM toks QUALIFY lead(tok, 1) OVER (
+                       PARTITION BY doc_id ORDER BY ord) IS NOT NULL
+            ), c AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY term
+            ), t AS (
+              SELECT CAST(count(*) AS BIGINT) AS total FROM bg
+            )
+            SELECT term, n FROM c, t WHERE n * 700 > total ORDER BY term
         """,
         "events_transitions": """
             WITH w AS (

@@ -14,7 +14,13 @@ import pyarrow as pa
 
 import ray.data as rd
 
-__all__ = ["HyperLogLog", "hll_distinct_by_key", "exact_distinct_by_key"]
+__all__ = [
+    "HyperLogLog",
+    "hll_distinct_by_key",
+    "exact_distinct_by_key",
+    "misra_gries_block",
+    "heavy_hitters",
+]
 
 
 def _mix64(v: np.ndarray) -> np.ndarray:
@@ -132,3 +138,89 @@ def exact_distinct_by_key(ds: rd.Dataset, key: str, value: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(key).reset_index(drop=True)
+
+
+def misra_gries_block(terms: np.ndarray, counts: np.ndarray, k: int) -> np.ndarray:
+    """ONE vectorized Misra-Gries prune of an exact block count: keep the
+    items whose count strictly exceeds the (k+1)-th largest count — the
+    batch form of decrement-all-by-one, so at most k items survive.
+
+    Guarantee: the subtracted threshold is <= n_block/(k+1) (if k+1 items
+    all exceeded n_block/(k+1) they would sum past the block total), so
+    every item with block frequency > n_block/(k+1) survives."""
+    if len(terms) <= k:
+        return terms
+    thr = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    return terms[counts > thr]
+
+
+_HH_SENTINEL = "\x00total"  # cannot collide with whitespace-split tokens
+
+
+def heavy_hitters(ds: rd.Dataset, k: int, items_of) -> pd.DataFrame:
+    """EXACT phi-heavy-hitters (phi = 1/k): every item whose corpus
+    frequency strictly exceeds total/k, with its exact count — found in
+    two streaming passes, never shuffling the raw item stream.
+
+    Pass 1 runs the Misra-Gries prune per block; by the pigeonhole
+    argument an item with global frequency > total/(k+1) must be
+    block-heavy (> n_b/(k+1)) in at least one block, so the UNION of the
+    per-block candidate sets contains every global heavy hitter — the
+    approximation error lives only in the candidate set, never in the
+    output. Pass 2 re-counts ONLY the candidates (plus a sentinel row
+    carrying each block's item total) through a hash-bucketed grouped
+    sum, and the final strict filter n*k > total makes the result exact
+    and deterministic regardless of partitioning.
+
+    Driver state: the candidate set, O(blocks * k) worst case but
+    collapsed by the union (Zipfian streams repeat the same heads);
+    independent of corpus size per block. ``items_of(batch)`` returns the
+    block's item ndarray (e.g. word bigrams of a text column)."""
+    import ray
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    def cand_block(t: pa.Table) -> pa.Table:
+        items = items_of(t)
+        if len(items) == 0:
+            return pa.Table.from_pydict({"term": pa.array([], pa.string())})
+        terms, counts = np.unique(items, return_counts=True)
+        keep = misra_gries_block(terms, counts, k)
+        return pa.Table.from_pydict({"term": pa.array(keep, pa.string())})
+
+    cands = (
+        ds.map_batches(cand_block, batch_format="pyarrow")
+        .groupby("term")
+        .count()
+        .select_columns(["term"])
+    )
+    cand_set = frozenset(cands.to_pandas()["term"])
+    ref = ray.put(cand_set)
+
+    def recount_block(t: pa.Table) -> pa.Table:
+        items = items_of(t)
+        cs = ray.get(ref)
+        if len(items) == 0:
+            terms = np.array([], dtype=object)
+            counts = np.array([], dtype=np.int64)
+        else:
+            terms, counts = np.unique(items, return_counts=True)
+        mask = np.fromiter((x in cs for x in terms), dtype=bool, count=len(terms))
+        out_t = list(terms[mask]) + [_HH_SENTINEL]
+        out_n = [int(c) for c in counts[mask]] + [int(len(items))]
+        return pa.Table.from_pydict(
+            {"term": pa.array(out_t, pa.string()),
+             "n": pa.array(out_n, pa.int64())}
+        )
+
+    agg = hash_bucket_sum(
+        ds.map_batches(recount_block, batch_format="pyarrow"),
+        ["term"], ["n"], count_alias="n_partials",
+    ).to_pandas()  # bounded: candidates + 1 row
+    total = int(agg.loc[agg["term"] == _HH_SENTINEL, "n"].iloc[0])
+    out = agg[(agg["term"] != _HH_SENTINEL) & (agg["n"] * k > total)].copy()
+    out["n"] = out["n"].astype(np.int64)
+    if out.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    return out[["term", "n"]].sort_values("term").reset_index(drop=True)

@@ -47,3 +47,39 @@ def test_distinct_by_key_exact_and_approx(ray_session):
     assert len(merged) == len(exact)
     for _, r in merged.iterrows():
         assert abs(r.approx_distinct - r.n_distinct) / max(1, r.n_distinct) < 0.05
+
+
+def test_heavy_hitters_exact_on_zipf(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import heavy_hitters, misra_gries_block
+
+    # Zipfian item stream: vocabulary far above the sketch capacity so the
+    # per-block prune genuinely discards items
+    rng = np.random.RandomState(11)
+    items = np.array([f"w{int(i)}" for i in
+                      np.clip(rng.zipf(1.3, 60_000), 1, 5000)], dtype=object)
+    docs = pd.DataFrame({"text": [" ".join(items[i:i + 200])
+                                  for i in range(0, len(items), 200)]})
+
+    def words_of(t):
+        out = []
+        for txt in t.column("text").to_pylist():
+            out.extend(txt.split())
+        return np.array(out, dtype=object)
+
+    k = 50
+    out = heavy_hitters(rd.from_pandas(docs).repartition(8), k, words_of)
+
+    vals, counts = np.unique(items, return_counts=True)
+    total = len(items)
+    brute = pd.DataFrame({"term": vals, "n": counts.astype(np.int64)})
+    brute = brute[brute["n"] * k > total].sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, brute)
+    assert len(out) > 0
+    # the per-block prune keeps at most k items
+    keep = misra_gries_block(vals, counts, k)
+    assert len(keep) <= k
