@@ -42,9 +42,38 @@ __all__ = [
     "rolling_range_sum",
     "moving_avg",
     "transition_counts",
+    "band_pair_counts",
+    "user_type_entropy",
+    "user_event_path",
 ]
 
 SESSION_GAP_MIN = 30
+
+
+def seg_searchsorted(seg_id: np.ndarray, ts: np.ndarray,
+                     targets: np.ndarray, side: str) -> np.ndarray:
+    """searchsorted of targets[i] within its own (sorted) segment,
+    vectorized across ALL segments via one lexsort — the shared kernel
+    behind every RANGE-frame / band-window operator here. ``seg_id`` must
+    be nondecreasing and ``ts`` sorted within each segment."""
+    n = len(ts)
+    arr = np.concatenate([ts, targets])
+    seg = np.concatenate([seg_id, seg_id])
+    is_target = np.concatenate(
+        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+    )
+    # side='left': target sorts BEFORE equal originals; 'right': after
+    tag = 1 - is_target if side == "left" else is_target
+    order = np.lexsort((tag, arr, seg))
+    n_orig_before = np.cumsum(1 - is_target[order]) - (1 - is_target[order])
+    pos_in_merge = np.empty(2 * n, dtype=np.int64)
+    pos_in_merge[order] = np.arange(2 * n)
+    # segment-relative: subtract originals before the segment start
+    seg_starts = np.flatnonzero(
+        np.concatenate([[True], seg_id[1:] != seg_id[:-1]])
+    )
+    return (n_orig_before[pos_in_merge[n:]]
+            - np.repeat(seg_starts, np.diff(np.append(seg_starts, n))))
 
 
 def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -663,29 +692,6 @@ def rolling_range_sum(sf_dir: str) -> pd.DataFrame:
     )
     gap_us = ROLLING_RANGE_MIN * 60 * 1_000_000
 
-    def seg_searchsorted(seg_id: np.ndarray, ts: np.ndarray,
-                         targets: np.ndarray, side: str) -> np.ndarray:
-        """searchsorted of targets[i] within its own (sorted) segment,
-        vectorized across ALL segments via one lexsort."""
-        n = len(ts)
-        arr = np.concatenate([ts, targets])
-        seg = np.concatenate([seg_id, seg_id])
-        is_target = np.concatenate(
-            [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
-        )
-        # side='left': target sorts BEFORE equal originals; 'right': after
-        tag = 1 - is_target if side == "left" else is_target
-        order = np.lexsort((tag, arr, seg))
-        n_orig_before = np.cumsum(1 - is_target[order]) - (1 - is_target[order])
-        pos_in_merge = np.empty(2 * n, dtype=np.int64)
-        pos_in_merge[order] = np.arange(2 * n)
-        # segment-relative: subtract originals before the segment start
-        seg_starts = np.flatnonzero(
-            np.concatenate([[True], seg_id[1:] != seg_id[:-1]])
-        )
-        return (n_orig_before[pos_in_merge[n:]]
-                - np.repeat(seg_starts, np.diff(np.append(seg_starts, n))))
-
     def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         users = g["user_id"].to_numpy()
@@ -804,3 +810,170 @@ def moving_avg(sf_dir: str) -> pd.DataFrame:
     return res[["event_id", "user_id", "moving_avg"]].sort_values(
         "event_id"
     ).reset_index(drop=True)
+
+
+BAND_W_HOURS = 12  # band-join window width
+
+
+def band_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """Band (interval) self-join: per user, the number of ordered event
+    pairs (e1, e2) with ``e1.ts < e2.ts <= e1.ts + 12h`` — the classic
+    non-equi time-band join Ray Data has no primitive for, expressed as
+    equi-bucket on the join key + ONE vectorized window pass per bucket.
+
+    Scale shape: the only shuffle is the coarse user-hash bucketing (the
+    same partitioning key every other per-user operator here reuses); the
+    quadratic pair set is never materialized — per-row pair counts come
+    from two ``seg_searchsorted`` calls (prefix-rank difference), and the
+    per-user reduction is a segment ``reduceat``. Skewed users cost
+    O(n log n) in their bucket, not O(n^2)."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    w_us = BAND_W_HOURS * 3600 * 1_000_000
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def band_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        if not len(users):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_pairs": pd.Series([], dtype=np.int64)}
+            )
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        seg_id = np.cumsum(
+            np.concatenate([[0], (users[1:] != users[:-1]).astype(np.int64)])
+        )
+        # pairs per LEFT row: strictly-later rows up to ts + W (inclusive)
+        upper = seg_searchsorted(seg_id, ts, ts + w_us, "right")
+        lower = seg_searchsorted(seg_id, ts, ts, "right")
+        per_row = upper - lower
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], users[1:] != users[:-1]])
+        )
+        return pd.DataFrame(
+            {"user_id": users[seg_starts],
+             "n_pairs": np.add.reduceat(per_row, seg_starts)}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "n_pairs": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(band_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def user_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user Shannon entropy (nats) of the event-type distribution,
+    from integer counts: ``H = ln(n) - (sum c_t * ln(c_t)) / n`` with the
+    inner sum accumulated in alphabetical type order — absent types add
+    an exact +0.0 in the SQL twin's CASE chain, which is the IEEE
+    identity, so skipping them entirely is bit-equal.
+
+    Scale shape: (user, type) counts reduce through hash_bucket_sum
+    (per-block partials first — the shuffle carries count rows, not
+    events); the entropy fold is one vectorized reduceat pass per
+    user-hash bucket."""
+    from ..stages.partial_agg import add_hash_bucket, hash_bucket_sum
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    counts = hash_bucket_sum(ds, ["user_id", "event_type"], [], count_alias="n")
+
+    bucketed = counts.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def ent_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        if not len(users):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "entropy": pd.Series([], dtype=np.float64)}
+            )
+        c = g["n"].to_numpy(np.float64)
+        seg_starts = np.flatnonzero(
+            np.concatenate([[True], users[1:] != users[:-1]])
+        )
+        n = np.add.reduceat(g["n"].to_numpy(np.int64), seg_starts)
+        slnc = np.add.reduceat(c * np.log(c), seg_starts)  # c >= 1 always
+        ent = np.log(n.astype(np.float64)) - slnc / n.astype(np.float64)
+        ent6 = (
+            pc.round(pa.array(ent), ndigits=6, round_mode="half_towards_infinity")
+            .to_numpy(zero_copy_only=False)
+        )
+        return pd.DataFrame({"user_id": users[seg_starts], "entropy": ent6})
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "entropy": "float64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(ent_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def user_event_path(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered event-type path: the '>' -joined sequence of
+    event types in (ts, event_id) order plus its length — the
+    ``string_agg(... ORDER BY ts, event_id)`` ordered-aggregate shape.
+
+    Scale shape: coarse user-hash bucket, one sort per bucket, then a
+    pandas C-level groupby join — no per-user map_groups, no driver-side
+    state; output rows are user-cardinality."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def path_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "path": pd.Series([], dtype=object),
+                 "n_steps": pd.Series([], dtype=np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=True)["event_type"].agg([
+            (">".join).__call__, "size"
+        ])
+        agg.columns = ["path", "n_steps"]
+        return agg.reset_index()
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "path": "object", "n_steps": "int64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(path_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

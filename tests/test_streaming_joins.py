@@ -632,3 +632,86 @@ def test_user_type_count_matches_pandas(ray_session):
         n_types=("event_type", "nunique"), n_events=("event_type", "size")
     ).reset_index()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _write_events(tmp_path, name, ev):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    pq_.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def test_band_pair_counts_matches_brute(ray_session, tmp_path):
+    """Band self-join == O(n^2) brute force, including duplicate same-user
+    timestamps (equal-ts pairs must NOT count: condition is ts1 < ts2)."""
+    from ocr_ray.pipelines.streaming import BAND_W_HOURS, band_pair_counts
+
+    rng = np.random.RandomState(7)
+    n = 300
+    ev = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 12, size=n).astype(np.int64),
+         # coarse seconds grid -> plenty of same-user duplicate ts
+         "ts": pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.randint(0, 40, size=n) * 3600 * 6, unit="s")}
+    )
+    got = band_pair_counts(_write_events(tmp_path, "band", ev))
+    w = np.timedelta64(BAND_W_HOURS * 3600, "s")
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        cnt = sum(
+            int(((ts > t) & (ts <= t + w)).sum()) for t in ts
+        )
+        want.append((uid, cnt))
+    want = pd.DataFrame(want, columns=["user_id", "n_pairs"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_user_type_entropy_matches_brute(ray_session, tmp_path):
+    from ocr_ray.pipelines.streaming import user_type_entropy
+
+    rng = np.random.RandomState(11)
+    n = 500
+    types = np.array(["click", "error", "purchase", "signup", "view"])
+    ev = pd.DataFrame(
+        {"user_id": rng.randint(0, 30, size=n).astype(np.int64),
+         "event_type": types[rng.randint(0, 5, size=n)]}
+    )
+    # one single-type user: entropy must be exactly 0
+    ev.loc[ev.user_id == 0, "event_type"] = "view"
+    got = user_type_entropy(_write_events(tmp_path, "ent", ev))
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        c = g["event_type"].value_counts().sort_index().to_numpy(float)
+        h = np.log(c.sum()) - float((c * np.log(c)).sum()) / c.sum()
+        want.append((uid, np.round(h, 6)))
+    want = pd.DataFrame(want, columns=["user_id", "entropy"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[got.user_id == 0, "entropy"].item() == 0.0
+
+
+def test_user_event_path_ordered_with_ts_ties(ray_session, tmp_path):
+    """Path order is (ts, event_id) — equal timestamps break by event_id."""
+    from ocr_ray.pipelines.streaming import user_event_path
+
+    t0 = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {"event_id": np.array([5, 2, 9, 1, 7], dtype=np.int64),
+         "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+         "ts": [t0, t0, t0 + pd.Timedelta("1h"), t0, t0],
+         "event_type": ["view", "click", "purchase", "signup", "error"]}
+    )
+    got = user_event_path(_write_events(tmp_path, "path", ev))
+    want = pd.DataFrame(
+        {"user_id": np.array([1, 2], dtype=np.int64),
+         "path": ["click>view>purchase", "signup>error"],
+         "n_steps": np.array([3, 2], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
