@@ -820,6 +820,39 @@ def _q_bool_search(sf_dir: str):
     return boolean_search(docs, _BOOL_TERMS)
 
 
+def _q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement: Efraimidis-
+    Spirakis A-ES keys from the md5-le64 hash, weight = token count + 1
+    (longer documents proportionally likelier) — the quality-weighted
+    selection step of a curation pipeline, rerun-stable and
+    SQL-replayable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import weighted_sample
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        nspace = pc.count_substring(t["text"], " ")
+        n_tokens = pc.if_else(
+            pc.equal(t["text"].combine_chunks(), ""),
+            pa.scalar(0, pa.int64()),
+            pc.add(pc.cast(nspace, pa.int64()), 1),
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"].combine_chunks(), n_tokens],
+            names=["doc_id", "n_tokens"],
+        )
+
+    return weighted_sample(
+        docs.map_batches(widen, batch_format="pyarrow"),
+        "doc_id", "n_tokens", k=50,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import joins as J
     from ocr_ray.pipelines import relational as R
@@ -915,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- oracle-backed overflow (driver-green in CORRECTNESS_r02 or
         # ---- verified via tools/check_queries.py; past the driver's
         # ---- 50-entry graded window by design) ----
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "events_band_pairs": S.band_pair_counts,
         "events_user_entropy": S.user_type_entropy,
         "events_user_path": S.user_event_path,
@@ -2222,6 +2256,28 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                    ) / 100.0 AS window_sum
             FROM events ORDER BY event_id
+        """,
+        "docs_weighted_sample": """
+            -- Efraimidis-Spirakis weighted sample: score = ln(u)/(w+1),
+            -- u = (md5-le64(doc_id)+1)/2^64, w = token count; top-50 by
+            -- raw score (rounded 6dp only for display)
+            WITH t AS (
+              SELECT doc_id,
+                CAST(CASE WHEN text = '' THEN 0
+                     ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
+                (((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 1::HUGEINT + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) * 256::HUGEINT + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1)) * 65536::HUGEINT + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) * 16777216::HUGEINT + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 9, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 10, 1)) - 1)) * 4294967296::HUGEINT + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 12, 1)) - 1)) * 1099511627776::HUGEINT + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 13, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 14, 1)) - 1)) * 281474976710656::HUGEINT + ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 15, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 16, 1)) - 1)) * 72057594037927936::HUGEINT) AS h
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                ln((CAST(h AS DOUBLE) + 1.0) / 18446744073709551616.0)
+                  / CAST(n_tokens + 1 AS DOUBLE) AS raw
+              FROM t
+            ), cut AS (
+              SELECT doc_id, n_tokens, raw FROM s
+              ORDER BY raw DESC, doc_id LIMIT 50
+            )
+            SELECT doc_id, n_tokens, round(raw, 6) AS score
+            FROM cut ORDER BY doc_id
         """,
         "events_band_pairs": """
             -- 12h time-band self-join, LEFT so zero-pair users keep a row

@@ -25,6 +25,7 @@ __all__ = [
     "stratified_split",
     "stratified_topn",
     "rebalance_by_group",
+    "weighted_sample",
 ]
 
 
@@ -149,3 +150,56 @@ def rebalance_by_group(
         return t.filter(pa.array(h < lim))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: rd.Dataset, key: str, weight_col: str, k: int
+) -> "pd.DataFrame":  # noqa: F821 — pandas imported lazily
+    """Deterministic weighted sample without replacement (the
+    Efraimidis-Spirakis A-ES scheme, hash-derived): each row gets the key
+    ``score = ln(u) / w`` with ``u = (key_hash64(key) + 1) / 2^64`` and
+    integer weight ``w = weight_col + 1``; the k largest scores ARE a
+    weighted sample without replacement. Hash-derived u keeps the classic
+    reservoir algorithm's guarantees while being rerun-stable,
+    order/partition independent, and SQL-replayable (higher-weight rows
+    get u exponents closer to 0, hence larger scores, hence higher
+    inclusion probability — exactly proportional to w).
+
+    Scale shape: pure per-row scoring + per-block partial top-k; the
+    driver merges O(blocks * k) candidate rows, never the corpus.
+    """
+    import pandas as pd
+
+    out_schema = pa.schema(
+        [(key, pa.int64()), (weight_col, pa.int64()), ("score", pa.float64())]
+    )
+
+    def score_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        h = key_hash64(t.column(key).to_pylist())
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.log(u) / (w + 1).astype(np.float64)
+        order = np.lexsort((t.column(key).to_numpy(zero_copy_only=False), -score))
+        cut = order[:k]
+        return pa.Table.from_pydict(
+            {
+                key: t.column(key).to_numpy(zero_copy_only=False)[cut],
+                weight_col: w[cut],
+                "score": score[cut],
+            },
+            schema=out_schema,
+        )
+
+    part = ds.map_batches(score_block, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(
+        ["score", key], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    part["score"] = (
+        pa.compute.round(
+            pa.array(part["score"].to_numpy()), ndigits=6,
+            round_mode="half_towards_infinity",
+        ).to_numpy(zero_copy_only=False)
+    )
+    return part.reset_index(drop=True)

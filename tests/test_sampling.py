@@ -226,3 +226,32 @@ def test_media_features_query(ray_session):
     out = media_pipeline(rd.from_arrow(make_media_table(50))).to_pandas()
     assert len(out) == 50 and out["decode_ok"].all()
     assert (out["width"] > 0).all() and (out["mean_value"] > 0).all()
+
+
+def test_weighted_sample_matches_brute_and_weight_monotone(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import key_hash64, weighted_sample
+
+    n = 2000
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         # two weight classes: heavy rows 10x the weight of light rows
+         "w": np.where(np.arange(n) % 2 == 0, 99, 9).astype(np.int64)}
+    )
+    k = 200
+    got = weighted_sample(rd.from_pandas(df).repartition(7), "doc_id", "w", k)
+    # brute-force E-S reference
+    h = key_hash64(df["doc_id"])
+    u = (h.astype(np.float64) + 1.0) / 2.0**64
+    score = np.log(u) / (df["w"].to_numpy() + 1).astype(np.float64)
+    order = np.lexsort((df["doc_id"].to_numpy(), -score))[:k]
+    want = set(df["doc_id"].to_numpy()[np.sort(order)])
+    assert set(got["doc_id"]) == want
+    assert len(got) == k
+    # partition independence
+    got2 = weighted_sample(rd.from_pandas(df).repartition(2), "doc_id", "w", k)
+    assert got["doc_id"].tolist() == got2["doc_id"].tolist()
+    # 10x-weight rows must dominate the sample (expected ~10:1 odds/row)
+    heavy = (got["doc_id"] % 2 == 0).sum()
+    assert heavy > 0.75 * k
