@@ -853,6 +853,20 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension min/max/count over the embedding list column — the
+    UNNEST-with-ordinality aggregate computed as columnwise block
+    partials over the zero-copy matrix view (never exploded)."""
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["embedding"])
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import joins as J
     from ocr_ray.pipelines import relational as R
@@ -949,6 +963,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- verified via tools/check_queries.py; past the driver's
         # ---- 50-entry graded window by design) ----
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "events_funnel": S.funnel_counts,
+        "events_new_users_daily": S.new_users_daily,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "events_band_pairs": S.band_pair_counts,
         "events_user_entropy": S.user_type_entropy,
         "events_user_path": S.user_event_path,
@@ -2278,6 +2295,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, round(raw, 6) AS score
             FROM cut ORDER BY doc_id
+        """,
+        "events_funnel": """
+            -- min-timestamp funnel: each stage compares the user's FIRST
+            -- event of the step type; NULL steps fail the strict compare
+            WITH m AS (
+              SELECT user_id,
+                min(CASE WHEN event_type='signup' THEN ts END) AS t0,
+                min(CASE WHEN event_type='click' THEN ts END) AS t1,
+                min(CASE WHEN event_type='purchase' THEN ts END) AS t2
+              FROM events GROUP BY user_id
+            )
+            SELECT
+              CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+              CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel
+            FROM m
+        """,
+        "events_new_users_daily": """
+            -- cumulative distinct users via first-seen day counts
+            WITH f AS (
+              SELECT user_id, min(ts) AS ft FROM events GROUP BY user_id
+            ), d AS (
+              SELECT strftime(ft, '%Y-%m-%d') AS day,
+                     CAST(count(*) AS BIGINT) AS n_new
+              FROM f GROUP BY 1
+            )
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+            FROM d ORDER BY day
+        """,
+        "embedding_dim_stats": """
+            -- list-column UNNEST aggregate: per-dimension min/max/count
+            SELECT CAST(dim - 1 AS BIGINT) AS dim,
+                   CAST(min(val) AS DOUBLE) AS vmin,
+                   CAST(max(val) AS DOUBLE) AS vmax,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings
+            )
+            GROUP BY dim ORDER BY dim
         """,
         "events_band_pairs": """
             -- 12h time-band self-join, LEFT so zero-pair users keep a row

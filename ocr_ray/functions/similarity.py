@@ -252,3 +252,37 @@ def knn_ivf(
     res = pd.concat(out, ignore_index=True) if out else partials
     res["cosine"] = np.round(res["cosine"], 6)
     return res
+
+
+def embedding_dim_stats(ds: rd.Dataset) -> "pd.DataFrame":  # noqa: F821
+    """Per-dimension min / max / count over the embedding column — the
+    UNNEST-with-ordinality (list-explode) aggregate shape, computed
+    WITHOUT exploding: each block folds to one (dim, min, max, n) partial
+    via a columnwise reduction over the zero-copy (n, d) matrix view, and
+    the driver combines O(blocks * d) partial rows. Min/max are
+    order-free, so the partial/final split is exact on float32 inputs."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"dim": pa.array([], pa.int64()),
+                 "vmin": pa.array([], pa.float64()),
+                 "vmax": pa.array([], pa.float64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        mat = _to_matrix(batch)
+        d = mat.shape[1]
+        return pa.Table.from_pydict(
+            {"dim": np.arange(d, dtype=np.int64),
+             "vmin": mat.min(axis=0),
+             "vmax": mat.max(axis=0),
+             "n": np.full(d, mat.shape[0], dtype=np.int64)}
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = part.groupby("dim", as_index=False).agg(
+        vmin=("vmin", "min"), vmax=("vmax", "max"), n=("n", "sum")
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("dim").reset_index(drop=True)

@@ -45,6 +45,8 @@ __all__ = [
     "band_pair_counts",
     "user_type_entropy",
     "user_event_path",
+    "funnel_counts",
+    "new_users_daily",
 ]
 
 SESSION_GAP_MIN = 30
@@ -977,3 +979,98 @@ def user_event_path(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str) -> pd.DataFrame:
+    """Conversion funnel over each step's FIRST occurrence per user:
+    ``n_signup`` users who ever signed up, ``n_signup_click`` of those
+    whose first click is strictly after their first signup, ``n_funnel``
+    whose first purchase is strictly after that click — the min-timestamp
+    funnel contract (each stage compares the user's global first event of
+    the step type; NULL steps fail the comparison).
+
+    Scale shape: the event stream reduces to one (user, step) min-ts row
+    via hash_bucket_min (per-block partial min first, so the shuffle
+    carries candidate minima, not events); the pivot + stage booleans run
+    vectorized per user-hash bucket, emitting ONE partial row per bucket;
+    the driver folds O(buckets) rows."""
+    from ..stages.partial_agg import add_hash_bucket, hash_bucket_min
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(list(FUNNEL_STEPS)))
+        )
+
+    mins = hash_bucket_min(
+        ds.map_batches(flt, batch_format="pyarrow"),
+        ["user_id", "event_type"], ["ts"],
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ("n_signup", "n_signup_click", "n_funnel")}
+            )
+        wide = g.pivot(index="user_id", columns="event_type", values="ts")
+        for step in FUNNEL_STEPS:
+            if step not in wide.columns:
+                wide[step] = pd.NaT
+        s0 = wide["signup"].notna()
+        s1 = s0 & (wide["click"] > wide["signup"])
+        s2 = s1 & (wide["purchase"] > wide["click"])
+        return pd.DataFrame(
+            {"n_signup": [int(s0.sum())],
+             "n_signup_click": [int(s1.sum())],
+             "n_funnel": [int(s2.sum())]}
+        )
+
+    part = (
+        mins.map_batches(
+            lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()  # O(buckets) partial rows
+    )
+    out = part.sum().to_frame().T.astype(np.int64)
+    return out[["n_signup", "n_signup_click", "n_funnel"]]
+
+
+def new_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Daily NEW users and the cumulative distinct-user count: each
+    user's first-ever event day, counted per day, prefix-summed — the
+    exact streaming-metrics form of "cumulative uniques over time"
+    (count-per-first-seen-day makes the cumulative sum exact without
+    re-scanning history).
+
+    Scale shape: per-user min-ts via hash_bucket_min (candidate minima
+    shuffle, not events), day counts via hash_bucket_sum; only the
+    O(days) count table reaches the driver for the prefix sum."""
+    from ..stages.partial_agg import hash_bucket_min, hash_bucket_sum
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+    first = hash_bucket_min(ds, ["user_id"], ["ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(t["ts"], format="%Y-%m-%d")], names=["day"]
+        )
+
+    counts = (
+        hash_bucket_sum(
+            first.map_batches(to_day, batch_format="pyarrow"), ["day"], [],
+            count_alias="n_new",
+        )
+        .to_pandas()  # O(days)
+        .sort_values("day", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    counts["cum_users"] = counts["n_new"].cumsum().astype(np.int64)
+    counts["n_new"] = counts["n_new"].astype(np.int64)
+    return counts[["day", "n_new", "cum_users"]]

@@ -154,3 +154,36 @@ def hash_bucket_sum(
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def hash_bucket_min(
+    ds: rd.Dataset,
+    keys: list[str],
+    min_cols: list[str],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """High-cardinality grouped MIN: per-block partial groupby-min first
+    (each block shrinks to one row per key it contains), then the same
+    coarse hash-bucket shuffle + one vectorized final groupby-min per
+    bucket as :func:`hash_bucket_sum`. Min is idempotent, so the
+    partial/final split is exact."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys + min_cols).to_pandas()
+        g = df.groupby(keys, as_index=False, sort=False).agg(
+            {c: "min" for c in min_cols}
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            {c: "min" for c in min_cols}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: add_hash_bucket(t, keys, n_buckets),
+                     batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

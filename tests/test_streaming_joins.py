@@ -715,3 +715,72 @@ def test_user_event_path_ordered_with_ts_ties(ray_session, tmp_path):
          "n_steps": np.array([3, 2], dtype=np.int64)}
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel_counts_matches_brute(ray_session, tmp_path):
+    """Funnel stage booleans vs brute force, covering click-before-signup,
+    missing steps, and purchase-before-click orderings."""
+    from ocr_ray.pipelines.streaming import funnel_counts
+
+    rng = np.random.RandomState(13)
+    n = 600
+    types = np.array(["signup", "click", "purchase", "view", "error"])
+    ev = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 40, size=n).astype(np.int64),
+         "ts": pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.randint(0, 500_000, size=n), unit="s"),
+         "event_type": types[rng.randint(0, 5, size=n)]}
+    )
+    got = funnel_counts(_write_events(tmp_path, "funnel", ev))
+    n0 = n1 = n2 = 0
+    for _, g in ev.groupby("user_id"):
+        t0 = g.loc[g.event_type == "signup", "ts"].min()
+        t1 = g.loc[g.event_type == "click", "ts"].min()
+        t2 = g.loc[g.event_type == "purchase", "ts"].min()
+        if pd.notna(t0):
+            n0 += 1
+            if pd.notna(t1) and t1 > t0:
+                n1 += 1
+                if pd.notna(t2) and t2 > t1:
+                    n2 += 1
+    assert got.iloc[0].tolist() == [n0, n1, n2]
+
+
+def test_new_users_daily_matches_brute(ray_session, tmp_path):
+    from ocr_ray.pipelines.streaming import new_users_daily
+
+    rng = np.random.RandomState(17)
+    n = 400
+    ev = pd.DataFrame(
+        {"user_id": rng.randint(0, 60, size=n).astype(np.int64),
+         "ts": pd.Timestamp("2024-03-01")
+               + pd.to_timedelta(rng.randint(0, 20 * 86_400, size=n), unit="s")}
+    )
+    got = new_users_daily(_write_events(tmp_path, "newu", ev))
+    first = ev.groupby("user_id")["ts"].min().dt.strftime("%Y-%m-%d")
+    want = first.value_counts().sort_index()
+    assert got["day"].tolist() == want.index.tolist()
+    assert got["n_new"].tolist() == want.tolist()
+    assert got["cum_users"].tolist() == want.cumsum().tolist()
+    assert got["cum_users"].iloc[-1] == ev["user_id"].nunique()
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import embedding_dim_stats
+
+    rng = np.random.RandomState(19)
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    t = pa.Table.from_pydict(
+        {"embedding": pa.array(list(mat), pa.list_(pa.float32()))}
+    )
+    got = embedding_dim_stats(rd.from_arrow(t).repartition(5))
+    np.testing.assert_array_equal(got["dim"], np.arange(16))
+    np.testing.assert_allclose(got["vmin"], mat.min(axis=0).astype(np.float64),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(got["vmax"], mat.max(axis=0).astype(np.float64),
+                               rtol=0, atol=0)
+    assert (got["n"] == 200).all()
