@@ -963,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- verified via tools/check_queries.py; past the driver's
         # ---- 50-entry graded window by design) ----
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "users_click_purchase_outer": R.users_click_purchase_outer,
         "events_funnel": S.funnel_counts,
         "events_new_users_daily": S.new_users_daily,
         "embedding_dim_stats": _q_embedding_dim_stats,
@@ -2295,6 +2296,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, round(raw, 6) AS score
             FROM cut ORDER BY doc_id
+        """,
+        "users_click_purchase_outer": """
+            -- FULL OUTER join of two per-user count tables; both orphan
+            -- sides occur naturally at the 150.0 value threshold
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+              FROM events WHERE event_type = 'click' AND value > 150.0
+              GROUP BY user_id
+            ), p AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+              FROM events WHERE event_type = 'purchase' AND value > 150.0
+              GROUP BY user_id
+            )
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   COALESCE(n_clicks, 0) AS n_clicks,
+                   COALESCE(n_purchases, 0) AS n_purchases
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+            ORDER BY user_id
         """,
         "events_funnel": """
             -- min-timestamp funnel: each stage compares the user's FIRST

@@ -938,3 +938,65 @@ def users_click_no_purchase(sf_dir: str) -> pd.DataFrame:
         out = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64)})
     out["user_id"] = out["user_id"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+OUTER_VALUE_MIN = 150.0  # high-value threshold for the outer-join query
+
+
+def users_click_purchase_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join at user cardinality: per-user count of high-value
+    clicks joined full-outer with per-user count of high-value purchases
+    — both orphan sides occur naturally (users with big clicks but no
+    big purchases and vice versa) and missing sides coalesce to 0.
+
+    Scale shape: each side pre-aggregates to one row per user via
+    hash_bucket_sum BEFORE the join (the shuffle carries count rows, not
+    events), then the partitioned bucket hash join cogroups the two
+    count tables; pandas' outer merge inside each bucket preserves both
+    orphan sides. No broadcast, no driver state."""
+    from ..stages.partial_agg import hash_bucket_sum
+    from .joins import cogroup_bucket_join
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(etype: str, alias: str) -> rd.Dataset:
+        def flt(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.equal(t["event_type"], etype),
+                pc.greater(t["value"], OUTER_VALUE_MIN),
+            )
+            return t.filter(keep).select(["user_id"])
+
+        def pin(df: pd.DataFrame) -> pd.DataFrame:
+            # empty groupby partitions pass through with their INPUT
+            # schema — pin every block to (user_id, alias) for the join
+            if alias not in df.columns:
+                return pd.DataFrame(
+                    {"user_id": pd.Series([], dtype=np.int64),
+                     alias: pd.Series([], dtype=np.int64)}
+                )
+            return df[["user_id", alias]]
+
+        return hash_bucket_sum(
+            ds.map_batches(flt, batch_format="pyarrow"), ["user_id"], [],
+            count_alias=alias,
+        ).map_batches(pin, batch_format="pandas")
+
+    joined = cogroup_bucket_join(
+        side("click", "n_clicks"), side("purchase", "n_purchases"),
+        left_on="user_id", how="outer",
+    )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_clicks", "n_purchases"]
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+        out = df[cols].fillna(0)
+        return out.astype({c: np.int64 for c in cols})
+
+    return (
+        joined.map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

@@ -784,3 +784,35 @@ def test_embedding_dim_stats_matches_numpy(ray_session):
     np.testing.assert_allclose(got["vmax"], mat.max(axis=0).astype(np.float64),
                                rtol=0, atol=0)
     assert (got["n"] == 200).all()
+
+
+def test_users_click_purchase_outer_both_orphan_sides(ray_session, tmp_path):
+    """FULL OUTER: click-only users, purchase-only users, and both-side
+    users all present with exact counts and int64 zero-fill."""
+    from ocr_ray.pipelines.relational import (
+        OUTER_VALUE_MIN,
+        users_click_purchase_outer,
+    )
+
+    hi = OUTER_VALUE_MIN + 10.0
+    rows = [
+        # user 1: big clicks only; user 2: big purchases only;
+        # user 3: both; user 4: only low-value events (absent entirely)
+        (1, "click", hi), (1, "click", hi),
+        (2, "purchase", hi),
+        (3, "click", hi), (3, "purchase", hi), (3, "purchase", hi),
+        (4, "click", OUTER_VALUE_MIN - 1.0), (4, "purchase", 1.0),
+    ]
+    ev = pd.DataFrame(
+        {"user_id": np.array([r[0] for r in rows], dtype=np.int64),
+         "event_type": [r[1] for r in rows],
+         "value": [r[2] for r in rows],
+         "ts": pd.Timestamp("2024-01-01")}
+    )
+    got = users_click_purchase_outer(_write_events(tmp_path, "outer", ev))
+    want = pd.DataFrame(
+        {"user_id": np.array([1, 2, 3], dtype=np.int64),
+         "n_clicks": np.array([2, 0, 1], dtype=np.int64),
+         "n_purchases": np.array([0, 1, 2], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(got, want)
