@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- 50-entry graded window by design) ----
         "docs_weighted_sample": _q_docs_weighted_sample,
         "users_click_purchase_outer": R.users_click_purchase_outer,
+        "events_hive_source": R.events_hive_source,
         "events_funnel": S.funnel_counts,
         "events_new_users_daily": S.new_users_daily,
         "embedding_dim_stats": _q_embedding_dim_stats,
@@ -2314,6 +2315,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_purchases, 0) AS n_purchases
             FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
             ORDER BY user_id
+        """,
+        "events_hive_source": """
+            -- twin filters the un-partitioned original; the engine reads
+            -- only the event_type=purchase hive partition directory
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     / 100.0 AS revenue
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY day ORDER BY day
         """,
         "events_funnel": """
             -- min-timestamp funnel: each stage compares the user's FIRST

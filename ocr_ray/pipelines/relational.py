@@ -56,6 +56,8 @@ __all__ = [
     "users_purchase_and_error",
     "users_click_no_purchase",
     "events_pruned_scan",
+    "users_click_purchase_outer",
+    "events_hive_source",
 ]
 
 
@@ -1000,3 +1002,54 @@ def users_click_purchase_outer(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def _events_hive_dir(sf_dir: str) -> str:
+    """One-time hive-partitioned rewrite of the events table
+    (``event_type=<v>/`` directories via ``write_parquet(partition_cols)``),
+    cached under /tmp keyed by source dir — the resumable partitioned-sink
+    layout the engine writes at scale, reused here as a PRUNABLE source."""
+    import hashlib as _hl
+    import shutil
+
+    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "ocr_ray_hive", key, "events")
+    if os.path.isdir(out) and os.listdir(out):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    _read(sf_dir, "events", ["event_type", "ts", "value"]).write_parquet(
+        tmp, partition_cols=["event_type"]
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner exists
+    return out
+
+
+def events_hive_source(sf_dir: str) -> pd.DataFrame:
+    """Partition-pruned source: daily count + exact-cents revenue of
+    'purchase' events read from ONE hive partition directory — the scan
+    never opens the other partitions' files (pruning by layout, the
+    cheapest predicate pushdown there is). The SQL twin filters the
+    original un-partitioned table, so a wrong or lossy partitioning
+    flips the hash."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    part_dir = os.path.join(_events_hive_dir(sf_dir), "event_type=purchase")
+    ds = rd.read_parquet(part_dir, columns=["ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(t["ts"], format="%Y-%m-%d"), _cents(t["value"])],
+            names=["day", "value_c"],
+        )
+
+    agg = hash_bucket_sum(
+        ds.map_batches(widen, batch_format="pyarrow"), ["day"], ["value_c"]
+    ).to_pandas()
+    agg["revenue"] = agg["value_c"] / 100.0
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[["day", "n", "revenue"]].sort_values("day").reset_index(drop=True)

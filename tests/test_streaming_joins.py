@@ -816,3 +816,59 @@ def test_users_click_purchase_outer_both_orphan_sides(ray_session, tmp_path):
          "n_purchases": np.array([0, 1, 2], dtype=np.int64)}
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_events_hive_source_layout_and_parity(ray_session, tmp_path, monkeypatch):
+    """Partitioned rewrite produces one event_type=<v>/ dir per type and
+    the pruned read of a single partition matches the pandas brute."""
+    import ocr_ray.pipelines.relational as R
+
+    rng = np.random.RandomState(23)
+    n = 300
+    types = np.array(["click", "purchase", "view"])
+    ev = pd.DataFrame(
+        {"user_id": rng.randint(0, 10, size=n).astype(np.int64),
+         "event_type": types[rng.randint(0, 3, size=n)],
+         "ts": pd.Timestamp("2024-01-01")
+               + pd.to_timedelta(rng.randint(0, 5 * 86_400, size=n), unit="s"),
+         "value": np.round(rng.uniform(0.5, 30.0, size=n), 2)}
+    )
+    d = _write_events(tmp_path, "hive", ev)
+    monkeypatch.setattr(
+        R, "_events_hive_dir", lambda sf: _hive_build(R, sf, tmp_path)
+    )
+    got = R.events_hive_source(d)
+    p = ev[ev.event_type == "purchase"].copy()
+    p["day"] = p["ts"].dt.strftime("%Y-%m-%d")
+    p["value_c"] = np.where(p["value"] >= 0, np.floor(p["value"] * 100 + 0.5),
+                            np.ceil(p["value"] * 100 - 0.5)).astype(np.int64)
+    want = (
+        p.groupby("day", as_index=False)
+        .agg(n=("day", "size"), value_c=("value_c", "sum"))
+        .assign(revenue=lambda x: x.value_c / 100.0)[["day", "n", "revenue"]]
+        .sort_values("day").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # layout: one hive dir per type, nothing else
+    import os as _os
+
+    hive_root = _hive_build(R, d, tmp_path)
+    assert sorted(_os.listdir(hive_root)) == [
+        "event_type=click", "event_type=purchase", "event_type=view"
+    ]
+
+
+def _hive_build(R, sf_dir, tmp_path):
+    """Test-local hive dir (avoids the shared /tmp cache key)."""
+    import os as _os
+
+    import ray.data as rd
+
+    out = str(tmp_path / "hive_out")
+    if _os.path.isdir(out) and _os.listdir(out):
+        return out
+    rd.read_parquet(_os.path.join(sf_dir, "events.parquet"),
+                    columns=["event_type", "ts", "value"]).write_parquet(
+        out, partition_cols=["event_type"]
+    )
+    return out
