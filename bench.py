@@ -152,6 +152,7 @@ def run_bench(ncpu: int) -> dict:
         "knn_brute",
         "events_rolling_range",
         "events_value_decile",
+        "events_band_pairs",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver
