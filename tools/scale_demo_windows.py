@@ -73,7 +73,11 @@ def main() -> int:
         build(n_rows, n_users, work)
 
     from ocr_ray.pipelines.relational import events_user_type_count
-    from ocr_ray.pipelines.streaming import rolling_range_sum, session_windows
+    from ocr_ray.pipelines.streaming import (
+        band_pair_counts,
+        rolling_range_sum,
+        session_windows,
+    )
 
     out = {"n_rows": n_rows, "n_users": n_users, "mega_user_rows": n_rows // 10}
 
@@ -97,6 +101,14 @@ def main() -> int:
     del utc
 
     t0 = time.perf_counter()
+    band = band_pair_counts(work)
+    out["band_sec"] = round(time.perf_counter() - t0, 2)
+    out["band_users"] = len(band)
+    got_pairs = int(band["n_pairs"].sum())
+    got_mega_pairs = int(band.loc[band["user_id"] == 1, "n_pairs"].sum())
+    del band
+
+    t0 = time.perf_counter()
     con = duckdb.connect()
     exp_sum, exp_n = con.execute(f"""
         SELECT CAST(sum(w) AS HUGEINT), count(*) FROM (
@@ -110,9 +122,34 @@ def main() -> int:
     out["rolling_checksum_match"] = bool(got_sum == int(exp_sum)
                                          and len_ok(out["rolling_rows"], exp_n))
     out["rows_per_sec_rolling"] = round(n_rows / out["rolling_range_sec"], 1)
+
+    # band-join verify WITHOUT materializing the pair set on either side:
+    # strict pairs-per-row = (rows in [ts, ts+12h]) - (peer rows at ts),
+    # both O(n log n) window counts in DuckDB
+    t0 = time.perf_counter()
+    exp_pairs, exp_mega = con.execute(f"""
+        SELECT CAST(sum(w_total - w_peers) AS HUGEINT),
+               CAST(sum(CASE WHEN user_id = 1 THEN w_total - w_peers
+                        ELSE 0 END) AS HUGEINT)
+        FROM (
+          SELECT user_id,
+                 count(*) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN CURRENT ROW
+                   AND INTERVAL 12 HOURS FOLLOWING) AS w_total,
+                 count(*) OVER (PARTITION BY user_id ORDER BY ts
+                   RANGE CURRENT ROW) AS w_peers
+          FROM '{work}/events.parquet')
+    """).fetchone()
+    out["duckdb_band_verify_sec"] = round(time.perf_counter() - t0, 2)
+    out["band_pairs"] = got_pairs
+    out["band_mega_user_pairs"] = got_mega_pairs
+    out["band_checksum_match"] = bool(got_pairs == int(exp_pairs)
+                                      and got_mega_pairs == int(exp_mega))
+    out["rows_per_sec_band"] = round(n_rows / out["band_sec"], 1)
     print(json.dumps(out))
     ray.shutdown()
-    return 0 if out["rolling_checksum_match"] else 1
+    return 0 if (out["rolling_checksum_match"]
+                 and out["band_checksum_match"]) else 1
 
 
 def len_ok(a, b) -> bool:
