@@ -257,6 +257,28 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(embs, qids, qmat, k=10)
 
 
+def _q_knn_filtered(sf_dir: str):
+    """Filtered vector search: exact cosine top-k restricted to vectors
+    whose label is in {0, 1, 2} — the metadata-predicate + ANN combo a
+    vector store serves. The label filter is PUSHED TO THE PARQUET SCAN
+    (arrow dataset expression: row groups that can't match never leave
+    storage); queries still come from the unfiltered corpus head."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import default_queries, knn_brute
+
+    embs_all = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    qids, qmat = default_queries(embs_all, n=8)
+    filtered = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("label").isin([0, 1, 2]),
+    )
+    return knn_brute(filtered, qids, qmat, k=10)
+
+
 def _q_extract_propose(sf_dir: str):
     """Operator-level propose/NMS/order stage in isolation (M4-M8 + D1/D2,
     FIXTURES.md §3): spans with offsets + confidence, no decode."""
@@ -919,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         # similarity search / clustering
         "knn_brute": _q_knn_brute,
+        "knn_filtered": _q_knn_filtered,
         "knn_ivf": _q_knn_ivf,
         "kmeans_clusters": _q_kmeans,
         # stream-shaped operators over the events log
@@ -2325,6 +2348,25 @@ def oracle_sql() -> dict[str, str]:
                      / 100.0 AS revenue
             FROM events WHERE event_type = 'purchase'
             GROUP BY day ORDER BY day
+        """,
+        "knn_filtered": """
+            -- metadata-filtered exact vector search: candidates restricted
+            -- to label IN (0,1,2); queries from the unfiltered head
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            )
+            SELECT query_id, neighbor_id, cosine FROM (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id
+                     ) AS rn
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.qid AND e.label IN (0, 1, 2)
+            ) WHERE rn <= 10
         """,
         "events_funnel": """
             -- min-timestamp funnel: each stage compares the user's FIRST

@@ -220,3 +220,35 @@ def test_events_value_decile_brute(ray_session):
     # every decile holds n/10 +- 1 rows
     c = got["decile"].value_counts()
     assert c.min() >= n // 10 - 1 and c.max() <= n // 10 + 1
+
+
+def test_knn_filtered_respects_label_predicate(ray_session):
+    """Filtered search returns only in-filter neighbors and equals the
+    brute-force answer on the restricted candidate set."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import default_queries, knn_brute
+
+    sf = "/root/testdata/sf0.001"
+    embs_all = rd.read_parquet(sf + "/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qids, qmat = default_queries(embs_all, n=3)
+    filtered = rd.read_parquet(
+        sf + "/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pads.field("label").isin([0, 1, 2]),
+    )
+    got = knn_brute(filtered, qids, qmat, k=5)
+    labels = pd.read_parquet(sf + "/embeddings.parquet",
+                             columns=["vec_id", "label"]).set_index("vec_id")
+    assert labels.loc[got["neighbor_id"], "label"].isin([0, 1, 2]).all()
+    # brute force on the restricted set: pandas cosine
+    df = pd.read_parquet(sf + "/embeddings.parquet")
+    cand = df[df.label.isin([0, 1, 2])]
+    mat = np.array(cand["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for j, qid in enumerate(qids):
+        cos = mat @ qmat[j]
+        order = np.lexsort((cand["vec_id"].to_numpy(), -cos))
+        want = [v for v in cand["vec_id"].to_numpy()[order] if v != qid][:5]
+        assert got[got.query_id == qid]["neighbor_id"].tolist() == want
