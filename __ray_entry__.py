@@ -988,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _q_docs_weighted_sample,
         "users_click_purchase_outer": R.users_click_purchase_outer,
         "events_hive_source": R.events_hive_source,
+        "events_union_sources": R.events_union_sources,
+        "events_user_mad": S.user_value_mad,
         "events_funnel": S.funnel_counts,
         "events_new_users_daily": S.new_users_daily,
         "embedding_dim_stats": _q_embedding_dim_stats,
@@ -2367,6 +2369,30 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e
               WHERE e.vec_id <> q.qid AND e.label IN (0, 1, 2)
             ) WHERE rn <= 10
+        """,
+        "events_union_sources": """
+            -- engine unions the parquet read with its CSV round-trip;
+            -- this twin doubles the original
+            WITH u AS (
+              SELECT event_type, value FROM events
+              UNION ALL SELECT event_type, value FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     / 100.0 AS sum_value
+            FROM u GROUP BY event_type ORDER BY event_type
+        """,
+        "events_user_mad": """
+            -- two-level discrete quantile: median, then median absolute
+            -- deviation around it (both actual input elements)
+            WITH m AS (
+              SELECT user_id, quantile_disc(value, 0.5) AS med
+              FROM events GROUP BY user_id
+            )
+            SELECT e.user_id, any_value(m.med) AS median_value,
+                   quantile_disc(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN m ON e.user_id = m.user_id
+            GROUP BY e.user_id ORDER BY e.user_id
         """,
         "events_funnel": """
             -- min-timestamp funnel: each stage compares the user's FIRST

@@ -58,6 +58,7 @@ __all__ = [
     "events_pruned_scan",
     "users_click_purchase_outer",
     "events_hive_source",
+    "events_union_sources",
 ]
 
 
@@ -1053,3 +1054,34 @@ def events_hive_source(sf_dir: str) -> pd.DataFrame:
     agg["revenue"] = agg["value_c"] / 100.0
     agg["n"] = agg["n"].astype(np.int64)
     return agg[["day", "n", "revenue"]].sort_values("day").reset_index(drop=True)
+
+
+def events_union_sources(sf_dir: str) -> pd.DataFrame:
+    """UNION ALL across heterogeneous sources: the events table read from
+    parquet UNIONED with the same table read back from its CSV round-trip,
+    aggregated per type — every row counted twice iff both sources
+    deliver identical rows (a lossy CSV decode or a dropped block flips
+    the hash). Both sides are projected to ONE schema (event_type,
+    value_c) BEFORE the union so the merged stream is block-uniform."""
+    from ..stages.partial_agg import partial_sum_count
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), _cents(t["value"])],
+            names=["event_type", "value_c"],
+        )
+
+    pq_side = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        widen, batch_format="pyarrow"
+    )
+    csv_side = rd.read_csv(_events_csv_dir(sf_dir)).map_batches(
+        widen, batch_format="pyarrow"
+    )
+    agg = partial_sum_count(
+        pq_side.union(csv_side), ["event_type"], ["value_c"]
+    ).to_pandas()
+    agg["sum_value"] = agg["value_c"] / 100.0
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[["event_type", "n", "sum_value"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)

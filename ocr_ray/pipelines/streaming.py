@@ -47,6 +47,7 @@ __all__ = [
     "user_event_path",
     "funnel_counts",
     "new_users_daily",
+    "user_value_mad",
 ]
 
 SESSION_GAP_MIN = 30
@@ -1074,3 +1075,58 @@ def new_users_daily(sf_dir: str) -> pd.DataFrame:
     counts["cum_users"] = counts["n_new"].cumsum().astype(np.int64)
     counts["n_new"] = counts["n_new"].astype(np.int64)
     return counts[["day", "n_new", "cum_users"]]
+
+
+def user_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Grouped robust statistics: per-user discrete median of ``value``
+    and the median absolute deviation around it (both ``quantile_disc``
+    picks — actual input elements, so doubles compare exactly against
+    the SQL twin's two-level quantile).
+
+    Scale shape: ONE user-hash bucket shuffle, then both quantile passes
+    run vectorized inside the bucket (sort by (user, value) for the
+    median, re-lexsort by (user, |value - median|) for the MAD) — no
+    join-back shuffle for the second pass, no per-user map_groups."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["user_id", "value"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def mad_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "median_value": pd.Series([], dtype=np.float64),
+                 "mad": pd.Series([], dtype=np.float64)}
+            )
+        g = g.sort_values(["user_id", "value"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        vals = g["value"].to_numpy(np.float64)
+        starts = np.flatnonzero(np.concatenate([[True], users[1:] != users[:-1]]))
+        seg_len = np.diff(np.append(starts, len(users)))
+        pick = starts + np.ceil(seg_len / 2).astype(np.int64) - 1
+        med = vals[pick]
+        absdev = np.abs(vals - np.repeat(med, seg_len))
+        # second quantile pass: re-sort by (user, absdev) — same segments
+        order = np.lexsort((absdev, users))
+        mad = absdev[order][pick]
+        return pd.DataFrame(
+            {"user_id": users[starts], "median_value": med, "mad": mad}
+        )
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": "int64", "median_value": "float64", "mad": "float64"}
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(mad_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

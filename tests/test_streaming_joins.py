@@ -872,3 +872,30 @@ def _hive_build(R, sf_dir, tmp_path):
         out, partition_cols=["event_type"]
     )
     return out
+
+
+def test_user_value_mad_matches_brute(ray_session, tmp_path):
+    """Two-level grouped quantile vs brute force, including even/odd
+    segment sizes and duplicate values."""
+    from ocr_ray.pipelines.streaming import user_value_mad
+
+    rng = np.random.RandomState(29)
+    n = 500
+    ev = pd.DataFrame(
+        {"user_id": rng.randint(0, 25, size=n).astype(np.int64),
+         "value": np.round(rng.uniform(0, 50, size=n), 1),  # many duplicates
+         "ts": pd.Timestamp("2024-01-01")}
+    )
+    got = user_value_mad(_write_events(tmp_path, "mad", ev))
+
+    def qdisc(a):
+        a = np.sort(a)
+        return a[int(np.ceil(len(a) / 2)) - 1]
+
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        v = g["value"].to_numpy(np.float64)
+        med = qdisc(v)
+        want.append((uid, med, qdisc(np.abs(v - med))))
+    want = pd.DataFrame(want, columns=["user_id", "median_value", "mad"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
