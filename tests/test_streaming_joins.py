@@ -899,3 +899,27 @@ def test_user_value_mad_matches_brute(ray_session, tmp_path):
         want.append((uid, med, qdisc(np.abs(v - med))))
     want = pd.DataFrame(want, columns=["user_id", "median_value", "mad"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cogroup_bucket_join_outer_preserves_both_orphan_sides(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import cogroup_bucket_join
+
+    left = pd.DataFrame({"k": np.array([1, 2, 2, 3], dtype=np.int64),
+                         "a": np.array([10, 20, 21, 30], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 4], dtype=np.int64),
+                          "b": np.array([200, 400], dtype=np.int64)})
+    got = (
+        cogroup_bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", n_buckets=4, how="outer")
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k", how="outer").sort_values(
+        ["k", "a"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "float64", "b": "float64"}),
+        exp.astype({"a": "float64", "b": "float64"}),
+        check_dtype=False,
+    )
+    assert set(got["k"]) == {1, 2, 3, 4}  # both orphan sides present
