@@ -886,27 +886,39 @@ def user_type_entropy(sf_dir: str) -> pd.DataFrame:
     an exact +0.0 in the SQL twin's CASE chain, which is the IEEE
     identity, so skipping them entirely is bit-equal.
 
-    Scale shape: (user, type) counts reduce through hash_bucket_sum
-    (per-block partials first — the shuffle carries count rows, not
-    events); the entropy fold is one vectorized reduceat pass per
-    user-hash bucket."""
-    from ..stages.partial_agg import add_hash_bucket, hash_bucket_sum
+    Scale shape: ONE user-hash bucket shuffle. Each block first shrinks
+    to per-(user, type) partial counts (the shuffle carries count rows,
+    not events); the bucket pass combines the partials AND folds the
+    entropy in the same vectorized reduceat sweep — no second exchange."""
+    from ..stages.partial_agg import add_hash_bucket
 
     ds = _events(sf_dir, ["user_id", "event_type"])
-    counts = hash_bucket_sum(ds, ["user_id", "event_type"], [], count_alias="n")
 
-    bucketed = counts.map_batches(
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
     )
 
     def ent_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
-        users = g["user_id"].to_numpy()
-        if not len(users):
+        if not len(g):
             return pd.DataFrame(
                 {"user_id": pd.Series([], dtype=np.int64),
                  "entropy": pd.Series([], dtype=np.float64)}
             )
+        g = (
+            g.groupby(["user_id", "event_type"], as_index=False, sort=False)["n"]
+            .sum()
+            .sort_values(["user_id", "event_type"], kind="mergesort")
+        )
+        users = g["user_id"].to_numpy()
         c = g["n"].to_numpy(np.float64)
         seg_starts = np.flatnonzero(
             np.concatenate([[True], users[1:] != users[:-1]])
@@ -993,23 +1005,28 @@ def funnel_counts(sf_dir: str) -> pd.DataFrame:
     funnel contract (each stage compares the user's global first event of
     the step type; NULL steps fail the comparison).
 
-    Scale shape: the event stream reduces to one (user, step) min-ts row
-    via hash_bucket_min (per-block partial min first, so the shuffle
-    carries candidate minima, not events); the pivot + stage booleans run
-    vectorized per user-hash bucket, emitting ONE partial row per bucket;
-    the driver folds O(buckets) rows."""
-    from ..stages.partial_agg import add_hash_bucket, hash_bucket_min
+    Scale shape: ONE user-hash bucket shuffle. Blocks shrink to
+    per-(user, step) partial min-ts rows first (min is idempotent, so the
+    partial/final split is exact); the bucket pass combines the minima,
+    pivots, and evaluates the stage booleans in the same sweep, emitting
+    ONE partial row per bucket; the driver folds O(buckets) rows."""
+    from ..stages.partial_agg import add_hash_bucket
 
     ds = _events(sf_dir, ["user_id", "ts", "event_type"])
 
-    def flt(t: pa.Table) -> pa.Table:
-        return t.filter(
+    def partial(t: pa.Table) -> pa.Table:
+        f = t.filter(
             pc.is_in(t["event_type"], value_set=pa.array(list(FUNNEL_STEPS)))
         )
+        g = (
+            f.to_pandas()
+            .groupby(["user_id", "event_type"], as_index=False, sort=False)["ts"]
+            .min()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    mins = hash_bucket_min(
-        ds.map_batches(flt, batch_format="pyarrow"),
-        ["user_id", "event_type"], ["ts"],
+    bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
     )
 
     def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1018,6 +1035,9 @@ def funnel_counts(sf_dir: str) -> pd.DataFrame:
                 {c: pd.Series([], dtype=np.int64)
                  for c in ("n_signup", "n_signup_click", "n_funnel")}
             )
+        g = g.groupby(["user_id", "event_type"], as_index=False, sort=False)[
+            "ts"
+        ].min()
         wide = g.pivot(index="user_id", columns="event_type", values="ts")
         for step in FUNNEL_STEPS:
             if step not in wide.columns:
@@ -1032,10 +1052,7 @@ def funnel_counts(sf_dir: str) -> pd.DataFrame:
         )
 
     part = (
-        mins.map_batches(
-            lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
-        )
-        .groupby("bucket")
+        bucketed.groupby("bucket")
         .map_groups(fold_bucket, batch_format="pandas")
         .to_pandas()  # O(buckets) partial rows
     )
@@ -1050,25 +1067,33 @@ def new_users_daily(sf_dir: str) -> pd.DataFrame:
     (count-per-first-seen-day makes the cumulative sum exact without
     re-scanning history).
 
-    Scale shape: per-user min-ts via hash_bucket_min (candidate minima
-    shuffle, not events), day counts via hash_bucket_sum; only the
-    O(days) count table reaches the driver for the prefix sum."""
-    from ..stages.partial_agg import hash_bucket_min, hash_bucket_sum
+    Scale shape: ONE shuffle (the per-user min-ts hash_bucket_min, whose
+    per-block partial minima shrink the exchange); day counting then
+    reduces through O(days)-rows-per-block partials folded on the driver
+    — day cardinality is calendar-bounded, so the fold is O(blocks *
+    days), never user- or event-scaled."""
+    from ..stages.partial_agg import hash_bucket_min
 
     ds = _events(sf_dir, ["user_id", "ts"])
     first = hash_bucket_min(ds, ["user_id"], ["ts"])
 
-    def to_day(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pc.strftime(t["ts"], format="%Y-%m-%d")], names=["day"]
+    def day_counts(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names:  # empty passthrough partition
+            return pa.Table.from_pydict(
+                {"day": pa.array([], pa.string()),
+                 "n_new": pa.array([], pa.int64())}
+            )
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        g = pa.Table.from_arrays([day], names=["day"]).to_pandas()
+        out = g.groupby("day", as_index=False).size().rename(
+            columns={"size": "n_new"}
         )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     counts = (
-        hash_bucket_sum(
-            first.map_batches(to_day, batch_format="pyarrow"), ["day"], [],
-            count_alias="n_new",
-        )
-        .to_pandas()  # O(days)
+        first.map_batches(day_counts, batch_format="pyarrow")
+        .to_pandas()  # O(blocks * days)
+        .groupby("day", as_index=False)["n_new"].sum()
         .sort_values("day", kind="mergesort")
         .reset_index(drop=True)
     )
