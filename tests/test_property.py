@@ -107,3 +107,43 @@ def test_adversarial_fragment_fuzz():
         norm = normalize_text(payload)
         for s in spans:
             assert 0 <= s["start"] <= s["end"] <= len(norm)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_seg_searchsorted_matches_per_segment_loop(data):
+    """The one-lexsort segmented searchsorted (shared by the RANGE window
+    and the band join) == np.searchsorted run per segment, both sides,
+    arbitrary duplicate-heavy values and targets."""
+    from ocr_ray.pipelines.streaming import seg_searchsorted
+
+    n_segs = data.draw(st.integers(1, 6))
+    seg_lens = [data.draw(st.integers(1, 12)) for _ in range(n_segs)]
+    seg_id = np.repeat(np.arange(n_segs, dtype=np.int64), seg_lens)
+    n = len(seg_id)
+    # sorted-within-segment values from a tiny domain -> many duplicates
+    vals = np.concatenate([
+        np.sort(
+            np.array(
+                data.draw(
+                    st.lists(st.integers(-5, 5), min_size=ln, max_size=ln)
+                ),
+                dtype=np.int64,
+            )
+        )
+        for ln in seg_lens
+    ])
+    targets = np.array(
+        data.draw(st.lists(st.integers(-7, 7), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    for side in ("left", "right"):
+        got = seg_searchsorted(seg_id, vals, targets, side)
+        starts = np.flatnonzero(
+            np.concatenate([[True], seg_id[1:] != seg_id[:-1]])
+        )
+        ends = np.append(starts[1:], n)
+        want = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            want[s:e] = np.searchsorted(vals[s:e], targets[s:e], side=side)
+        np.testing.assert_array_equal(got, want, err_msg=side)
