@@ -889,6 +889,24 @@ def _q_embedding_dim_stats(sf_dir: str):
     )
 
 
+def _q_docs_chunks(sf_dir: str):
+    """Overlapping token-window chunking of the documents corpus
+    (size 64, stride 48) — integer chunk coordinates incl. exact char
+    offsets, vectorized explode over the Arrow split-list offsets."""
+    import ray.data as rd
+
+    from ocr_ray.functions.packing import chunk_documents
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return (
+        chunk_documents(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import joins as J
     from ocr_ray.pipelines import relational as R
@@ -989,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_purchase_outer": R.users_click_purchase_outer,
         "events_hive_source": R.events_hive_source,
         "events_union_sources": R.events_union_sources,
+        "docs_chunks": _q_docs_chunks,
         "events_user_mad": S.user_value_mad,
         "events_funnel": S.funnel_counts,
         "events_new_users_daily": S.new_users_daily,
@@ -2393,6 +2412,28 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(abs(e.value - m.med), 0.5) AS mad
             FROM events e JOIN m ON e.user_id = m.user_id
             GROUP BY e.user_id ORDER BY e.user_id
+        """,
+        "docs_chunks": """
+            -- overlapping 64-token windows at stride 48; char offsets by
+            -- re-joining token prefixes (len() = codepoints = engine)
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     CAST(CASE WHEN text = '' THEN 0
+                          ELSE len(string_split(text, ' ')) END AS BIGINT) AS dl
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(u.g / 48 AS BIGINT) AS chunk_idx,
+                   CAST(u.g AS BIGINT) AS start_tok,
+                   CAST(least(64, dl - u.g) AS BIGINT) AS n_tok,
+                   CAST(CASE WHEN u.g = 0 THEN 0
+                        ELSE len(array_to_string(list_slice(toks, 1, u.g), ' ')) + 1
+                        END AS BIGINT) AS start_char,
+                   CAST(len(array_to_string(
+                     list_slice(toks, u.g + 1, u.g + least(64, dl - u.g)), ' '
+                   )) AS BIGINT) AS n_chars
+            FROM t, UNNEST(generate_series(0, t.dl - 1, 48)) u(g)
+            ORDER BY doc_id, chunk_idx
         """,
         "events_funnel": """
             -- min-timestamp funnel: each stage compares the user's FIRST

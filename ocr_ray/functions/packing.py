@@ -15,10 +15,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["pack_sequences", "PACK_CAP", "PACK_SHARD"]
+__all__ = ["pack_sequences", "chunk_documents", "PACK_CAP", "PACK_SHARD",
+           "CHUNK_TOKENS", "CHUNK_STRIDE"]
 
 PACK_CAP = 512    # max tokens per packed sequence
 PACK_SHARD = 256  # docs per contiguous packing shard
@@ -66,3 +68,67 @@ def pack_sequences(
         .groupby("shard")
         .map_groups(pack_shard, batch_format="pandas")
     )
+
+
+CHUNK_TOKENS = 64  # chunk window length (tokens)
+CHUNK_STRIDE = 48  # chunk start stride (CHUNK_TOKENS - overlap)
+
+
+def chunk_documents(
+    docs: rd.Dataset, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> rd.Dataset:
+    """Overlapping fixed-size token chunking — the context-window shaping
+    op of an LLM training pipeline. Each document explodes into windows
+    starting at token 0, stride, 2*stride, ... while start < n_tokens;
+    the final window may be short. Emits integer coordinates only
+    (doc_id, chunk_idx, start_tok, n_tok, start_char, n_chars): training
+    consumers slice the original text zero-copy by char offset instead of
+    materializing duplicated chunk text through the shuffle.
+
+    Scale shape: stateless vectorized explode (one np.repeat/arange pass
+    per block over the Arrow split-list offsets — no per-row Python), no
+    shuffle; output order is irrelevant downstream and every chunk row is
+    a pure function of its document."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+             ("start_tok", pa.int64()), ("n_tok", pa.int64()),
+             ("start_char", pa.int64()), ("n_chars", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        text = t.column("text").combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # per-token flat char lengths + per-row list offsets (zero-copy)
+        flat_len = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_start = offs[:-1]
+        # char start of each token within its row: global cumsum rebased
+        g = np.concatenate([[0], np.cumsum(flat_len + 1)[:-1]])
+        n_list = offs[1:] - offs[:-1]  # split length (1 for empty text)
+        dl = np.where(
+            pc.equal(text, "").to_numpy(zero_copy_only=False), 0, n_list
+        )
+        n_chunks = np.where(dl > 0, (dl + stride - 1) // stride, 0)
+        # a trailing window fully contained in the previous one is noise:
+        # drop starts where start >= dl (can't happen with this formula)
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_chunks)
+        base = np.repeat(np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks)
+        chunk_idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - base
+        start_tok = chunk_idx * stride
+        n_tok = np.minimum(size, dl[row_idx] - start_tok)
+        f = row_start[row_idx]
+        start_char = g[f + start_tok] - g[f]
+        last = f + start_tok + n_tok - 1
+        n_chars = (g[last] + flat_len[last]) - g[f] - start_char
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)[row_idx],
+             "chunk_idx": chunk_idx, "start_tok": start_tok, "n_tok": n_tok,
+             "start_char": start_char, "n_chars": n_chars},
+            schema=out_schema,
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")

@@ -255,3 +255,40 @@ def test_weighted_sample_matches_brute_and_weight_monotone(ray_session):
     # 10x-weight rows must dominate the sample (expected ~10:1 odds/row)
     heavy = (got["doc_id"] % 2 == 0).sum()
     assert heavy > 0.75 * k
+
+
+def test_chunk_documents_matches_brute_and_slices_reconstruct(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.packing import CHUNK_STRIDE, CHUNK_TOKENS, chunk_documents
+
+    texts = [
+        "a bb ccc",
+        "",                                   # zero chunks
+        "x",                                  # single short chunk
+        " ".join(f"t{i}" for i in range(130)),  # 3 chunks, short tail
+        "字 字字 end",                         # multibyte char offsets
+        " ".join("w" for _ in range(CHUNK_TOKENS)),  # exactly one window... plus stride tail
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = (
+        chunk_documents(rd.from_pandas(df).repartition(4))
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    rows = []
+    for did, txt in zip(df.doc_id, df.text):
+        toks = txt.split(" ") if txt else []
+        s, ci = 0, 0
+        while s < len(toks):
+            n = min(CHUNK_TOKENS, len(toks) - s)
+            start_char = len(" ".join(toks[:s])) + (1 if s else 0)
+            chunk = " ".join(toks[s:s + n])
+            # char coordinates must slice the original text exactly
+            assert txt[start_char:start_char + len(chunk)] == chunk
+            rows.append((did, ci, s, n, start_char, len(chunk)))
+            s += CHUNK_STRIDE
+            ci += 1
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "start_tok",
+                                       "n_tok", "start_char", "n_chars"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
