@@ -96,6 +96,38 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_chunk(args: argparse.Namespace) -> int:
+    """Overlapping token-window chunking to a parquet coordinate sink
+    (integer offsets only — consumers slice source text zero-copy)."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.packing import chunk_documents
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    chunk_documents(ds, size=args.size, stride=args.stride).write_parquet(
+        args.output
+    )
+    print(json.dumps({"input": args.input, "output": args.output,
+                      "size": args.size, "stride": args.stride}))
+    return 0
+
+
+def cmd_bm25(args: argparse.Namespace) -> int:
+    """Exact BM25 top-k retrieval for a probe query over a documents
+    parquet table; prints one JSON line with the ranked hits."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.retrieval import bm25_topk
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    out = bm25_topk(ds, args.terms, k=args.k)
+    print(json.dumps({"query": args.terms,
+                      "hits": out.to_dict(orient="records")}))
+    return 0
+
+
 def cmd_gen_corpus(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .corpus import ensure_transcripts
@@ -144,6 +176,19 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--output", required=True)
     pp.add_argument("--key", default="doc_id")
     pp.set_defaults(fn=cmd_split)
+
+    pk = sub.add_parser("chunk", help="overlapping token-window chunking")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--size", type=int, default=64)
+    pk.add_argument("--stride", type=int, default=48)
+    pk.set_defaults(fn=cmd_chunk)
+
+    pb = sub.add_parser("bm25", help="exact BM25 top-k retrieval")
+    pb.add_argument("--input", required=True)
+    pb.add_argument("--k", type=int, default=10)
+    pb.add_argument("terms", nargs="+", help="probe query terms")
+    pb.set_defaults(fn=cmd_bm25)
 
     args = p.parse_args(argv)
     return args.fn(args)

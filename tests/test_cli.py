@@ -134,3 +134,36 @@ def test_role_filtered_read(ray_session, tmp_path):
     ds = read_turns(turns, roles=["assistant"])
     roles = set(ds.unique("role"))
     assert roles == {"assistant"}
+
+
+def test_cli_chunk_and_bm25(ray_session, tmp_path, capsys):
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.cli import main
+
+    docs = pa.Table.from_pylist(
+        [{"doc_id": 0, "text": "alpha beta gamma " * 30 + "end"},
+         {"doc_id": 1, "text": "alpha"},
+         {"doc_id": 2, "text": ""}]
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq_.write_table(docs, src)
+
+    out = str(tmp_path / "chunks")
+    assert main(["chunk", "--input", src, "--output", out,
+                 "--size", "16", "--stride", "8"]) == 0
+    chunks = pd.read_parquet(out)
+    assert (chunks.groupby("doc_id").size() > 0).all()
+    assert set(chunks.columns) == {"doc_id", "chunk_idx", "start_tok",
+                                   "n_tok", "start_char", "n_chars"}
+    capsys.readouterr()
+
+    assert main(["bm25", "--input", src, "--k", "2", "alpha", "end"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["query"] == ["alpha", "end"]
+    assert [h["doc_id"] for h in payload["hits"]][0] in (0, 1)
+    assert len(payload["hits"]) == 2
