@@ -1050,6 +1050,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ctc_collapse": _q_collapse,
         "doc_langid": _q_langid,
         "doc_winnow": _q_winnow,
+        "events_retention": S.retention_cohorts,
+        "events_dow_hour": R.events_dow_hour,
+        "events_zscore_outliers": R.events_zscore_outliers,
+        "lineitem_q6": R.lineitem_q6,
+        "q3_shipping_priority": J.q3_shipping_priority,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2534,6 +2539,84 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.9) AS p90,
                    quantile_cont(value, 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_retention": """
+            -- cohort retention triangle over distinct (user, day) activity:
+            -- count(*) on the deduped pairs == distinct users per cell
+            WITH a AS (
+              SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+              FROM events
+            ), f AS (
+              SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   CAST(datediff('day', CAST(f.cohort_day AS DATE),
+                                 CAST(a.day AS DATE)) AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            WHERE datediff('day', CAST(f.cohort_day AS DATE),
+                           CAST(a.day AS DATE)) <= 7
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_dow_hour": """
+            -- activity heatmap; DuckDB dayofweek (Sunday=0) == Arrow
+            -- day_of_week(week_start=7, count_from_zero=True)
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_zscore_outliers": """
+            -- 3-sigma flag on exact integer sufficient stats lifted to
+            -- doubles in the engine's op order: (v*n - S)^2 > 9*(nQ - S^2)
+            WITH s AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)
+                              * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS qc
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN s ON e.event_type = s.event_type
+            WHERE CAST(CAST(round(e.value * 100) AS BIGINT) * s.n - s.sc AS DOUBLE)
+                  * CAST(CAST(round(e.value * 100) AS BIGINT) * s.n - s.sc AS DOUBLE)
+                  > 9.0 * (CAST(s.n AS DOUBLE) * CAST(s.qc AS DOUBLE)
+                           - CAST(s.sc AS DOUBLE) * CAST(s.sc AS DOUBLE))
+            ORDER BY e.event_id
+        """,
+        "lineitem_q6": """
+            -- TPC-H Q6 on exact cents*cents products
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                     / 10000.0 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "q3_shipping_priority": """
+            -- TPC-H Q3 top-10; ties break (rev desc, date asc, key asc)
+            -- exactly on integer cents
+            WITH li AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS rev_c4
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1996-06-30'
+              GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey, li.rev_c4 / 10000.0 AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-06-30'
+            ORDER BY li.rev_c4 DESC, o.o_orderdate ASC, o.o_orderkey ASC
+            LIMIT 10
         """,
         "events_csv_source": """
             -- engine side reads a parquet->CSV round trip via

@@ -35,6 +35,7 @@ __all__ = [
     "orders_above_cust_avg",
     "cust_order_counts",
     "q5_local_supplier_volume",
+    "q3_shipping_priority",
 ]
 
 
@@ -166,8 +167,11 @@ def bucket_hash_join(
     )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == "L"][[on, *lcols]]
-        r = df[df["__side"] == "R"][[on, *rcols]]
+        # reindex, not select: a bucket whose rows all came from one side
+        # arrives without the other side's columns (schema follows the
+        # blocks actually present), and an absent side is just empty
+        l = df[df["__side"] == "L"].reindex(columns=[on, *lcols])
+        r = df[df["__side"] == "R"].reindex(columns=[on, *rcols])
         return l.merge(r, on=on, how=how)
 
     return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
@@ -652,3 +656,82 @@ def cust_order_counts(sf_dir: str) -> pd.DataFrame:
         .sort_values("c_custkey")
         .reset_index(drop=True)
     )
+
+
+Q3_CUTOFF = "1996-06-30"
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 (shipping priority): the 10 highest-revenue orders from
+    BUILDING-segment customers placed before the cutoff with at least one
+    lineitem shipped after it.
+
+    Scale plan: lineitem is date-filtered AT the scan and pre-aggregated
+    to per-orderkey exact-cents revenue (hash-bucketed partials — the
+    join never sees raw lineitem rows); orders is scan-filtered on date,
+    semi-joined to the BUILDING customer keys with the ADAPTIVE
+    semi_anti_join (broadcast below the key gate, cogroup above — the
+    customer side scales with the corpus); the two survivors meet in a
+    partitioned bucket_hash_join; the global top-k is a per-block partial
+    cut before one tiny driver fold. Ties break (revenue desc, orderdate
+    asc, orderkey asc) — exact on integer cents."""
+    import pyarrow.dataset as pads
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") > cutoff),
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+        )
+        return pa.Table.from_arrays(
+            [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
+        )
+
+    li_agg = hash_bucket_sum(
+        li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
+    ).drop_columns(["n"])
+
+    building = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == "BUILDING"),
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") < cutoff),
+    )
+    orders = semi_anti_join(orders, building, on="o_custkey").map_batches(
+        lambda t: t.select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    joined = bucket_hash_join(li_agg, orders, on="l_orderkey")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["l_orderkey", "rev_c4", "o_orderdate", "o_orderpriority"]
+        if not all(c in df.columns for c in cols):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame(columns=cols)
+        return df.sort_values(
+            ["rev_c4", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(k)[cols]
+
+    part = joined.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(part).rename(columns={"l_orderkey": "o_orderkey"})
+    out["revenue"] = out["rev_c4"] / 10000.0
+    return out[
+        ["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
+    ].reset_index(drop=True)

@@ -59,6 +59,9 @@ __all__ = [
     "users_click_purchase_outer",
     "events_hive_source",
     "events_union_sources",
+    "events_dow_hour",
+    "events_zscore_outliers",
+    "lineitem_q6",
 ]
 
 
@@ -1077,3 +1080,136 @@ def events_union_sources(sf_dir: str) -> pd.DataFrame:
     return agg[["event_type", "n", "sum_value"]].sort_values(
         "event_type"
     ).reset_index(drop=True)
+
+
+def events_dow_hour(sf_dir: str) -> pd.DataFrame:
+    """Time-part histogram: event count + exact-cents value sum per
+    (day-of-week, hour-of-day) — the classic activity heatmap.
+
+    Part extraction is vectorized Arrow (``day_of_week(week_start=7,
+    count_from_zero=True)`` == DuckDB's Sunday-0 ``dayofweek``); the key
+    space is fixed at 7x24 = 168 cells, so per-block partials shrink each
+    block to <=168 rows before the tiny grouped fold."""
+    from ..stages.partial_agg import partial_sum_count
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        dow = pc.cast(
+            pc.day_of_week(t["ts"], count_from_zero=True, week_start=7),
+            pa.int64(),
+        )
+        hour = pc.cast(pc.hour(t["ts"]), pa.int64())
+        return pa.Table.from_arrays(
+            [dow, hour, _cents(t["value"])], names=["dow", "hour", "value_c"]
+        )
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["dow", "hour"], ["value_c"]
+    ).to_pandas()
+    agg["sum_value"] = agg["value_c"] / 100.0
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[["dow", "hour", "n", "sum_value"]].sort_values(
+        ["dow", "hour"]
+    ).reset_index(drop=True)
+
+
+ZSCORE_THRESHOLD = 3  # flag |value - mean| > 3 sigma (population sigma)
+
+
+def events_zscore_outliers(sf_dir: str) -> pd.DataFrame:
+    """Anomaly flagging: events whose value is more than 3 population
+    standard deviations from their event type's mean — the data-cleaning
+    pass a training pipeline runs before ingesting a metric column.
+
+    Scale shape: one tiny sufficient-stats reduction (n, sum-cents,
+    sum-of-squared-cents per type — O(types) rows via per-block partials),
+    broadcast back, then a stateless vectorized filter pass. The 3-sigma
+    predicate is evaluated on EXACT integer sufficient stats lifted to
+    doubles in a fixed op order, (v*n - S)^2 > 9*(n*Q - S^2), so the SQL
+    twin compares bit-identically with no float accumulation anywhere."""
+    from ..stages.partial_agg import partial_sum_count
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def suff(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"])
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), v, pc.multiply(v, v)],
+            names=["event_type", "s_c", "q_c"],
+        )
+
+    stats = partial_sum_count(
+        ds.map_batches(suff, batch_format="pyarrow"), ["event_type"], ["s_c", "q_c"]
+    ).to_pandas()  # O(types) rows
+    lut = {
+        r.event_type: (np.int64(r.n), np.int64(r.s_c), np.int64(r.q_c))
+        for r in stats.itertuples()
+    }
+    ref = ray.put(lut)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        types = t["event_type"].to_pandas()
+        n = types.map(lambda k: st[k][0]).to_numpy(np.int64)
+        s = types.map(lambda k: st[k][1]).to_numpy(np.int64)
+        q = types.map(lambda k: st[k][2]).to_numpy(np.int64)
+        v = _cents(t["value"]).to_numpy()
+        lhs = (v * n - s).astype(np.float64)
+        rhs = (ZSCORE_THRESHOLD ** 2) * (
+            n.astype(np.float64) * q.astype(np.float64)
+            - s.astype(np.float64) * s.astype(np.float64)
+        )
+        return t.filter(pa.array(lhs * lhs > rhs))
+
+    out = (
+        ds.map_batches(flag, batch_format="pyarrow")
+        .to_pandas()  # outlier rows only (tail of the distribution)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return out[["event_id", "event_type", "value"]]
+
+
+Q6_SHIP_FROM = "1996-01-01"
+Q6_SHIP_TO = "1997-01-01"
+
+
+def lineitem_q6(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 (forecasting revenue change): revenue that would have
+    been gained by eliminating discounts of 5-7% on small (<24 qty) 1996
+    shipments — ``sum(extendedprice * discount)`` under a tight filter.
+
+    Scale shape: the shipdate range is pushed INTO the parquet scan
+    (row-group stats prune whole groups); the discount/quantity cuts and
+    the exact cents*cents product run vectorized per block; the global
+    reduction ships one partial row per block."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(
+            (pads.field("l_shipdate") >= pd.Timestamp(Q6_SHIP_FROM))
+            & (pads.field("l_shipdate") < pd.Timestamp(Q6_SHIP_TO))
+        ),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_c = _cents(t["l_discount"])
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(disc_c, 5), pc.less_equal(disc_c, 7)),
+            pc.less(t["l_quantity"], 24.0),
+        )
+        f = t.filter(keep)
+        rev = pc.multiply(_cents(f["l_extendedprice"]), _cents(f["l_discount"]))
+        return pa.Table.from_pydict(
+            {"rev_c4": [pc.sum(rev, min_count=0).as_py() or 0],
+             "n_items": [f.num_rows]}
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"revenue": [part["rev_c4"].sum() / 10000.0],
+         "n_items": [np.int64(part["n_items"].sum())]}
+    )

@@ -48,6 +48,7 @@ __all__ = [
     "funnel_counts",
     "new_users_daily",
     "user_value_mad",
+    "retention_cohorts",
 ]
 
 SESSION_GAP_MIN = 30
@@ -1155,3 +1156,76 @@ def user_value_mad(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users are cohorted by their first-seen
+    day, and for each (cohort_day, day_offset 0..7) the output counts the
+    distinct users of that cohort active on cohort_day + offset — the
+    standard product-analytics retention triangle.
+
+    Scale shape: ONE user-hash bucket shuffle. Blocks shrink to distinct
+    (user_id, day) rows first (distinct is idempotent, so block-local
+    dedup composes with the bucket dedup); inside each bucket every day
+    of a user is co-located, so the cohort day (min), the offsets, and
+    the (cohort_day, offset) counts are all one vectorized pass, emitting
+    O(cohorts * offsets) partial rows per bucket; the driver folds
+    O(buckets * cohorts * offsets) calendar-bounded rows — never user- or
+    event-scaled."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        g = pa.Table.from_arrays(
+            [t["user_id"].combine_chunks(), day], names=["user_id", "day"]
+        ).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort_day": str, "day_offset": np.int64, "n_users": np.int64}
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        g = g.drop_duplicates(["user_id", "day"])
+        d = pd.to_datetime(g["day"])
+        cohort = d.groupby(g["user_id"]).transform("min")
+        off = (d - cohort).dt.days.to_numpy(np.int64)
+        keep = off <= RETENTION_MAX_OFFSET
+        out = pd.DataFrame(
+            {"cohort_day": cohort[keep].dt.strftime("%Y-%m-%d"),
+             "day_offset": off[keep]}
+        ).groupby(["cohort_day", "day_offset"], as_index=False).size().rename(
+            columns={"size": "n_users"}
+        )
+        return out.astype(cols)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cohort_day": str, "day_offset": np.int64, "n_users": np.int64}
+        if not all(c in df.columns for c in cols):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return df[list(cols)]
+
+    part = (
+        bucketed.groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()  # O(buckets * cohorts * offsets)
+    )
+    out = (
+        part.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["cohort_day", "day_offset"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["day_offset"] = out["day_offset"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out

@@ -1,0 +1,126 @@
+"""Round-3 continuation operators (cohort retention, time-part heatmap,
+3-sigma outliers, TPC-H Q3/Q6) vs brute-force pandas on sf0.001."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tbl(name: str) -> pd.DataFrame:
+    return pq.read_table(os.path.join(SF, f"{name}.parquet")).to_pandas()
+
+
+def test_retention_cohorts(ray_session):
+    from ocr_ray.pipelines.streaming import RETENTION_MAX_OFFSET, retention_cohorts
+
+    got = retention_cohorts(SF)
+    ev = _tbl("events")
+    a = pd.DataFrame(
+        {"user_id": ev["user_id"], "day": ev["ts"].dt.strftime("%Y-%m-%d")}
+    ).drop_duplicates()
+    cohort = pd.to_datetime(a.groupby("user_id")["day"].transform("min"))
+    off = (pd.to_datetime(a["day"]) - cohort).dt.days
+    keep = off <= RETENTION_MAX_OFFSET
+    exp = (
+        pd.DataFrame(
+            {"cohort_day": cohort[keep].dt.strftime("%Y-%m-%d"),
+             "day_offset": off[keep]}
+        )
+        .groupby(["cohort_day", "day_offset"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every cohort has an offset-0 cell counting its own size
+    day0 = got[got["day_offset"] == 0]
+    assert set(day0["cohort_day"]) == set(got["cohort_day"])
+
+
+def test_events_dow_hour(ray_session):
+    from ocr_ray.pipelines.relational import events_dow_hour
+
+    got = events_dow_hour(SF)
+    ev = _tbl("events")
+    exp = (
+        pd.DataFrame(
+            {"dow": (ev["ts"].dt.dayofweek + 1) % 7,  # pandas Mon=0 -> Sun=0
+             "hour": ev["ts"].dt.hour,
+             "value_c": np.round(ev["value"] * 100).astype(np.int64)}
+        )
+        .groupby(["dow", "hour"], as_index=False)
+        .agg(n=("value_c", "size"), sum_c=("value_c", "sum"))
+    )
+    exp["sum_value"] = exp["sum_c"] / 100.0
+    exp = exp[["dow", "hour", "n", "sum_value"]].sort_values(
+        ["dow", "hour"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_zscore_outliers(ray_session):
+    from ocr_ray.pipelines.relational import events_zscore_outliers
+
+    got = events_zscore_outliers(SF)
+    ev = _tbl("events")
+    v = np.round(ev["value"] * 100).astype(np.int64)
+    g = pd.DataFrame({"t": ev["event_type"], "v": v}).groupby("t")["v"]
+    n = g.transform("size").to_numpy(np.int64)
+    s = g.transform("sum").to_numpy(np.int64)
+    q = (
+        pd.DataFrame({"t": ev["event_type"], "v2": v * v})
+        .groupby("t")["v2"].transform("sum").to_numpy(np.int64)
+    )
+    lhs = (v.to_numpy() * n - s).astype(np.float64)
+    rhs = 9.0 * (n.astype(np.float64) * q.astype(np.float64)
+                 - s.astype(np.float64) ** 2)
+    exp = ev[lhs * lhs > rhs][["event_id", "event_type", "value"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) > 0  # the synthetic value column has a heavy tail
+
+
+def test_lineitem_q6(ray_session):
+    from ocr_ray.pipelines.relational import lineitem_q6
+
+    got = lineitem_q6(SF)
+    li = _tbl("lineitem")
+    disc_c = np.round(li["l_discount"] * 100).astype(np.int64)
+    keep = (
+        (li["l_shipdate"] >= "1996-01-01") & (li["l_shipdate"] < "1997-01-01")
+        & (disc_c >= 5) & (disc_c <= 7) & (li["l_quantity"] < 24)
+    )
+    price_c = np.round(li.loc[keep, "l_extendedprice"] * 100).astype(np.int64)
+    rev = float((price_c * disc_c[keep]).sum()) / 10000.0
+    assert got.loc[0, "n_items"] == int(keep.sum())
+    assert got.loc[0, "revenue"] == rev
+
+
+def test_q3_shipping_priority(ray_session):
+    from ocr_ray.pipelines.joins import Q3_CUTOFF, q3_shipping_priority
+
+    got = q3_shipping_priority(SF)
+    li, orders, cust = _tbl("lineitem"), _tbl("orders"), _tbl("customer")
+    cut = pd.Timestamp(Q3_CUTOFF)
+    li = li[li["l_shipdate"] > cut].copy()
+    li["rev_c4"] = np.round(li["l_extendedprice"] * 100).astype(np.int64) * (
+        100 - np.round(li["l_discount"] * 100).astype(np.int64)
+    )
+    agg = li.groupby("l_orderkey", as_index=False)["rev_c4"].sum()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cut) & orders["o_custkey"].isin(keys)]
+    j = agg.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    exp = j.sort_values(
+        ["rev_c4", "o_orderdate", "o_orderkey"], ascending=[False, True, True]
+    ).head(10)
+    exp["revenue"] = exp["rev_c4"] / 10000.0
+    exp = exp[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
