@@ -829,6 +829,25 @@ def _q_bm25(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=20)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build (the index bm25 queries): per term with
+    df >= 3 its document frequency, total term frequency, and ascending
+    comma-joined doc_id posting list — one term-hash bucket shuffle over
+    final per-block (term, doc, tf) rows."""
+    import ray.data as rd
+
+    from ocr_ray.functions.retrieval import inverted_index
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return (
+        inverted_index(docs, min_df=3)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
 def _q_bool_search(sf_dir: str):
     """Boolean AND token search: every document containing ALL probe
     tokens, with its token count — pure vectorized per-block filter,
@@ -1055,6 +1074,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": R.events_zscore_outliers,
         "lineitem_q6": R.lineitem_q6,
         "q3_shipping_priority": J.q3_shipping_priority,
+        "docs_inverted_index": _q_inverted_index,
+        "events_value_hist": R.events_value_hist,
+        "orders_monthly_growth": R.orders_monthly_growth,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2617,6 +2639,46 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1996-06-30'
             ORDER BY li.rev_c4 DESC, o.o_orderdate ASC, o.o_orderkey ASC
             LIMIT 10
+        """,
+        "docs_inverted_index": """
+            -- inverted index: per term (lowercased whitespace tokens,
+            -- df >= 3) the df, total tf, and ascending doc_id postings
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents WHERE text <> ''
+            ), tf AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM t WHERE term <> '' GROUP BY term, doc_id
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   array_to_string(
+                     list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ','
+                   ) AS postings
+            FROM tf GROUP BY term HAVING count(*) >= 3 ORDER BY term
+        """,
+        "events_value_hist": """
+            -- equi-width 50-unit histogram on exact cents; min/max are
+            -- order-free so doubles compare exactly
+            SELECT CAST(CAST(round(value * 100) AS BIGINT) // 5000 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     / 100.0 AS sum_value,
+                   min(value) AS vmin, max(value) AS vmax
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "orders_monthly_growth": """
+            -- month-over-month revenue with LAG over the tiny month table
+            WITH m AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT month, n_orders, revenue,
+                   lag(revenue) OVER (ORDER BY month) AS prev_revenue
+            FROM m ORDER BY month
         """,
         "events_csv_source": """
             -- engine side reads a parquet->CSV round trip via

@@ -150,3 +150,73 @@ def boolean_search(docs: rd.Dataset, required: list[str]) -> pd.DataFrame:
     if out.empty:  # all-empty datasets lose their schema through to_pandas
         return out_schema.empty_table().to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def inverted_index(docs: rd.Dataset, min_df: int = 3) -> rd.Dataset:
+    """Index-side of the retrieval stack: build the inverted index
+    (term -> sorted posting list) that bm25_topk conceptually queries —
+    per term its document frequency, total term frequency, and the
+    comma-joined doc_id posting list in ascending order. Terms below
+    ``min_df`` are cut (the head of a web-corpus vocabulary is huge and
+    hapaxes dominate; the cut bounds the emitted index).
+
+    Scale shape: documents never split across blocks, so the per-block
+    (term, doc_id, tf) rows are already FINAL term frequencies — one
+    term-hash bucket shuffle co-locates each term's postings, and each
+    bucket builds its slice of the index in one sorted vectorized pass
+    (posting strings via a C-level groupby join). Output is a Dataset
+    partitionable by term range — at corpus scale this is the sharded
+    index layout, not a driver structure."""
+    import collections
+
+    from ..stages.partial_agg import add_hash_bucket
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            c = collections.Counter((txt or "").lower().split())
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.Table.from_pydict(
+            {"term": pa.array(toks, pa.string()),
+             "doc_id": pa.array(ids, pa.int64()),
+             "tf": pa.array(tfs, pa.int64())}
+        )
+
+    bucketed = docs.map_batches(tf_rows, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["term"], 64), batch_format="pyarrow"
+    )
+
+    def build_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"term": "object", "df": "int64", "total_tf": "int64",
+                "postings": "object"}
+        if not len(g) or "term" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", sort=False).agg(
+            df=("doc_id", "size"), total_tf=("tf", "sum"),
+        )
+        agg["postings"] = (
+            g.assign(s=g["doc_id"].astype(str))
+            .groupby("term", sort=False)["s"].agg(",".join)
+        )
+        agg = agg[agg["df"] >= min_df].reset_index()
+        return agg[list(cols)].astype(cols)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"term": "object", "df": "int64", "total_tf": "int64",
+                "postings": "object"}
+        if not all(c in df.columns for c in cols):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return df[list(cols)]
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(build_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+    )

@@ -62,6 +62,8 @@ __all__ = [
     "events_dow_hour",
     "events_zscore_outliers",
     "lineitem_q6",
+    "events_value_hist",
+    "orders_monthly_growth",
 ]
 
 
@@ -1213,3 +1215,73 @@ def lineitem_q6(sf_dir: str) -> pd.DataFrame:
         {"revenue": [part["rev_c4"].sum() / 10000.0],
          "n_items": [np.int64(part["n_items"].sum())]}
     )
+
+
+HIST_BIN_C = 5000  # 50.00 value units per equi-width bin (cents)
+
+
+def events_value_hist(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram of the value column: per 50-unit bin the row
+    count, exact-cents sum, and the (exact, accumulation-free) min/max —
+    the distribution profile pass run before choosing filter thresholds.
+
+    Scale shape: bin ids are one vectorized floor-division; the bin space
+    is value-range-bounded (~10 bins here), so per-block partials shrink
+    every block to O(bins) rows before a tiny grouped fold."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v_c = _cents(t["value"]).to_numpy()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"bin": v_c // HIST_BIN_C, "value_c": v_c, "v": v})
+        out = g.groupby("bin", as_index=False).agg(
+            n=("v", "size"), value_c=("value_c", "sum"),
+            vmin=("v", "min"), vmax=("v", "max"),
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"),
+            Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+        )
+        .to_pandas()
+    )
+    agg["sum_value"] = agg["value_c"] / 100.0
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["bin"] = agg["bin"].astype(np.int64)
+    return agg[["bin", "n", "sum_value", "vmin", "vmax"]].sort_values(
+        "bin"
+    ).reset_index(drop=True)
+
+
+def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue series: per order month the order count,
+    exact-cents revenue, and the previous month's revenue (LAG) — the
+    time-series reporting shape.
+
+    Scale shape: the heavy reduction is per-month partials (O(months)
+    rows per block); only the calendar-bounded month table reaches the
+    driver, where the LAG is a shift over a sorted tiny frame."""
+    from ..stages.partial_agg import partial_sum_count
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(t["o_orderdate"], format="%Y-%m"),
+             _cents(t["o_totalprice"])],
+            names=["month", "price_c"],
+        )
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["month"], ["price_c"]
+    ).to_pandas().sort_values("month", kind="mergesort").reset_index(drop=True)
+    out = pd.DataFrame(
+        {"month": agg["month"], "n_orders": agg["n"].astype(np.int64),
+         "revenue": agg["price_c"] / 100.0}
+    )
+    out["prev_revenue"] = out["revenue"].shift(1)
+    return out

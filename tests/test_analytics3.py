@@ -124,3 +124,80 @@ def test_q3_shipping_priority(ray_session):
         drop=True
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_value_hist(ray_session):
+    from ocr_ray.pipelines.relational import HIST_BIN_C, events_value_hist
+
+    got = events_value_hist(SF)
+    ev = _tbl("events")
+    v_c = np.round(ev["value"] * 100).astype(np.int64)
+    exp = (
+        pd.DataFrame({"bin": v_c // HIST_BIN_C, "value_c": v_c, "v": ev["value"]})
+        .groupby("bin", as_index=False)
+        .agg(n=("v", "size"), sum_c=("value_c", "sum"),
+             vmin=("v", "min"), vmax=("v", "max"))
+    )
+    exp["sum_value"] = exp["sum_c"] / 100.0
+    exp = exp[["bin", "n", "sum_value", "vmin", "vmax"]].sort_values(
+        "bin"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["bin"] >= 0).all() and got["n"].sum() == len(ev)
+
+
+def test_orders_monthly_growth(ray_session):
+    from ocr_ray.pipelines.relational import orders_monthly_growth
+
+    got = orders_monthly_growth(SF)
+    o = _tbl("orders")
+    exp = (
+        pd.DataFrame(
+            {"month": o["o_orderdate"].dt.strftime("%Y-%m"),
+             "price_c": np.round(o["o_totalprice"] * 100).astype(np.int64)}
+        )
+        .groupby("month", as_index=False)
+        .agg(n_orders=("price_c", "size"), rev_c=("price_c", "sum"))
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    exp["revenue"] = exp["rev_c"] / 100.0
+    exp["prev_revenue"] = exp["revenue"].shift(1)
+    pd.testing.assert_frame_equal(
+        got, exp[["month", "n_orders", "revenue", "prev_revenue"]],
+        check_dtype=False,
+    )
+    assert pd.isna(got.loc[0, "prev_revenue"])
+
+
+def test_inverted_index(ray_session):
+    from collections import Counter
+
+    from ocr_ray.functions.retrieval import inverted_index
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(SF, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    got = inverted_index(docs, min_df=3).to_pandas().sort_values(
+        "term"
+    ).reset_index(drop=True)
+
+    d = _tbl("documents")
+    rows = []
+    for did, txt in zip(d["doc_id"], d["text"]):
+        for term, tf in Counter((txt or "").lower().split()).items():
+            rows.append((term, did, tf))
+    tf = pd.DataFrame(rows, columns=["term", "doc_id", "tf"]).sort_values(
+        ["term", "doc_id"]
+    )
+    exp = tf.groupby("term").agg(df=("doc_id", "size"), total_tf=("tf", "sum"))
+    exp["postings"] = (
+        tf.assign(s=tf["doc_id"].astype(str)).groupby("term")["s"].agg(",".join)
+    )
+    exp = exp[exp["df"] >= 3].reset_index().sort_values("term").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # posting lists are strictly ascending per term
+    for p in got["postings"]:
+        ids = [int(x) for x in p.split(",")]
+        assert ids == sorted(set(ids))
