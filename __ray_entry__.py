@@ -1077,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": _q_inverted_index,
         "events_value_hist": R.events_value_hist,
         "orders_monthly_growth": R.orders_monthly_growth,
+        "docs_longest_per_lang": R.docs_longest_per_lang,
+        "events_type_share": R.events_type_share,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2656,6 +2658,30 @@ def oracle_sql() -> dict[str, str]:
                      list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ','
                    ) AS postings
             FROM tf GROUP BY term HAVING count(*) >= 3 ORDER BY term
+        """,
+        "docs_longest_per_lang": """
+            -- grouped argmax, ties -> lowest doc_id
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn = 1 ORDER BY lang
+        """,
+        "events_type_share": """
+            -- percent-of-total as an exact double division of exact
+            -- integer cents (SUM() OVER () shape)
+            WITH a AS (
+              SELECT event_type,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, n, vc / 100.0 AS sum_value,
+                   CAST(vc AS DOUBLE)
+                     / CAST((SELECT sum(vc) FROM a) AS DOUBLE) AS share
+            FROM a ORDER BY event_type
         """,
         "events_value_hist": """
             -- equi-width 50-unit histogram on exact cents; min/max are

@@ -153,6 +153,9 @@ def run_bench(ncpu: int) -> dict:
         "events_rolling_range",
         "events_value_decile",
         "events_band_pairs",
+        "events_retention",
+        "q3_shipping_priority",
+        "docs_inverted_index",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver

@@ -128,6 +128,23 @@ def cmd_bm25(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Build the inverted index (term -> df, total tf, ascending posting
+    string) over a documents parquet table and write it as partitioned
+    parquet — the sharded-index layout."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.retrieval import inverted_index
+
+    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    idx = inverted_index(ds, min_df=args.min_df)
+    idx.write_parquet(args.output)
+    print(json.dumps({"input": args.input, "output": args.output,
+                      "min_df": args.min_df}))
+    return 0
+
+
 def cmd_gen_corpus(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .corpus import ensure_transcripts
@@ -183,6 +200,12 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--size", type=int, default=64)
     pk.add_argument("--stride", type=int, default=48)
     pk.set_defaults(fn=cmd_chunk)
+
+    pi = sub.add_parser("index", help="build an inverted index")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--min-df", type=int, default=3, dest="min_df")
+    pi.set_defaults(fn=cmd_index)
 
     pb = sub.add_parser("bm25", help="exact BM25 top-k retrieval")
     pb.add_argument("--input", required=True)

@@ -64,6 +64,8 @@ __all__ = [
     "lineitem_q6",
     "events_value_hist",
     "orders_monthly_growth",
+    "docs_longest_per_lang",
+    "events_type_share",
 ]
 
 
@@ -1285,3 +1287,48 @@ def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
     )
     out["prev_revenue"] = out["revenue"].shift(1)
     return out
+
+
+def docs_longest_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Grouped argmax: the single longest document of each language
+    (ties -> lowest doc_id) — the per-group representative-pick shape.
+
+    Scale shape: the shared grouped_topn kernel with n=1 — each block
+    cuts to one candidate per language before the shuffle, so at most
+    O(blocks * langs) rows move."""
+    from ..stages.partial_agg import grouped_topn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_topn(
+        ds, "lang", ["n_chars", "doc_id"], [False, True], 1,
+        payload_cols=["lang", "doc_id", "n_chars"],
+        out_dtypes={"lang": "object", "doc_id": "int64", "n_chars": "int64"},
+    ).to_pandas()
+    return out.drop(columns=["rank"]).sort_values("lang").reset_index(drop=True)
+
+
+def events_type_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total: each event type's share of the total value —
+    the window-function SUM() OVER () shape computed as one tiny grouped
+    reduction plus an exact double division of exact integer cents (no
+    float accumulation, so the twin matches bit-for-bit)."""
+    from ..stages.partial_agg import partial_sum_count
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), _cents(t["value"])],
+            names=["event_type", "value_c"],
+        )
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["event_type"], ["value_c"]
+    ).to_pandas()
+    total = float(agg["value_c"].sum())
+    out = pd.DataFrame(
+        {"event_type": agg["event_type"], "n": agg["n"].astype(np.int64),
+         "sum_value": agg["value_c"] / 100.0,
+         "share": agg["value_c"].astype(np.float64) / total}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -201,3 +201,32 @@ def test_inverted_index(ray_session):
     for p in got["postings"]:
         ids = [int(x) for x in p.split(",")]
         assert ids == sorted(set(ids))
+
+
+def test_docs_longest_per_lang(ray_session):
+    from ocr_ray.pipelines.relational import docs_longest_per_lang
+
+    got = docs_longest_per_lang(SF)
+    d = _tbl("documents")
+    exp = (
+        d.sort_values(["lang", "n_chars", "doc_id"],
+                      ascending=[True, False, True])
+        .groupby("lang", as_index=False)
+        .first()[["lang", "doc_id", "n_chars"]]
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_type_share(ray_session):
+    from ocr_ray.pipelines.relational import events_type_share
+
+    got = events_type_share(SF)
+    assert abs(got["share"].sum() - 1.0) < 1e-12
+    ev = _tbl("events")
+    v_c = np.round(ev["value"] * 100).astype(np.int64)
+    agg = pd.DataFrame({"t": ev["event_type"], "v": v_c}).groupby(
+        "t", as_index=False
+    )["v"].sum()
+    exp_share = agg["v"].astype(np.float64) / float(agg["v"].sum())
+    assert np.array_equal(got.sort_values("event_type")["share"].to_numpy(),
+                          exp_share.to_numpy())

@@ -167,3 +167,34 @@ def test_cli_chunk_and_bm25(ray_session, tmp_path, capsys):
     assert payload["query"] == ["alpha", "end"]
     assert [h["doc_id"] for h in payload["hits"]][0] in (0, 1)
     assert len(payload["hits"]) == 2
+
+
+def test_cli_index(ray_session, tmp_path, capsys):
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.cli import main
+
+    docs = pa.Table.from_pylist(
+        [{"doc_id": 0, "text": "alpha beta alpha"},
+         {"doc_id": 1, "text": "alpha beta"},
+         {"doc_id": 2, "text": "beta"},
+         {"doc_id": 3, "text": "gamma"}]
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq_.write_table(docs, src)
+
+    out = str(tmp_path / "index")
+    assert main(["index", "--input", src, "--output", out,
+                 "--min-df", "2"]) == 0
+    idx = pd.read_parquet(out).sort_values("term").reset_index(drop=True)
+    # gamma (df=1) cut by min_df; alpha tf counts duplicates
+    assert idx["term"].tolist() == ["alpha", "beta"]
+    assert idx.loc[0, "df"] == 2 and idx.loc[0, "total_tf"] == 3
+    assert idx.loc[0, "postings"] == "0,1"
+    assert idx.loc[1, "postings"] == "0,1,2"
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["min_df"] == 2
