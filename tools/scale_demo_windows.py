@@ -146,10 +146,42 @@ def main() -> int:
     out["band_checksum_match"] = bool(got_pairs == int(exp_pairs)
                                       and got_mega_pairs == int(exp_mega))
     out["rows_per_sec_band"] = round(n_rows / out["band_sec"], 1)
+
+    # cohort retention: the mega-user's 1M rows shrink to <=30 distinct
+    # (user, day) rows in the block-local dedup before the one shuffle
+    from ocr_ray.pipelines.streaming import retention_cohorts
+
+    t0 = time.perf_counter()
+    ret = retention_cohorts(work)
+    out["retention_sec"] = round(time.perf_counter() - t0, 2)
+    out["retention_cells"] = len(ret)
+    exp_ret = con.execute(f"""
+        WITH a AS (
+          SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+          FROM '{work}/events.parquet'
+        ), f AS (
+          SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(datediff('day', CAST(f.cohort_day AS DATE),
+                             CAST(a.day AS DATE)) AS BIGINT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN f ON a.user_id = f.user_id
+        WHERE datediff('day', CAST(f.cohort_day AS DATE),
+                       CAST(a.day AS DATE)) <= 7
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    out["retention_match"] = bool(
+        len(ret) == len(exp_ret)
+        and (ret["n_users"].to_numpy() == exp_ret["n_users"].to_numpy()).all()
+        and (ret["cohort_day"].to_numpy() == exp_ret["cohort_day"].to_numpy()).all()
+    )
+    out["rows_per_sec_retention"] = round(n_rows / out["retention_sec"], 1)
     print(json.dumps(out))
     ray.shutdown()
     return 0 if (out["rolling_checksum_match"]
-                 and out["band_checksum_match"]) else 1
+                 and out["band_checksum_match"]
+                 and out["retention_match"]) else 1
 
 
 def len_ok(a, b) -> bool:
