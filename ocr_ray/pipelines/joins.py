@@ -228,7 +228,8 @@ _BROADCAST_KEY_LIMIT = 100_000
 
 
 def semi_anti_join(
-    probe: rd.Dataset, keys, on: str, anti: bool = False
+    probe: rd.Dataset, keys, on: str, anti: bool = False,
+    assume_distinct: bool = False,
 ) -> rd.Dataset:
     """Exact semi/anti join with adaptive strategy.
 
@@ -238,14 +239,21 @@ def semi_anti_join(
     map_batches (no shuffle); above it the build side STAYS a Dataset and
     membership is decided by a partitioned cogroup join with a marker
     column — no driver structure proportional to key count on either
-    path."""
+    path.
+
+    ``assume_distinct=True`` skips the dedup shuffle when the caller
+    KNOWS the key column is already unique (a primary key, a grouped
+    output) — one fewer sequential execution on the build side."""
     import ray
 
     if isinstance(keys, rd.Dataset):
         kcol = keys.schema().names[0]
-        distinct = (
-            keys.groupby(kcol).count().select_columns([kcol]).materialize()
-        )
+        if assume_distinct:
+            distinct = keys.materialize()
+        else:
+            distinct = (
+                keys.groupby(kcol).count().select_columns([kcol]).materialize()
+            )
         n_keys = distinct.count()
         if n_keys > _BROADCAST_KEY_LIMIT:
             def mark(t: pa.Table) -> pa.Table:
@@ -677,9 +685,35 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     asc, orderkey asc) — exact on integer cents."""
     import pyarrow.dataset as pads
 
+    import ray
+
     from ..stages.partial_agg import hash_bucket_sum
 
     cutoff = pd.Timestamp(Q3_CUTOFF)
+
+    building = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == "BUILDING"),
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") < cutoff),
+    )
+    # materialized because it feeds BOTH the lineitem semi-filter and the
+    # final join — and it's the most selective relation in the query
+    # (segment cut x date cut), so the join order starts here
+    orders_f = (
+        semi_anti_join(orders, building, on="o_custkey")
+        .map_batches(
+            lambda t: t.select(
+                ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ).rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -696,29 +730,6 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
             [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
         )
 
-    li_agg = hash_bucket_sum(
-        li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
-    ).drop_columns(["n"])
-
-    building = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey"],
-        filter=(pads.field("c_mktsegment") == "BUILDING"),
-    )
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-        filter=(pads.field("o_orderdate") < cutoff),
-    )
-    orders = semi_anti_join(orders, building, on="o_custkey").map_batches(
-        lambda t: t.select(
-            ["o_orderkey", "o_orderdate", "o_orderpriority"]
-        ).rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
-        batch_format="pyarrow",
-    )
-
-    joined = bucket_hash_join(li_agg, orders, on="l_orderkey")
-
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["l_orderkey", "rev_c4", "o_orderdate", "o_orderpriority"]
         if not all(c in df.columns for c in cols):
@@ -729,7 +740,46 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
             ascending=[False, True, True], kind="mergesort",
         ).head(k)[cols]
 
-    part = joined.map_batches(topk, batch_format="pandas").to_pandas()
+    # adaptive: the qualifying orders are the most selective relation
+    # (segment cut x date cut). Below the broadcast gate they ship ONCE
+    # and the whole query is one fused chain: scan-filter lineitem ->
+    # in-map semi filter + widen -> bucketed revenue combine over ONLY
+    # qualifying keys -> in-map dim attach + partial top-k. No join
+    # shuffle at all. Above the gate, the partitioned bucket_hash_join
+    # path takes over (both sides corpus-scaled).
+    if orders_f.count() <= _BROADCAST_KEY_LIMIT:
+        odf = orders_f.to_pandas()  # bounded by the gate
+        keys_ref = ray.put(np.sort(odf["l_orderkey"].to_numpy(np.int64)))
+        dim_ref = ray.put(odf)
+
+        def filt_widen(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            col = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            return widen(t.filter(pa.array(np.isin(col, ks))))
+
+        li_agg = hash_bucket_sum(
+            li.map_batches(filt_widen, batch_format="pyarrow"),
+            ["l_orderkey"], ["rev_c4"],
+        ).drop_columns(["n"])
+
+        def attach_topk(df: pd.DataFrame) -> pd.DataFrame:
+            if "l_orderkey" not in df.columns:
+                return topk(df)  # empty passthrough -> typed empty
+            return topk(df.merge(ray.get(dim_ref), on="l_orderkey"))
+
+        part = li_agg.map_batches(attach_topk, batch_format="pandas").to_pandas()
+    else:
+        li_f = semi_anti_join(
+            li, orders_f.select_columns(["l_orderkey"]), on="l_orderkey",
+            assume_distinct=True,
+        )
+        li_agg = hash_bucket_sum(
+            li_f.map_batches(widen, batch_format="pyarrow"),
+            ["l_orderkey"], ["rev_c4"],
+        ).drop_columns(["n"])
+        joined = bucket_hash_join(li_agg, orders_f, on="l_orderkey")
+        part = joined.map_batches(topk, batch_format="pandas").to_pandas()
+
     out = topk(part).rename(columns={"l_orderkey": "o_orderkey"})
     out["revenue"] = out["rev_c4"] / 10000.0
     return out[

@@ -230,3 +230,14 @@ def test_events_type_share(ray_session):
     exp_share = agg["v"].astype(np.float64) / float(agg["v"].sum())
     assert np.array_equal(got.sort_values("event_type")["share"].to_numpy(),
                           exp_share.to_numpy())
+
+
+def test_q3_above_gate_join_path(ray_session, monkeypatch):
+    """Force the cogroup/bucket-join path (broadcast gate at 0) and pin
+    it to the broadcast path's output."""
+    from ocr_ray.pipelines import joins
+
+    fast = joins.q3_shipping_priority(SF)
+    monkeypatch.setattr(joins, "_BROADCAST_KEY_LIMIT", 0)
+    slow = joins.q3_shipping_priority(SF)
+    pd.testing.assert_frame_equal(fast, slow)
