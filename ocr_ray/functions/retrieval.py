@@ -167,25 +167,30 @@ def inverted_index(docs: rd.Dataset, min_df: int = 3) -> rd.Dataset:
     (posting strings via a C-level groupby join). Output is a Dataset
     partitionable by term range — at corpus scale this is the sharded
     index layout, not a driver structure."""
-    import collections
-
     from ..stages.partial_agg import add_hash_bucket
 
     def tf_rows(t: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        toks: list[str] = []
-        tfs: list[int] = []
-        for did, txt in zip(t.column("doc_id").to_pylist(),
-                            t.column("text").to_pylist()):
-            c = collections.Counter((txt or "").lower().split())
-            ids.extend([did] * len(c))
-            toks.extend(c.keys())
-            tfs.extend(c.values())
-        return pa.Table.from_pydict(
-            {"term": pa.array(toks, pa.string()),
-             "doc_id": pa.array(ids, pa.int64()),
-             "tf": pa.array(tfs, pa.int64())}
+        # fully vectorized tokenize+count: Arrow whitespace split (list
+        # array), flatten with np.repeat parent ids, one C-level groupby.
+        # Arrow emits '' tokens at string edges where Python .split()
+        # emits nothing — the mask keeps the two tokenizations identical.
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(t.column("text")))
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
         )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {"term": flat.to_pandas().to_numpy()[keep], "doc_id": did[keep]}
+            )
+            .groupby(["term", "doc_id"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     bucketed = docs.map_batches(tf_rows, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["term"], 64), batch_format="pyarrow"
