@@ -1079,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_growth": R.orders_monthly_growth,
         "docs_longest_per_lang": R.docs_longest_per_lang,
         "events_type_share": R.events_type_share,
+        "events_window_distinct": S.window_distinct_users,
+        "events_first_touch": S.first_touch_attribution,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2658,6 +2660,35 @@ def oracle_sql() -> dict[str, str]:
                      list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ','
                    ) AS postings
             FROM tf GROUP BY term HAVING count(*) >= 3 ORDER BY term
+        """,
+        "events_window_distinct": """
+            -- windowed COUNT DISTINCT: uniques per tumbling hour
+            SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_first_touch": """
+            -- first-touch attribution: users by their FIRST event type
+            -- ((ts, event_id) order) with ever-purchased counts
+            WITH o AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events
+            ), f AS (
+              SELECT user_id, event_type AS first_type FROM o WHERE rn = 1
+            ), p AS (
+              SELECT user_id,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS np
+              FROM events GROUP BY user_id
+            )
+            SELECT f.first_type, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN p.np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_purchasers
+            FROM f JOIN p ON f.user_id = p.user_id
+            GROUP BY 1 ORDER BY 1
         """,
         "docs_longest_per_lang": """
             -- grouped argmax, ties -> lowest doc_id

@@ -49,6 +49,8 @@ __all__ = [
     "new_users_daily",
     "user_value_mad",
     "retention_cohorts",
+    "window_distinct_users",
+    "first_touch_attribution",
 ]
 
 SESSION_GAP_MIN = 30
@@ -1229,3 +1231,118 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
     out["day_offset"] = out["day_offset"].astype(np.int64)
     out["n_users"] = out["n_users"].astype(np.int64)
     return out
+
+
+def window_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Windowed COUNT DISTINCT: distinct active users per tumbling 1-hour
+    window — the streaming-metrics uniques-per-window shape.
+
+    Scale shape: block-local (window, user) dedup first (distinct is
+    idempotent), ONE (window, user)-hash bucket shuffle finishes the
+    dedup, then per-window counts reduce through O(windows)-rows-per-
+    block partials folded on the driver — windows are calendar-bounded,
+    users never are."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        hour = pc.strftime(t["ts"], format="%Y-%m-%d %H:00:00")
+        g = pa.Table.from_arrays(
+            [hour, t["user_id"].combine_chunks()],
+            names=["window_start", "user_id"],
+        ).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    deduped = hash_bucket_sum(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["window_start", "user_id"], [],
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "window_start" not in df.columns:
+            return pd.DataFrame(
+                {"window_start": pd.Series([], dtype=str),
+                 "n_users": pd.Series([], dtype=np.int64)}
+            )
+        return df.groupby("window_start", as_index=False).size().rename(
+            columns={"size": "n_users"}
+        )
+
+    out = (
+        deduped.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()  # O(blocks * windows)
+        .groupby("window_start", as_index=False)["n_users"].sum()
+        .sort_values("window_start", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+def first_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: users grouped by the type of their FIRST
+    event ((ts, event_id) order), with how many of each group ever
+    purchased — the acquisition-channel conversion report.
+
+    Scale shape: ONE user-hash bucket shuffle. Blocks shrink to one
+    first-candidate row + purchase count per user they contain (min is
+    idempotent, counts are additive); each bucket resolves the true
+    first event and purchase totals vectorized and emits O(types)
+    partial rows; the driver folds O(buckets * types)."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        first = df.groupby("user_id", as_index=False).first()
+        purch = (
+            df[df["event_type"] == "purchase"]
+            .groupby("user_id", as_index=False).size()
+            .rename(columns={"size": "n_purch"})
+        )
+        out = first.merge(purch, on="user_id", how="left")
+        out["n_purch"] = out["n_purch"].fillna(0).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    cols = {"first_type": str, "n_users": np.int64, "n_purchasers": np.int64}
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        purch = g.groupby("user_id", sort=False)["n_purch"].transform("sum")
+        g = g.assign(n_purch_total=purch)
+        first = g.groupby("user_id", as_index=False, sort=False).first()
+        out = first.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"),
+            n_purchasers=("n_purch_total", lambda v: int((v > 0).sum())),
+        ).rename(columns={"event_type": "first_type"})
+        return out.astype(cols)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
+        return df[list(cols)]
+
+    part = (
+        bucketed.groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()  # O(buckets * types)
+    )
+    out = (
+        part.groupby("first_type", as_index=False)[["n_users", "n_purchasers"]]
+        .sum()
+        .sort_values("first_type")
+        .reset_index(drop=True)
+    )
+    return out.astype(cols)

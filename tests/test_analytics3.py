@@ -241,3 +241,44 @@ def test_q3_above_gate_join_path(ray_session, monkeypatch):
     monkeypatch.setattr(joins, "_BROADCAST_KEY_LIMIT", 0)
     slow = joins.q3_shipping_priority(SF)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_window_distinct_users(ray_session):
+    from ocr_ray.pipelines.streaming import window_distinct_users
+
+    got = window_distinct_users(SF)
+    ev = _tbl("events")
+    exp = (
+        pd.DataFrame(
+            {"window_start": ev["ts"].dt.strftime("%Y-%m-%d %H:00:00"),
+             "user_id": ev["user_id"]}
+        )
+        .drop_duplicates()
+        .groupby("window_start", as_index=False)
+        .size()
+        .rename(columns={"size": "n_users"})
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_first_touch_attribution(ray_session):
+    from ocr_ray.pipelines.streaming import first_touch_attribution
+
+    got = first_touch_attribution(SF)
+    ev = _tbl("events").sort_values(["user_id", "ts", "event_id"])
+    first = ev.groupby("user_id", as_index=False).first()[
+        ["user_id", "event_type"]
+    ].rename(columns={"event_type": "first_type"})
+    purch = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id", as_index=False).size()
+    )
+    j = first.merge(purch, on="user_id", how="left").fillna({"size": 0})
+    exp = j.groupby("first_type", as_index=False).agg(
+        n_users=("user_id", "size"),
+        n_purchasers=("size", lambda v: int((v > 0).sum())),
+    ).sort_values("first_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n_users"].sum() == ev["user_id"].nunique()
