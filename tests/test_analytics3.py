@@ -282,3 +282,77 @@ def test_first_touch_attribution(ray_session):
     ).sort_values("first_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got["n_users"].sum() == ev["user_id"].nunique()
+
+
+def _write_events(tmp_path, n_users, n_rows, seed):
+    rng = np.random.RandomState(seed)
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    ts = (np.datetime64("2024-01-01", "us")
+          + rng.randint(0, 20 * 86400_000_000, size=n_rows).astype("timedelta64[us]"))
+    t = pa.table({
+        "event_id": np.arange(n_rows, dtype=np.int64),
+        "user_id": rng.randint(0, n_users, size=n_rows).astype(np.int64),
+        "ts": ts,
+        "event_type": np.array(["click", "purchase", "view"])[
+            rng.randint(0, 3, size=n_rows)
+        ],
+        "value": np.round(rng.uniform(0, 100, size=n_rows), 2),
+    })
+    pq_.write_table(t, os.path.join(str(tmp_path), "events.parquet"),
+                    row_group_size=max(8, n_rows // 7))  # force many blocks
+
+
+def test_retention_cross_block_users(ray_session, tmp_path):
+    """Users deliberately split across many parquet row groups: the
+    bucket fold must reconstruct each user's true cohort day across
+    blocks (a block-local min is NOT the cohort)."""
+    from ocr_ray.pipelines.streaming import retention_cohorts
+
+    for seed in (0, 1, 2):
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        _write_events(d, n_users=13, n_rows=400, seed=seed)
+        got = retention_cohorts(str(d))
+        ev = pd.read_parquet(d / "events.parquet")
+        a = pd.DataFrame({"user_id": ev["user_id"],
+                          "day": ev["ts"].dt.strftime("%Y-%m-%d")}).drop_duplicates()
+        cohort = pd.to_datetime(a.groupby("user_id")["day"].transform("min"))
+        off = (pd.to_datetime(a["day"]) - cohort).dt.days
+        keep = off <= 7
+        exp = (
+            pd.DataFrame({"cohort_day": cohort[keep].dt.strftime("%Y-%m-%d"),
+                          "day_offset": off[keep]})
+            .groupby(["cohort_day", "day_offset"], as_index=False).size()
+            .rename(columns={"size": "n_users"})
+            .sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_first_touch_cross_block_users(ray_session, tmp_path):
+    """The true first event and the purchase totals must combine across
+    blocks: a user whose earliest event and whose purchases live in
+    different row groups exercises the partial/final split."""
+    from ocr_ray.pipelines.streaming import first_touch_attribution
+
+    for seed in (3, 4):
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        _write_events(d, n_users=7, n_rows=300, seed=seed)
+        got = first_touch_attribution(str(d))
+        ev = pd.read_parquet(d / "events.parquet").sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        first = ev.groupby("user_id", as_index=False).first()[
+            ["user_id", "event_type"]
+        ].rename(columns={"event_type": "first_type"})
+        purch = (ev[ev["event_type"] == "purchase"]
+                 .groupby("user_id", as_index=False).size())
+        j = first.merge(purch, on="user_id", how="left").fillna({"size": 0})
+        exp = j.groupby("first_type", as_index=False).agg(
+            n_users=("user_id", "size"),
+            n_purchasers=("size", lambda v: int((v > 0).sum())),
+        ).sort_values("first_type").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
