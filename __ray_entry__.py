@@ -1081,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_share": R.events_type_share,
         "events_window_distinct": S.window_distinct_users,
         "events_first_touch": S.first_touch_attribution,
+        "events_hdr_quantiles": R.events_hdr_quantiles,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2666,6 +2667,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_hdr_quantiles": """
+            WITH pow2 AS (
+              SELECT e, (CAST(1 AS BIGINT) << e) AS p
+              FROM generate_series(0, 62) t(e)
+            ),
+            vcnt AS (
+              SELECT event_type,
+                     GREATEST(CAST(round(value * 100) AS BIGINT), 1) AS v,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            ve AS (
+              SELECT event_type, v, cnt, max(e) AS e
+              FROM vcnt JOIN pow2 ON p <= v
+              GROUP BY event_type, v, cnt
+            ),
+            bk AS (
+              SELECT event_type,
+                     CASE WHEN e < 4 THEN v
+                          ELSE ((e - 3) << 4) + ((v >> (e - 4)) - 16)
+                     END AS bucket,
+                     sum(cnt) AS cnt
+              FROM ve GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT event_type, bucket, cnt,
+                     sum(cnt) OVER (
+                       PARTITION BY event_type ORDER BY bucket) AS cum,
+                     sum(cnt) OVER (PARTITION BY event_type) AS n
+              FROM bk
+            ),
+            pick AS (
+              SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                     min(CASE WHEN cum >= (1 * n + 1) // 2
+                              THEN bucket END) AS b50,
+                     min(CASE WHEN cum >= (9 * n + 9) // 10
+                              THEN bucket END) AS b90,
+                     min(CASE WHEN cum >= (99 * n + 99) // 100
+                              THEN bucket END) AS b99
+              FROM cum GROUP BY event_type
+            ),
+            reps AS (
+              SELECT DISTINCT bucket,
+                     CASE WHEN bucket < 16 THEN CAST(bucket AS DOUBLE)
+                          ELSE (2 * ((16 + (bucket & 15))
+                                     << ((bucket >> 4) - 1))
+                                + (CAST(1 AS BIGINT) << ((bucket >> 4) - 1))
+                                - 1) / 2
+                     END AS rep
+              FROM bk
+            )
+            SELECT p.event_type, p.n,
+                   r50.rep / 100 AS p50, r90.rep / 100 AS p90,
+                   r99.rep / 100 AS p99
+            FROM pick p
+            JOIN reps r50 ON r50.bucket = p.b50
+            JOIN reps r90 ON r90.bucket = p.b90
+            JOIN reps r99 ON r99.bucket = p.b99
+            ORDER BY p.event_type
         """,
         "events_first_touch": """
             -- first-touch attribution: users by their FIRST event type

@@ -224,3 +224,88 @@ def heavy_hitters(ds: rd.Dataset, k: int, items_of) -> pd.DataFrame:
         return pd.DataFrame({"term": pd.Series([], dtype="object"),
                              "n": pd.Series([], dtype="int64")})
     return out[["term", "n"]].sort_values("term").reset_index(drop=True)
+
+
+# ---- HDR-histogram quantile sketch ---------------------------------------
+# Integer log2 buckets with SUB_BITS linear sub-buckets per octave (the
+# HdrHistogram layout): bucket assignment is PURE int64 arithmetic, so
+# unlike DDSketch (float log) the SQL twin replays it exactly, while the
+# sketch stays mergeable (per-block bucket counts sum) with a guaranteed
+# relative error <= 2^-(SUB_BITS+1) ~= 3.1% per quantile.
+
+HDR_SUB_BITS = 4
+
+
+def hdr_bucket(v_c: np.ndarray) -> np.ndarray:
+    """Bucket id for positive int64 cents (clamped to >= 1): values below
+    2^SUB_BITS are their own singleton bucket; above, id = octave book
+    ((e - SUB_BITS + 1) << SUB_BITS) + linear sub-bucket. Monotone in v."""
+    v = np.maximum(v_c, 1)
+    e = (np.frexp(v.astype(np.float64))[1] - 1).astype(np.int64)  # exact < 2^53
+    sub = (v >> np.maximum(e - HDR_SUB_BITS, 0)) - (1 << HDR_SUB_BITS)
+    ids = ((e - HDR_SUB_BITS + 1) << HDR_SUB_BITS) + sub
+    return np.where(e < HDR_SUB_BITS, v, ids)
+
+
+def hdr_rep_c(ids: np.ndarray) -> np.ndarray:
+    """Representative value (cents, double) of a bucket id: the midpoint
+    (2*lb + width - 1) / 2 of the bucket's integer range — singleton
+    buckets decode to their exact value."""
+    ids = np.asarray(ids, dtype=np.int64)
+    small = ids < (1 << HDR_SUB_BITS)
+    octv = np.maximum((ids >> HDR_SUB_BITS) - 1, 0)
+    sub = ids & ((1 << HDR_SUB_BITS) - 1)
+    width = np.where(small, 1, np.int64(1) << octv)
+    lb = np.where(small, ids, (np.int64(1 << HDR_SUB_BITS) + sub) << octv)
+    return (2 * lb + width - 1) / 2.0
+
+
+def hdr_quantiles_by_key(
+    ds: rd.Dataset, key: str, value_c_of, qs: list[tuple[int, int]]
+) -> pd.DataFrame:
+    """Approximate quantiles per key from the mergeable HDR sketch.
+
+    ``value_c_of(table) -> int64 cents array``; ``qs`` are exact rational
+    quantiles (num, den) — the rank is ceil(q*n) computed in INTEGER
+    arithmetic ((num*n + den - 1) // den), never float, so the twin
+    can't drift on decimal-vs-binary rounding.
+
+    Scale shape: per-block (key, bucket) count partials (bucket space is
+    value-range-bounded: ~16 per octave), one grouped sum, then the
+    cumulative pick runs driver-side on O(keys * buckets) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v_c = value_c_of(t)
+        g = (
+            pd.DataFrame(
+                {key: t.column(key).to_pandas(), "bucket": hdr_bucket(v_c)}
+            )
+            .groupby([key, "bucket"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # O(keys * buckets), calendar-of-value bounded
+        .sort_values([key, "bucket"], kind="mergesort")
+    )
+
+    rows = []
+    for k, g in counts.groupby(key, sort=True):
+        cnt = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        picks = {}
+        for num, den in qs:
+            r = (num * n + den - 1) // den  # ceil(num*n/den), exact
+            idx = int(np.searchsorted(cum, r, side="left"))
+            picks[f"p{num * 100 // den}"] = float(
+                hdr_rep_c(g["bucket"].to_numpy(np.int64)[idx : idx + 1])[0]
+            ) / 100.0
+        rows.append({key: k, "n": n, **picks})
+    return pd.DataFrame(rows).reset_index(drop=True)

@@ -1332,3 +1332,25 @@ def events_type_share(sf_dir: str) -> pd.DataFrame:
          "share": agg["value_c"].astype(np.float64) / total}
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_hdr_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-type p50/p90/p99 of ``value`` via the mergeable
+    HDR-histogram sketch (integer log2 buckets, ocr_ray.functions.sketch).
+
+    Unlike the exact per-group sort (events_value_quantiles), the sketch
+    never moves raw values: each block emits (key, bucket) count partials
+    into a value-range-bounded bucket space, one grouped sum reconciles
+    them, and the quantile pick is O(keys * buckets). Bucket assignment is
+    PURE int64 arithmetic, so the SQL twin replays it exactly — an
+    approximate sketch with an exact oracle."""
+    from ..functions.sketch import hdr_quantiles_by_key
+    from ..money import cents as _c
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = hdr_quantiles_by_key(
+        ds, "event_type", lambda t: _c(t.column("value")).to_numpy(),
+        [(1, 2), (9, 10), (99, 100)],
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -83,3 +83,73 @@ def test_heavy_hitters_exact_on_zipf(ray_session):
     # the per-block prune keeps at most k items
     keep = misra_gries_block(vals, counts, k)
     assert len(keep) <= k
+
+
+# ---- HDR-histogram quantile sketch ---------------------------------------
+
+
+def test_hdr_bucket_error_bound_and_monotone():
+    """Every positive int64 decodes back within the guaranteed relative
+    error 2^-(SUB_BITS+1), and bucket ids are monotone in the value."""
+    import numpy as np
+
+    from ocr_ray.functions.sketch import HDR_SUB_BITS, hdr_bucket, hdr_rep_c
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate(
+        [
+            np.arange(1, 4096),  # exhaustive small range (incl. singletons)
+            rng.integers(1, 1 << 40, size=200_000),
+            (np.int64(1) << np.arange(0, 60)),  # powers of two (edges)
+            (np.int64(1) << np.arange(1, 60)) - 1,  # just below the edges
+        ]
+    ).astype(np.int64)
+    ids = hdr_bucket(v)
+    rep = hdr_rep_c(ids)
+    rel = np.abs(rep - v) / v
+    assert rel.max() <= 2.0 ** -(HDR_SUB_BITS + 1)
+    # values < 2^SUB_BITS are singleton buckets: decode is exact
+    small = v < (1 << HDR_SUB_BITS)
+    assert np.array_equal(rep[small], v[small].astype(float))
+    # monotone: sorting values sorts bucket ids
+    order = np.argsort(v, kind="mergesort")
+    assert np.all(np.diff(ids[order]) >= 0)
+
+
+def test_hdr_quantiles_merge_invariance_and_accuracy(ray_session):
+    """The sketch is mergeable: 1-block and 16-block runs agree exactly,
+    and each pick is within the bucket error of the true quantile."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import HDR_SUB_BITS, hdr_quantiles_by_key
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], size=30_000),
+            "v": rng.lognormal(4.0, 1.5, size=30_000),
+        }
+    )
+    df["v_c"] = np.maximum(np.round(df["v"] * 100).astype(np.int64), 1)
+    qs = [(1, 2), (9, 10), (99, 100)]
+
+    def run(nblocks):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        return hdr_quantiles_by_key(
+            ds, "k", lambda t: t.column("v_c").to_numpy(), qs
+        ).sort_values("k").reset_index(drop=True)
+
+    one, many = run(1), run(16)
+    pd.testing.assert_frame_equal(one, many)
+
+    tol = 2.0 ** -(HDR_SUB_BITS + 1)
+    for k, g in df.groupby("k"):
+        vs = np.sort(g["v_c"].to_numpy())
+        row = one[one["k"] == k].iloc[0]
+        assert row["n"] == len(vs)
+        for (num, den), col in zip(qs, ["p50", "p90", "p99"]):
+            r = (num * len(vs) + den - 1) // den
+            exact = vs[r - 1] / 100.0
+            assert abs(row[col] - exact) <= tol * exact + 1e-9, (k, col)
