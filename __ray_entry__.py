@@ -1082,6 +1082,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_distinct": S.window_distinct_users,
         "events_first_touch": S.first_touch_attribution,
         "events_hdr_quantiles": R.events_hdr_quantiles,
+        "q7_nation_flows": J.q7_nation_flows,
+        "q10_returned_items": J.q10_returned_items,
+        "q14_promo_effect": J.q14_promo_effect,
+        "q18_big_orders": J.q18_big_orders,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2667,6 +2671,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q7_nation_flows": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE s.s_nationkey <> c.c_nationkey
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            WITH rev AS (
+              SELECT o.o_custkey AS c_custkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS rev_c4
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+                AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1
+            )
+            SELECT r.c_custkey, c.c_name, n.n_name,
+                   r.rev_c4 / 10000.0 AS revenue
+            FROM rev r
+            JOIN customer c ON c.c_custkey = r.c_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.rev_c4 DESC, r.c_custkey LIMIT 20
+        """,
+        "q14_promo_effect": """
+            WITH f AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4,
+                     (p.p_type = 'PROMO') AS is_promo
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                AND l_shipdate < TIMESTAMP '1996-10-01'
+            )
+            SELECT 100.0 * CAST(sum(CASE WHEN is_promo THEN rev_c4
+                                         ELSE 0 END) AS BIGINT)
+                     / CAST(sum(rev_c4) AS BIGINT) AS promo_pct,
+                   CAST(sum(CASE WHEN is_promo THEN rev_c4 ELSE 0 END)
+                        AS BIGINT) / 10000.0 AS promo_revenue,
+                   CAST(sum(rev_c4) AS BIGINT) / 10000.0 AS total_revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM f
+        """,
+        "q18_big_orders": """
+            WITH q AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+            )
+            SELECT c.c_name, o.o_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) / 100.0
+                     AS total_price,
+                   q.sum_qty
+            FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,
+                     o.o_orderkey
+            LIMIT 100
         """,
         "events_hdr_quantiles": """
             WITH pow2 AS (

@@ -36,6 +36,10 @@ __all__ = [
     "cust_order_counts",
     "q5_local_supplier_volume",
     "q3_shipping_priority",
+    "q7_nation_flows",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_big_orders",
 ]
 
 
@@ -785,3 +789,321 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out[
         ["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]
     ].reset_index(drop=True)
+
+
+def q7_nation_flows(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape generalized: shipping revenue flow between every
+    ORDERED pair of distinct nations (supplier nation -> customer nation)
+    per ship year — the bilateral-trade matrix.
+
+    Scale shape: identical join plan to Q5 — two int->int dimension maps
+    ship once via ray.put, lineitem ships (orderkey, supp_nation, year,
+    rev_c4), orders ships (orderkey, cust_nation), ONE partitioned hash
+    join on orderkey, then per-batch partial aggregation into the tiny
+    (nation x nation x year) result space before the final grouped sum."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..money import cents_np as _cents_np
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    nat_ref = ray.put(nat_names)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(supp_ref)
+        price_c = _cents_np(df["l_extendedprice"].to_numpy())
+        disc_c = _cents_np(df["l_discount"].to_numpy())
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "s_nk": df["l_suppkey"].map(lut).to_numpy(np.int64),
+             "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+             "rev_c4": price_c * (100 - disc_c)}
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(cust_ref)
+        return pd.DataFrame(
+            {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "c_nk": df["o_custkey"].map(lut).to_numpy(np.int64)}
+        )
+
+    joined = bucket_hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders.map_batches(o_side, batch_format="pandas"),
+        on="l_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nk"] != df["c_nk"]]
+        return df.groupby(["s_nk", "c_nk", "l_year"], as_index=False).agg(
+            rev_c4=("rev_c4", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["s_nk", "c_nk", "l_year"])
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .to_pandas()
+    )
+    out["supp_nation"] = out["s_nk"].map(nat_names)
+    out["cust_nation"] = out["c_nk"].map(nat_names)
+    # empty shuffle partitions promote int keys to float through the
+    # aggregate — pin the year back to int64
+    out["l_year"] = out["l_year"].astype(np.int64)
+    out["revenue"] = out["rev_c4"].astype(np.int64) / 10000.0
+    return (
+        out[["supp_nation", "cust_nation", "l_year", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+Q14_FROM, Q14_TO = "1996-09-01", "1996-10-01"
+
+
+def q14_promo_effect(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 (promotion effect): percent of one month's revenue from
+    parts of PROMO type.
+
+    Scale shape: the part->type dimension ships once via ray.put as an
+    int->bool array lookup; the month window is pushed into the parquet
+    scan; each block emits ONE (promo_c4, total_c4, n) partial row.
+    Exact integer-cents sums; the percent is one double division."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..money import cents_np as _cents_np
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    promo_ref = ray.put(
+        dict(zip(part["p_partkey"], part["p_type"].eq("PROMO")))
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= pd.Timestamp(Q14_FROM))
+            & (pads.field("l_shipdate") < pd.Timestamp(Q14_TO))
+        ),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(promo_ref)
+        rev = _cents_np(df["l_extendedprice"].to_numpy()) * (
+            100 - _cents_np(df["l_discount"].to_numpy())
+        )
+        promo = df["l_partkey"].map(lut).to_numpy(bool)
+        return pd.DataFrame(
+            {"promo_c4": [rev[promo].sum()], "total_c4": [rev.sum()],
+             "n_items": [len(df)]}
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    promo_c4 = int(p["promo_c4"].sum())
+    total_c4 = int(p["total_c4"].sum())
+    return pd.DataFrame(
+        {"promo_pct": [100.0 * promo_c4 / total_c4],
+         "promo_revenue": [promo_c4 / 10000.0],
+         "total_revenue": [total_c4 / 10000.0],
+         "n_items": [np.int64(p["n_items"].sum())]}
+    )
+
+
+Q18_MIN_QTY = 300
+
+
+def q18_big_orders(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 (large-volume customer): the top-k biggest orders (by
+    total price) whose line quantities sum above ``Q18_MIN_QTY``, with
+    the ordering customer's name.
+
+    Scale shape: lineitem reduces to (orderkey, qty) per-block partials +
+    one grouped sum; the HAVING filter cuts to the few qualifying keys,
+    which semi-join-filter the orders scan through the adaptive
+    broadcast/cogroup gate (semi_anti_join). Only the top-k report rows
+    ever reach the driver; the customer name attaches to those k rows."""
+    import pyarrow.parquet as pq
+
+    from ..stages.partial_agg import partial_sum_count
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["l_orderkey"].combine_chunks(),
+             pc.cast(t["l_quantity"], pa.int64())],
+            names=["l_orderkey", "qty"],
+        )
+
+    qty = partial_sum_count(
+        li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["qty"]
+    ).filter(expr=f"qty > {Q18_MIN_QTY}")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    big = semi_anti_join(
+        orders, qty.select_columns(["l_orderkey"]), on="o_orderkey",
+        assume_distinct=True,
+    )
+
+    def to_report(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderkey"].combine_chunks(), t["o_custkey"].combine_chunks(),
+             t["o_orderdate"].combine_chunks(), _cents(t["o_totalprice"])],
+            names=["o_orderkey", "o_custkey", "o_orderdate", "price_c"],
+        )
+
+    rep = (
+        big.map_batches(to_report, batch_format="pyarrow")
+        .sort(["price_c", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    qdf = qty.to_pandas()  # bounded: orders above the HAVING threshold
+    rep = rep.merge(
+        qdf.rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "qty"]],
+        on="o_orderkey", how="left",
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    rep["c_name"] = rep["o_custkey"].map(
+        dict(zip(cust["c_custkey"], cust["c_name"]))
+    )
+    out = pd.DataFrame(
+        {"c_name": rep["c_name"], "o_custkey": rep["o_custkey"].astype(np.int64),
+         "o_orderkey": rep["o_orderkey"].astype(np.int64),
+         "o_orderdate": pd.to_datetime(rep["o_orderdate"]).dt.strftime("%Y-%m-%d"),
+         "total_price": rep["price_c"] / 100.0,
+         "sum_qty": rep["qty"].astype(np.int64)}
+    )
+    return (
+        out.sort_values(["total_price", "o_orderkey"],
+                        ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+Q10_FROM, Q10_TO = "1996-10-01", "1997-01-01"
+
+
+def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 (returned-item reporting): the top-k customers by revenue
+    lost to returned lineitems ('R' flag) on one quarter's orders.
+
+    Scale shape: the return-flag cut runs at the lineitem scan and the
+    date window at the orders scan BEFORE the partitioned hash join on
+    orderkey; join output pre-aggregates per custkey inside each batch, so
+    the final grouped sum moves one row per (block, customer). Names
+    attach to the k report rows only."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..money import cents_np as _cents_np
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents_np(df["l_extendedprice"].to_numpy()) * (
+            100 - _cents_np(df["l_discount"].to_numpy())
+        )
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64), "rev_c4": rev}
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate") >= pd.Timestamp(Q10_FROM))
+            & (pads.field("o_orderdate") < pd.Timestamp(Q10_TO))
+        ),
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "c_custkey": df["o_custkey"].to_numpy(np.int64)}
+        )
+
+    joined = bucket_hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders.map_batches(o_side, batch_format="pandas"),
+        on="l_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_custkey", as_index=False).agg(
+            rev_c4=("rev_c4", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    top = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+        .sort(["rev_c4", "c_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    cd = cust.set_index("c_custkey")
+    top["c_name"] = top["c_custkey"].map(cd["c_name"])
+    top["n_name"] = top["c_custkey"].map(cd["c_nationkey"]).map(
+        nation.set_index("n_nationkey")["n_name"]
+    )
+    out = pd.DataFrame(
+        {"c_custkey": top["c_custkey"].astype(np.int64), "c_name": top["c_name"],
+         "n_name": top["n_name"], "revenue": top["rev_c4"] / 10000.0}
+    )
+    return (
+        out.sort_values(["revenue", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

@@ -356,3 +356,108 @@ def test_first_touch_cross_block_users(ray_session, tmp_path):
             n_purchasers=("size", lambda v: int((v > 0).sum())),
         ).sort_values("first_type").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _cents_s(s: pd.Series) -> np.ndarray:
+    v = s.to_numpy(np.float64) * 100
+    return (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int64)
+
+
+def test_q7_nation_flows(ray_session):
+    from ocr_ray.pipelines.joins import q7_nation_flows
+
+    got = q7_nation_flows(SF)
+    li, orders = _tbl("lineitem"), _tbl("orders")
+    supp, cust, nat = _tbl("supplier"), _tbl("customer"), _tbl("nation")
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    df = li.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    ).merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df = df[df["s_nationkey"] != df["c_nationkey"]]
+    df["rev_c4"] = _cents_s(df["l_extendedprice"]) * (
+        100 - _cents_s(df["l_discount"])
+    )
+    exp = (
+        pd.DataFrame(
+            {"supp_nation": df["s_nationkey"].map(names),
+             "cust_nation": df["c_nationkey"].map(names),
+             "l_year": df["l_shipdate"].dt.year.astype(np.int64),
+             "rev_c4": df["rev_c4"]}
+        )
+        .groupby(["supp_nation", "cust_nation", "l_year"], as_index=False)
+        .agg(rev_c4=("rev_c4", "sum"))
+    )
+    exp["revenue"] = exp["rev_c4"] / 10000.0
+    exp = exp.drop(columns="rev_c4").sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q14_promo_effect(ray_session):
+    from ocr_ray.pipelines.joins import Q14_FROM, Q14_TO, q14_promo_effect
+
+    got = q14_promo_effect(SF)
+    li = _tbl("lineitem")
+    part = _tbl("part")
+    li = li[(li["l_shipdate"] >= Q14_FROM) & (li["l_shipdate"] < Q14_TO)]
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    rev = _cents_s(df["l_extendedprice"]) * (100 - _cents_s(df["l_discount"]))
+    promo = int(rev[(df["p_type"] == "PROMO").to_numpy()].sum())
+    total = int(rev.sum())
+    assert got["n_items"].iloc[0] == len(df)
+    assert got["promo_revenue"].iloc[0] == promo / 10000.0
+    assert got["total_revenue"].iloc[0] == total / 10000.0
+    assert got["promo_pct"].iloc[0] == 100.0 * promo / total
+
+
+def test_q18_big_orders(ray_session):
+    from ocr_ray.pipelines.joins import Q18_MIN_QTY, q18_big_orders
+
+    got = q18_big_orders(SF, k=100)
+    li, orders, cust = _tbl("lineitem"), _tbl("orders"), _tbl("customer")
+    qty = li.groupby("l_orderkey", as_index=False).agg(
+        sum_qty=("l_quantity", "sum")
+    )
+    qty = qty[qty["sum_qty"] > Q18_MIN_QTY]
+    df = qty.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    df["price_c"] = _cents_s(df["o_totalprice"])
+    df = df.sort_values(["price_c", "o_orderkey"],
+                        ascending=[False, True]).head(100)
+    exp = pd.DataFrame(
+        {"c_name": df["c_name"], "o_custkey": df["o_custkey"].astype(np.int64),
+         "o_orderkey": df["o_orderkey"].astype(np.int64),
+         "o_orderdate": df["o_orderdate"].dt.strftime("%Y-%m-%d"),
+         "total_price": df["price_c"] / 100.0,
+         "sum_qty": df["sum_qty"].astype(np.int64)}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q10_returned_items(ray_session):
+    from ocr_ray.pipelines.joins import Q10_FROM, Q10_TO, q10_returned_items
+
+    got = q10_returned_items(SF, k=20)
+    li, orders = _tbl("lineitem"), _tbl("orders")
+    cust, nat = _tbl("customer"), _tbl("nation")
+    li = li[li["l_returnflag"] == "R"]
+    orders = orders[(orders["o_orderdate"] >= Q10_FROM)
+                    & (orders["o_orderdate"] < Q10_TO)]
+    df = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    df["rev_c4"] = _cents_s(df["l_extendedprice"]) * (
+        100 - _cents_s(df["l_discount"])
+    )
+    g = df.groupby("o_custkey", as_index=False).agg(rev_c4=("rev_c4", "sum"))
+    g = g.sort_values(["rev_c4", "o_custkey"],
+                      ascending=[False, True]).head(20)
+    cd = cust.set_index("c_custkey")
+    exp = pd.DataFrame(
+        {"c_custkey": g["o_custkey"].astype(np.int64),
+         "c_name": g["o_custkey"].map(cd["c_name"]),
+         "n_name": g["o_custkey"].map(cd["c_nationkey"]).map(
+             nat.set_index("n_nationkey")["n_name"]),
+         "revenue": g["rev_c4"] / 10000.0}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
