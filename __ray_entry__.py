@@ -225,6 +225,16 @@ def _q_events_hll_users(sf_dir: str):
     return hll_distinct_by_key(ds, "event_type", "user_id")
 
 
+def _q_events_kmv_users(sf_dir: str):
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import kmv_distinct_by_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    return kmv_distinct_by_key(ds, "event_type", "user_id")
+
+
 def _q_kmeans(sf_dir: str):
     import ray.data as rd
 
@@ -1086,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": J.q10_returned_items,
         "q14_promo_effect": J.q14_promo_effect,
         "q18_big_orders": J.q18_big_orders,
+        "events_kmv_users": _q_events_kmv_users,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -1404,16 +1415,12 @@ def _kmeans_sql(sf_dir: str | None = None) -> str | None:
     """
 
 
-def _hll_sql() -> str:
-    """Bit-level SQL replay of the HyperLogLog sketch (sketch.py): the
-    pandas int64 hash (splitmix64 finalizer) and the engine's _mix64
-    round are replayed with HUGEINT arithmetic — 64-bit multiplies via a
-    32-bit split so no intermediate exceeds HUGEINT range, xor/shift on
-    UBIGINT — then register index/rank extraction (leading zeros via an
-    exact powers-of-two join, no float log2), per-register max, and the
-    estimator with its linear-counting small-range correction. Registers
-    are insensitive to duplicates, so the chain starts from DISTINCT
-    (event_type, user_id)."""
+def _hash_chain_ctes() -> tuple[list[str], str]:
+    """CTE chain replaying the engine's 64-bit hash of user_id (pandas
+    int64 hash = splitmix64 finalizer, then sketch._mix64) with HUGEINT
+    arithmetic — 64-bit multiplies via a 32-bit split so no intermediate
+    exceeds HUGEINT range, xor/shift on UBIGINT. Returns (ctes, final)
+    where ``final`` selects DISTINCT (event_type, x) hashed rows."""
     C1 = 0xBF58476D1CE4E5B9
     C2 = 0x94D049BB133111EB
     G = 0x9E3779B97F4A7C15
@@ -1434,6 +1441,17 @@ def _hll_sql() -> str:
             "CAST(CAST(user_id AS UBIGINT) AS HUGEINT) AS x FROM events)"]
     for i, op in enumerate(ops):
         ctes.append(f"p{i+1} AS (SELECT event_type, {op} AS x FROM p{i})")
+    return ctes, f"p{len(ops)}"
+
+
+def _hll_sql() -> str:
+    """Bit-level SQL replay of the HyperLogLog sketch (sketch.py): the
+    shared hash chain (_hash_chain_ctes), then register index/rank
+    extraction (leading zeros via an exact powers-of-two join, no float
+    log2), per-register max, and the estimator with its linear-counting
+    small-range correction. Registers are insensitive to duplicates, so
+    the chain starts from DISTINCT (event_type, user_id)."""
+    ctes, final = _hash_chain_ctes()
     pows = ",".join(f"({j},{1 << j}::HUGEINT)" for j in range(64))
     return f"""
         WITH {",".join(ctes)},
@@ -1442,7 +1460,7 @@ def _hll_sql() -> str:
           SELECT event_type,
                  CAST(CAST(x AS UBIGINT) >> 52 AS BIGINT) AS idx,
                  (x % {1 << 52}) * 4096 + 4095 AS rest
-          FROM p{len(ops)}
+          FROM {final}
         ), mb AS (
           SELECT event_type, idx, rest, max(j) AS maxbit
           FROM reg JOIN pw ON rest >= p GROUP BY event_type, idx, rest
@@ -1465,6 +1483,38 @@ def _hll_sql() -> str:
                           THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
                     AS BIGINT) AS approx_distinct
         FROM est ORDER BY event_type
+    """
+
+
+def _kmv_sql(k: int = 256) -> str:
+    """Exact SQL replay of the KMV bottom-k sketch (sketch.py
+    kmv_distinct_by_key): the shared hash chain, the k-th smallest
+    DISTINCT hash per key via row_number, and the estimator
+    (k-1) * 2^64 / kth as the identical double op-chain; groups with
+    fewer than k distinct hashes come back exact in both engines."""
+    ctes, final = _hash_chain_ctes()
+    pow64 = float(2**64)  # 2^64 is exactly representable
+    return f"""
+        WITH {",".join(ctes)},
+        hs AS (SELECT DISTINCT event_type, x FROM {final}),
+        rk AS (
+          SELECT event_type, x,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY x) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nd
+          FROM hs
+        ),
+        sel AS (
+          SELECT event_type, max(nd) AS nd,
+                 max(CASE WHEN rn = {k} THEN x END) AS kth
+          FROM rk GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(floor(CASE WHEN nd < {k} THEN CAST(nd AS DOUBLE)
+                          ELSE {k - 1} * {pow64!r}
+                               / CAST(kth AS DOUBLE) END + 0.5)
+                    AS BIGINT) AS approx_distinct
+        FROM sel ORDER BY event_type
     """
 
 
@@ -3042,4 +3092,5 @@ def oracle_sql() -> dict[str, str]:
     if km is not None:
         out["kmeans_clusters"] = km
     out["events_hll_users"] = _hll_sql()
+    out["events_kmv_users"] = _kmv_sql()
     return out

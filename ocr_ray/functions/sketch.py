@@ -309,3 +309,51 @@ def hdr_quantiles_by_key(
             ) / 100.0
         rows.append({key: k, "n": n, **picks})
     return pd.DataFrame(rows).reset_index(drop=True)
+
+
+# ---- KMV (k-minimum-values) distinct sketch ------------------------------
+# Bottom-k sketch (Bar-Yossef et al. 2002): keep the k smallest distinct
+# 64-bit hashes; estimate = (k-1) * 2^64 / kth_smallest. Mergeable by
+# union+cut, ~1/sqrt(k-2) relative error, and — unlike HLL's register
+# floats — the whole chain (hash, k-th order statistic, one double
+# division) replays EXACTLY in SQL.
+
+KMV_K = 256
+
+
+def kmv_distinct_by_key(
+    ds: rd.Dataset, key: str, value: str, k: int = KMV_K
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT value) GROUP BY key via bottom-k hashes.
+
+    Scale shape: each block ships at most k uint64 hashes per key
+    (sorted-unique cut inside map_batches); the driver merge touches
+    O(keys * blocks * k) values. If the merged union holds < k hashes the
+    sketch IS the exact distinct set (every block kept everything), so
+    small groups come back exact — the SQL twin replays both branches."""
+    mins_col = "mins"
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value]).to_pandas()
+        rows_k, rows_b = [], []
+        for kk, g in df.groupby(key, sort=False):
+            h = _mix64(pd.util.hash_array(g[value].to_numpy(), categorize=False))
+            rows_k.append(kk)
+            rows_b.append(np.unique(h)[:k].tobytes())
+        return pa.Table.from_pydict({key: rows_k, mins_col: rows_b})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_k, out_n = [], []
+    for kk, g in parts.groupby(key, sort=True):
+        h = np.unique(
+            np.concatenate(
+                [np.frombuffer(b, dtype=np.uint64) for b in g[mins_col]]
+            )
+        )
+        if len(h) < k:
+            est = float(len(h))  # union kept every hash: exact
+        else:
+            est = (k - 1) * 2.0**64 / float(h[k - 1])
+        out_k.append(kk)
+        out_n.append(int(np.floor(est + 0.5)))  # half-away (est > 0)
+    return pd.DataFrame({key: out_k, "approx_distinct": pd.array(out_n, dtype="int64")})

@@ -153,3 +153,37 @@ def test_hdr_quantiles_merge_invariance_and_accuracy(ray_session):
             r = (num * len(vs) + den - 1) // den
             exact = vs[r - 1] / 100.0
             assert abs(row[col] - exact) <= tol * exact + 1e-9, (k, col)
+
+
+# ---- KMV bottom-k distinct sketch ----------------------------------------
+
+
+def test_kmv_merge_invariance_accuracy_and_exact_branch(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import KMV_K, kmv_distinct_by_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["big", "small"], 50_000, p=[0.97, 0.03]),
+            # 'big' draws from 20k ids (estimator branch); 'small' is
+            # capped under KMV_K distinct ids (exact branch)
+            "v": rng.integers(0, 20_000, 50_000),
+        }
+    )
+    df.loc[df["k"] == "small", "v"] = df.loc[df["k"] == "small", "v"] % 100
+
+    got1 = kmv_distinct_by_key(rd.from_pandas(df).repartition(1), "k", "v")
+    got16 = kmv_distinct_by_key(rd.from_pandas(df).repartition(16), "k", "v")
+    pd.testing.assert_frame_equal(got1, got16)  # union+cut merge is exact
+
+    exact = df.groupby("k")["v"].nunique()
+    e1 = dict(zip(got1["k"], got1["approx_distinct"]))
+    # small group sits below k -> the sketch IS the distinct set
+    assert exact["small"] < KMV_K and e1["small"] == exact["small"]
+    # big group: ~1/sqrt(k-2) std error, allow 4 sigma
+    rel = abs(e1["big"] - exact["big"]) / exact["big"]
+    assert rel < 4.0 / np.sqrt(KMV_K - 2), rel
