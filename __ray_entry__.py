@@ -1097,6 +1097,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_effect": J.q14_promo_effect,
         "q18_big_orders": J.q18_big_orders,
         "events_kmv_users": _q_events_kmv_users,
+        "q22_dormant_customers": J.q22_dormant_customers,
+        "events_spearman": R.events_spearman,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2721,6 +2723,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_spearman": """
+            -- tie-aware Spearman as Pearson of DOUBLED average ranks
+            -- (2*avg_rank = 2*rank_min + cnt - 1 stays integral), exact
+            -- HUGEINT sufficient stats, floats only in the final division
+            WITH base AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                     CAST(coalesce(nullif(regexp_extract(
+                            props, '"k":\\s*(\\d+)', 1), ''), '0')
+                          AS BIGINT) AS k
+              FROM events
+            ),
+            r2 AS (
+              SELECT 2 * rank() OVER (ORDER BY v)
+                       + count(*) OVER (PARTITION BY v) - 1 AS rv,
+                     2 * rank() OVER (ORDER BY k)
+                       + count(*) OVER (PARTITION BY k) - 1 AS rk
+              FROM base
+            ),
+            s AS (
+              SELECT count(*) AS n, sum(rv) AS sr, sum(rk) AS sk,
+                     sum(rv * rk) AS srk, sum(rv * rv) AS sr2,
+                     sum(rk * rk) AS sk2
+              FROM r2
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * srk - sr * sk AS DOUBLE)
+                     / sqrt(CAST(n * sr2 - sr * sr AS DOUBLE)
+                            * CAST(n * sk2 - sk * sk AS DOUBLE)) AS spearman
+            FROM s
+        """,
+        "q22_dormant_customers": """
+            WITH pos AS (
+              SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS s,
+                     count(*) AS n
+              FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS total_acctbal
+            FROM customer c, pos
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "q7_nation_flows": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -40,6 +40,7 @@ __all__ = [
     "q10_returned_items",
     "q14_promo_effect",
     "q18_big_orders",
+    "q22_dormant_customers",
 ]
 
 
@@ -1105,5 +1106,85 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
     )
     return (
         out.sort_values(["revenue", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+Q22_CUTOFF = "2000-01-01"
+
+
+def q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): per market segment,
+    the count and total balance of customers whose account balance beats
+    the average POSITIVE balance but who placed no order on or after
+    ``Q22_CUTOFF`` — a decorrelated scalar subquery plus an anti-join.
+
+    Scale shape: the global average is two integers from one partial
+    reduction, and the above-average cut is the cross-multiplied integer
+    predicate bal_c * n_pos > sum_c (no float avg, exact everywhere);
+    recently-active custkeys flow date-pruned from the orders scan into
+    the adaptive anti-join (broadcast set below the key gate, marker
+    cogroup join above); the segment rollup ships one partial row per
+    (block, segment)."""
+    from ray.data.aggregate import Sum
+
+    from ..money import cents_np as _cents_np
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df[df["c_acctbal"] > 0.0]
+        return pd.DataFrame(
+            {"s": [int(_cents_np(pos["c_acctbal"].to_numpy()).sum())],
+             "n": [len(pos)]}
+        )
+
+    tot = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    s_pos, n_pos = int(tot["s"].sum()), int(tot["n"].sum())
+
+    def above_avg(df: pd.DataFrame) -> pd.DataFrame:
+        bal_c = _cents_np(df["c_acctbal"].to_numpy())
+        keep = bal_c * n_pos > s_pos
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(np.int64)[keep],
+             "c_mktsegment": df["c_mktsegment"].to_numpy()[keep],
+             "bal_c": bal_c[keep]}
+        )
+
+    import pyarrow.dataset as pads
+
+    active = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= pd.Timestamp(Q22_CUTOFF)),
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+
+    dormant = semi_anti_join(
+        cust.map_batches(above_avg, batch_format="pandas"),
+        active, on="c_custkey", anti=True,
+    )
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_cust=("bal_c", "size"), bal_c=("bal_c", "sum")
+        )
+        return g
+
+    out = (
+        dormant.map_batches(seg_partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_cust", alias_name="n_cust"),
+                   Sum("bal_c", alias_name="bal_c"))
+        .to_pandas()
+    )
+    out["n_cust"] = out["n_cust"].astype(np.int64)
+    out["total_acctbal"] = out["bal_c"].astype(np.int64) / 100.0
+    return (
+        out[["c_mktsegment", "n_cust", "total_acctbal"]]
+        .sort_values("c_mktsegment")
         .reset_index(drop=True)
     )

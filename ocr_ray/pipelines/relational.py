@@ -1354,3 +1354,88 @@ def events_hdr_quantiles(sf_dir: str) -> pd.DataFrame:
     )
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between ``value`` and the ``props``
+    JSON field ``k`` — tie-aware (fractional average ranks), computed
+    exactly.
+
+    Scale shape: global average ranks need global tie counts, but both
+    columns have value-range-bounded domains, so pass 1 reduces to
+    per-column distinct-value counts (ONE grouped sum for both columns,
+    tagged), the driver builds the value -> 2*avg_rank integer map
+    (2*avg_rank = 2*count_below + count + 1, always integral) and ships
+    it once via ray.put; pass 2 emits one integer sufficient-stats row
+    per block. All sums are exact integers (per-block int64 partials are
+    safe through n ~ 10^6 x rank^2; the cross-block combine runs in
+    Python bignums), floats appear only in the final division — the SQL
+    twin mirrors the op chain exactly."""
+    import re as re_
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["value", "props"])
+    k_re = re_.compile(r'"k":\s*(\d+)')
+
+    def widen(t: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (
+                int(m.group(1)) if (m := k_re.search(p or "")) else 0
+                for p in t.column("props").to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.Table.from_arrays(
+            [_cents(t["value"]), pa.array(ks)], names=["v", "k"]
+        )
+
+    base = ds.map_batches(widen, batch_format="pyarrow")
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        parts = []
+        for col in ("v", "k"):
+            g = df.groupby(col, as_index=False).size()
+            g.columns = ["val", "cnt"]
+            g.insert(0, "col", col)
+            parts.append(g)
+        return pa.Table.from_pandas(pd.concat(parts), preserve_index=False)
+
+    counts = (
+        base.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    maps = {}
+    for col, g in counts.groupby("col"):
+        g = g.sort_values("val")
+        cnt = g["cnt"].to_numpy(np.int64)
+        below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        maps[col] = dict(zip(g["val"].to_numpy(np.int64), 2 * below + cnt + 1))
+    maps_ref = ray.put(maps)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(maps_ref)
+        rv = df["v"].map(m["v"]).to_numpy(np.int64)
+        rk = df["k"].map(m["k"]).to_numpy(np.int64)
+        return pd.DataFrame(
+            {"n": [len(df)], "sr": [int(rv.sum())], "sk": [int(rk.sum())],
+             "srk": [int((rv * rk).sum())], "sr2": [int((rv * rv).sum())],
+             "sk2": [int((rk * rk).sum())]}
+        )
+
+    p = base.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sr, sk = int(p["sr"].sum()), int(p["sk"].sum())
+    srk, sr2, sk2 = int(p["srk"].sum()), int(p["sr2"].sum()), int(p["sk2"].sum())
+    import math
+
+    rho = float(n * srk - sr * sk) / math.sqrt(
+        float(n * sr2 - sr * sr) * float(n * sk2 - sk * sk)
+    )
+    return pd.DataFrame({"n": [np.int64(n)], "spearman": [rho]})

@@ -461,3 +461,41 @@ def test_q10_returned_items(ray_session):
          "revenue": g["rev_c4"] / 10000.0}
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q22_dormant_customers(ray_session):
+    from ocr_ray.pipelines.joins import Q22_CUTOFF, q22_dormant_customers
+
+    got = q22_dormant_customers(SF)
+    cust, orders = _tbl("customer"), _tbl("orders")
+    bal_c = _cents_s(cust["c_acctbal"])
+    pos = cust["c_acctbal"] > 0.0
+    s, n = int(bal_c[pos.to_numpy()].sum()), int(pos.sum())
+    active = set(orders.loc[orders["o_orderdate"] >= Q22_CUTOFF, "o_custkey"])
+    keep = (bal_c * n > s) & ~cust["c_custkey"].isin(active).to_numpy()
+    cand = pd.DataFrame(
+        {"c_mktsegment": cust["c_mktsegment"][keep], "bal_c": bal_c[keep]}
+    )
+    assert len(cand) > 0  # cutoff chosen so the anti-join is non-trivial
+    exp = cand.groupby("c_mktsegment", as_index=False).agg(
+        n_cust=("bal_c", "size"), bal_c=("bal_c", "sum")
+    )
+    exp["total_acctbal"] = exp["bal_c"] / 100.0
+    exp = exp.drop(columns="bal_c").sort_values("c_mktsegment").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_spearman(ray_session):
+    from ocr_ray.pipelines.relational import events_spearman
+
+    got = events_spearman(SF)
+    ev = _tbl("events")
+    v = np.round(ev["value"] * 100).astype("int64")
+    k = ev["props"].str.extract(r'"k":\s*(\d+)')[0].fillna("0").astype("int64")
+    rv = pd.Series(v).rank(method="average").to_numpy()
+    rk = pd.Series(k).rank(method="average").to_numpy()
+    exp = np.corrcoef(rv, rk)[0, 1]
+    assert got["n"].iloc[0] == len(ev)
+    assert abs(got["spearman"].iloc[0] - exp) < 1e-12
