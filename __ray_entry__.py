@@ -1099,6 +1099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_users": _q_events_kmv_users,
         "q22_dormant_customers": J.q22_dormant_customers,
         "events_spearman": R.events_spearman,
+        "events_type_islands": S.type_islands,
+        "q15_top_supplier": J.q15_top_supplier,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2723,6 +2725,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS BIGINT) AS rev_c4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.rev_c4 / 10000.0 AS total_revenue
+            FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rev_c4 = (SELECT max(rev_c4) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "events_type_islands": """
+            -- gaps and islands: break on user change or type change,
+            -- island id = running sum of breaks per user
+            WITH o AS (
+              SELECT user_id, event_type, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            i AS (
+              SELECT user_id, event_type, ts,
+                     sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY rn) AS island
+              FROM o
+            )
+            SELECT user_id, CAST(island AS BIGINT) AS island_seq,
+                   event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS ts_from, max(ts) AS ts_to
+            FROM i GROUP BY user_id, island, event_type
+            ORDER BY user_id, island
         """,
         "events_spearman": """
             -- tie-aware Spearman as Pearson of DOUBLED average ranks

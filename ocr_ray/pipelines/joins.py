@@ -41,6 +41,9 @@ __all__ = [
     "q14_promo_effect",
     "q18_big_orders",
     "q22_dormant_customers",
+    "q15_top_supplier",
+    "detect_hot_keys",
+    "salted_bucket_join",
 ]
 
 
@@ -1188,3 +1191,143 @@ def q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
         .sort_values("c_mktsegment")
         .reset_index(drop=True)
     )
+
+
+def detect_hot_keys(ds: rd.Dataset, on: str, threshold: int) -> list:
+    """Keys whose row count exceeds ``threshold`` — per-block count
+    partials then one grouped sum, so the shuffle moves one row per
+    (block, key); the returned list is bounded by data_size/threshold."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([on]).to_pandas().groupby(on, as_index=False).size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(on)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(expr=f"cnt > {threshold}")
+        .to_pandas()
+    )
+    return counts[on].tolist()
+
+
+def salted_bucket_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    hot_keys,
+    n_buckets: int = 64,
+    salt: int = 8,
+) -> rd.Dataset:
+    """Inner bucket join that survives hot keys: rows of ``left`` whose
+    key is in ``hot_keys`` are spread across ``salt`` sub-partitions
+    (deterministic per-block round-robin), and the matching ``right``
+    rows are REPLICATED to every sub-partition; cold keys pay nothing.
+    Per-task memory for a hot key drops from count(key) to
+    count(key)/salt at the cost of salt x replication of the hot build
+    rows — the standard skew-salting trade, applied only where needed.
+
+    ``hot_keys`` comes from :func:`detect_hot_keys` or the caller's own
+    knowledge. Column sets must be disjoint apart from ``on``."""
+    import ray
+
+    from ..stages.partial_agg import add_hash_bucket
+
+    lcols = [c for c in left.schema().names if c != on]
+    rcols = [c for c in right.schema().names if c != on]
+    hot_ref = ray.put(np.asarray(list(hot_keys)))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = add_hash_bucket(t, [on], n_buckets)
+        hot = np.isin(t.column(on).to_numpy(zero_copy_only=False),
+                      ray.get(hot_ref))
+        s = np.where(hot, np.arange(t.num_rows, dtype=np.int64) % salt, 0)
+        t = t.append_column("__salt", pa.array(s))
+        return t.append_column("__side", pa.array(["L"] * t.num_rows))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = add_hash_bucket(t, [on], n_buckets)
+        hot = np.isin(t.column(on).to_numpy(zero_copy_only=False),
+                      ray.get(hot_ref))
+        idx = np.concatenate(
+            [np.flatnonzero(~hot)]
+            + [np.flatnonzero(hot)] * salt
+        )
+        s = np.concatenate(
+            [np.zeros((~hot).sum(), dtype=np.int64)]
+            + [np.full(hot.sum(), j, dtype=np.int64) for j in range(salt)]
+        )
+        t = t.take(pa.array(idx))
+        t = t.append_column("__salt", pa.array(s))
+        return t.append_column("__side", pa.array(["R"] * t.num_rows))
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "L"].reindex(columns=[on, *lcols])
+        r = df[df["__side"] == "R"].reindex(columns=[on, *rcols])
+        return l.merge(r, on=on, how="inner")
+
+    return both.groupby(["bucket", "__salt"]).map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+Q15_FROM, Q15_TO = "1996-10-01", "1997-01-01"
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) achieving the maximum
+    revenue over one quarter's shipments — a max-of-aggregate with
+    tie-keeping semantics.
+
+    Scale shape: the quarter window is pushed into the lineitem scan;
+    per-supplier revenue reduces via per-block partials + one grouped
+    sum into a DIMENSION-sized table (one row per supplier), whose max
+    + equality filter run driver-side on that small result. Exact
+    integer-cents revenue, so ties are exact too."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..money import cents_np as _cents_np
+    from ..stages.partial_agg import partial_sum_count
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_shipdate") >= pd.Timestamp(Q15_FROM))
+            & (pads.field("l_shipdate") < pd.Timestamp(Q15_TO))
+        ),
+    )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents_np(df["l_extendedprice"].to_numpy()) * (
+            100 - _cents_np(df["l_discount"].to_numpy())
+        )
+        return pd.DataFrame(
+            {"l_suppkey": df["l_suppkey"].to_numpy(np.int64), "rev_c4": rev}
+        )
+
+    rev = partial_sum_count(
+        li.map_batches(widen, batch_format="pandas"), ["l_suppkey"], ["rev_c4"]
+    ).to_pandas()  # dimension-sized: one row per active supplier
+    top_c4 = int(rev["rev_c4"].max())
+    top = rev[rev["rev_c4"] == top_c4]
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = pd.DataFrame(
+        {"s_suppkey": top["l_suppkey"].astype(np.int64),
+         "s_name": top["l_suppkey"].map(
+             dict(zip(supp["s_suppkey"], supp["s_name"]))),
+         "total_revenue": top["rev_c4"].astype(np.int64) / 10000.0}
+    )
+    return out.sort_values("s_suppkey").reset_index(drop=True)

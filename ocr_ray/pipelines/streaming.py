@@ -1346,3 +1346,60 @@ def first_touch_attribution(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype(cols)
+
+
+def type_islands(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive runs of equal
+    event_type (ordered by ts, event_id) into validity intervals — the
+    SCD-style state-change log. One row per island: (user_id, island_seq
+    1-based, event_type, n_events, ts_from, ts_to).
+
+    Scale shape: the session_windows kernel — coarse user-hash buckets,
+    ONE vectorized pass per bucket (sort, break-point flags, segment
+    slicing); island_seq is the per-user cumsum of break flags, computed
+    by subtracting each user's running-break base (np.repeat over
+    segment lengths), never a per-user loop."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    def islands_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ty = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        brk = new_user | np.concatenate([[True], ty[1:] != ty[:-1]])
+        glob = np.cumsum(brk)  # global island id (1-based)
+        ustarts = np.flatnonzero(new_user)
+        ulens = np.diff(np.append(ustarts, len(u)))
+        seq = glob - np.repeat(glob[ustarts] - 1, ulens)  # per-user 1-based
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(u)) - 1
+        return pd.DataFrame(
+            {"user_id": u[starts], "island_seq": seq[starts],
+             "event_type": ty[starts],
+             "n_events": (ends - starts + 1).astype(np.int64),
+             "ts_from": ts[starts], "ts_to": ts[ends]}
+        )
+
+    cols = {"user_id": "int64", "island_seq": "int64", "event_type": "object",
+            "n_events": "int64", "ts_from": "datetime64[us]",
+            "ts_to": "datetime64[us]"}
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(islands_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values(["user_id", "island_seq"]).reset_index(drop=True)

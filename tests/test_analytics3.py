@@ -499,3 +499,47 @@ def test_events_spearman(ray_session):
     exp = np.corrcoef(rv, rk)[0, 1]
     assert got["n"].iloc[0] == len(ev)
     assert abs(got["spearman"].iloc[0] - exp) < 1e-12
+
+
+def test_events_type_islands(ray_session):
+    from ocr_ray.pipelines.streaming import type_islands
+
+    got = type_islands(SF)
+    ev = _tbl("events").sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        seq = 0
+        prev = None
+        for _, r in g.iterrows():
+            if r["event_type"] != prev:
+                seq += 1
+                rows.append({"user_id": uid, "island_seq": seq,
+                             "event_type": r["event_type"], "n_events": 0,
+                             "ts_from": r["ts"], "ts_to": r["ts"]})
+                prev = r["event_type"]
+            rows[-1]["n_events"] += 1
+            rows[-1]["ts_to"] = r["ts"]
+    exp = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # islands reconstruct the event count exactly
+    assert got["n_events"].sum() == len(ev)
+
+
+def test_q15_top_supplier(ray_session):
+    from ocr_ray.pipelines.joins import Q15_FROM, Q15_TO, q15_top_supplier
+
+    got = q15_top_supplier(SF)
+    li, supp = _tbl("lineitem"), _tbl("supplier")
+    li = li[(li["l_shipdate"] >= Q15_FROM) & (li["l_shipdate"] < Q15_TO)]
+    rev_c4 = _cents_s(li["l_extendedprice"]) * (100 - _cents_s(li["l_discount"]))
+    g = pd.DataFrame({"sk": li["l_suppkey"], "r": rev_c4}).groupby(
+        "sk", as_index=False
+    )["r"].sum()
+    top = g[g["r"] == g["r"].max()]
+    exp = pd.DataFrame(
+        {"s_suppkey": top["sk"].astype(np.int64),
+         "s_name": top["sk"].map(
+             dict(zip(supp["s_suppkey"], supp["s_name"]))),
+         "total_revenue": top["r"] / 10000.0}
+    ).sort_values("s_suppkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

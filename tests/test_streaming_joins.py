@@ -923,3 +923,71 @@ def test_cogroup_bucket_join_outer_preserves_both_orphan_sides(ray_session):
         check_dtype=False,
     )
     assert set(got["k"]) == {1, 2, 3, 4}  # both orphan sides present
+
+
+def test_salted_join_skew_parity(ray_session):
+    """Salted join == plain pandas merge on a corpus with one mega-key,
+    and hot-key detection finds exactly the skewed keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import detect_hot_keys, salted_bucket_join
+
+    rng = np.random.default_rng(5)
+    # left: 50k rows of key 7 (hot) + 20k rows over 1000 cold keys
+    lk = np.concatenate(
+        [np.full(50_000, 7), rng.integers(100, 1100, 20_000)]
+    )
+    left = pd.DataFrame({"k": lk, "lv": np.arange(len(lk), dtype=np.int64)})
+    # right: every key once, some keys twice (multiplicity through the join)
+    rk = np.concatenate([np.arange(0, 1100), np.arange(0, 1100, 7)])
+    right = pd.DataFrame({"k": rk, "rv": np.arange(len(rk), dtype=np.int64)})
+
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(4)
+
+    hot = detect_hot_keys(lds, "k", threshold=10_000)
+    assert hot == [7]
+
+    got = (
+        salted_bucket_join(lds, rds, on="k", hot_keys=hot, salt=8)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]], check_dtype=False
+    )
+
+
+def test_salted_join_no_hot_keys_degenerates_to_plain(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import salted_bucket_join
+
+    left = pd.DataFrame({"k": np.arange(200) % 50, "lv": np.arange(200)})
+    right = pd.DataFrame({"k": np.arange(50), "rv": np.arange(50) * 10})
+    got = (
+        salted_bucket_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            on="k", hot_keys=[], salt=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "lv"]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]], check_dtype=False
+    )
