@@ -1101,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spearman": R.events_spearman,
         "events_type_islands": S.type_islands,
         "q15_top_supplier": J.q15_top_supplier,
+        "events_trend": R.events_trend,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2725,6 +2726,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_trend": """
+            -- explicit sufficient-stat least squares (NOT regr_slope:
+            -- its internal float accumulation differs); x = epoch day,
+            -- y = exact cents, all sums integral until the division
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+                                / 86400000000) AS BIGINT) AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM b GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_c,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                     AS intercept_c
+            FROM s ORDER BY event_type
         """,
         "q15_top_supplier": """
             WITH rev AS (

@@ -1439,3 +1439,52 @@ def events_spearman(sf_dir: str) -> pd.DataFrame:
         float(n * sr2 - sr * sr) * float(n * sk2 - sk * sk)
     )
     return pd.DataFrame({"n": [np.int64(n)], "spearman": [rho]})
+
+
+def events_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-type linear trend: least-squares slope and intercept of event
+    value (cents) against epoch day — grouped simple regression.
+
+    Scale shape: one pass of per-block integer sufficient-stat partials
+    (n, Sx, Sy, Sxy, Sxx per type; epoch days and cents are exact int64),
+    one tiny grouped sum, and the closed-form solution as doubles on the
+    driver. The SQL twin states the same explicit formula — NOT DuckDB's
+    regr_slope, whose internal accumulation order differs."""
+    from ..stages.partial_agg import partial_sum_count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        x = pc.cast(
+            pc.floor(
+                pc.divide(
+                    pc.cast(t["ts"], pa.int64()), 86_400_000_000
+                )
+            ),
+            pa.int64(),
+        )
+        y = _cents(t["value"])
+        return pa.Table.from_arrays(
+            [t["event_type"].combine_chunks(), x, y,
+             pc.multiply(x, y), pc.multiply(x, x)],
+            names=["event_type", "x", "y", "xy", "xx"],
+        )
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["event_type"], ["x", "y", "xy", "xx"],
+    ).to_pandas()
+    n = agg["n"].astype(object)  # python ints: exact cross-products
+    sx, sy = agg["x"].astype(object), agg["y"].astype(object)
+    sxy, sxx = agg["xy"].astype(object), agg["xx"].astype(object)
+    num = (n * sxy - sx * sy).astype(np.float64)
+    den = (n * sxx - sx * sx).astype(np.float64)
+    slope = num / den
+    intercept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) / n.astype(
+        np.float64
+    )
+    out = pd.DataFrame(
+        {"event_type": agg["event_type"], "n": agg["n"].astype(np.int64),
+         "slope_c": slope, "intercept_c": intercept}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -543,3 +543,23 @@ def test_q15_top_supplier(ray_session):
          "total_revenue": top["r"] / 10000.0}
     ).sort_values("s_suppkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_trend(ray_session):
+    from ocr_ray.pipelines.relational import events_trend
+
+    got = events_trend(SF)
+    ev = _tbl("events")
+    x = (ev["ts"].astype("int64") // 86_400_000_000).to_numpy(np.int64)
+    y = _cents_s(ev["value"])
+    for _, r in got.iterrows():
+        m = (ev["event_type"] == r["event_type"]).to_numpy()
+        xs, ys = x[m], y[m]
+        n = len(xs)
+        slope = np.polyfit(xs.astype(float), ys.astype(float), 1)[0]
+        assert r["n"] == n
+        assert abs(r["slope_c"] - slope) < 1e-6 * max(1, abs(slope))
+        # intercept consistent with slope through the mean point
+        assert abs(
+            r["intercept_c"] - (ys.mean() - r["slope_c"] * xs.mean())
+        ) < 1e-6
