@@ -1102,6 +1102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_islands": S.type_islands,
         "q15_top_supplier": J.q15_top_supplier,
         "events_trend": R.events_trend,
+        "events_window_join": S.window_agg_join,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2726,6 +2727,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_window_join": """
+            -- banded interval join + aggregate: clicks of the same user
+            -- in [p.ts - 24h, p.ts)
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(count(c.event_id) AS BIGINT) AS n_clicks_24h,
+                   CAST(coalesce(sum(CAST(round(c.value * 100) AS BIGINT)),
+                                 0) AS BIGINT) / 100.0 AS click_value_sum
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts
+            ORDER BY p.event_id
         """,
         "events_trend": """
             -- explicit sufficient-stat least squares (NOT regr_slope:

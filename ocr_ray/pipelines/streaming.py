@@ -1403,3 +1403,99 @@ def type_islands(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return res.sort_values(["user_id", "island_seq"]).reset_index(drop=True)
+
+
+WINDOW_JOIN_SEC = 86400
+
+
+def window_agg_join(sf_dir: str) -> pd.DataFrame:
+    """Range-join + aggregate: for every purchase, the count and exact
+    value sum of the SAME USER's clicks in the preceding 24 h
+    [ts-24h, ts). The banded interval join Ray Data lacks, expressed
+    scalably: never materializing (purchase x click) pairs.
+
+    Scale shape: ONE user-hash bucket shuffle carries both tagged sides;
+    inside a bucket the window bounds come from a MERGE RANK — probes
+    (user, ts-w) and (user, ts) are lexsorted together with the
+    user-major click stream, and the running click count at each probe
+    position IS its global index into the sorted click array (clicks of
+    earlier users count fully, same-user earlier clicks partially), so
+    count = hi-lo and the exact cents sum = prefix[hi]-prefix[lo].
+    O((P+C) log(P+C)) per bucket regardless of window width or skew —
+    no composite key arithmetic, no overflow, no per-user loop."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["purchase", "click"])
+        )
+        return add_hash_bucket(t.filter(keep), ["user_id"], 64)
+
+    bucketed = ds.map_batches(tag, batch_format="pyarrow")
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from ..money import cents_np as _cents_np
+
+        c = g[g["event_type"] == "click"].sort_values(
+            ["user_id", "ts"], kind="mergesort"
+        )
+        p = g[g["event_type"] == "purchase"]
+        if not len(p):
+            return pd.DataFrame()
+        cu = c["user_id"].to_numpy(np.int64)
+        cts = c["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cumv = np.concatenate(
+            [[0], np.cumsum(_cents_np(c["value"].to_numpy()))]
+        )
+        pu = p["user_id"].to_numpy(np.int64)
+        pts = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = WINDOW_JOIN_SEC * 1_000_000
+
+        n_c, n_p = len(cu), len(pu)
+        u_all = np.concatenate([cu, pu, pu])
+        ts_all = np.concatenate([cts, pts - w, pts])
+        # probes sort BEFORE clicks on (user, ts) ties: the lower bound
+        # keeps an equal-ts click inside the window, the upper bound
+        # excludes it (strict c.ts < p.ts)
+        flag = np.concatenate(
+            [np.ones(n_c, np.int8), np.zeros(2 * n_p, np.int8)]
+        )
+        order = np.lexsort((flag, ts_all, u_all))
+        is_click = (order < n_c).astype(np.int64)
+        before = np.cumsum(is_click) - is_click  # clicks strictly before
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order))
+        lo = before[pos[n_c:n_c + n_p]]
+        hi = before[pos[n_c + n_p:]]
+        return pd.DataFrame(
+            {"event_id": p["event_id"].to_numpy(np.int64),
+             "user_id": pu,
+             "ts": p["ts"].to_numpy(),
+             "n_clicks_24h": (hi - lo).astype(np.int64),
+             "click_sum_c": (cumv[hi] - cumv[lo]).astype(np.int64)}
+        )
+
+    cols = {"event_id": "int64", "user_id": "int64",
+            "ts": "datetime64[us]", "n_clicks_24h": "int64",
+            "click_sum_c": "int64"}
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(probe_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    res["click_value_sum"] = res["click_sum_c"] / 100.0
+    return (
+        res.drop(columns="click_sum_c")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

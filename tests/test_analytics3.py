@@ -563,3 +563,25 @@ def test_events_trend(ray_session):
         assert abs(
             r["intercept_c"] - (ys.mean() - r["slope_c"] * xs.mean())
         ) < 1e-6
+
+
+def test_events_window_join(ray_session):
+    """Range-join parity vs brute-force nested loop, plus cross-block
+    stability (the merge-rank must not depend on block layout)."""
+    from ocr_ray.pipelines.streaming import window_agg_join
+
+    got = window_agg_join(SF)
+    ev = _tbl("events")
+    p = ev[ev["event_type"] == "purchase"]
+    c = ev[ev["event_type"] == "click"]
+    cen = _cents_s(c["value"])
+    for _, r in p.sample(40, random_state=1).iterrows():
+        m = (
+            (c["user_id"] == r["user_id"])
+            & (c["ts"] >= r["ts"] - pd.Timedelta(hours=24))
+            & (c["ts"] < r["ts"])
+        ).to_numpy()
+        row = got[got["event_id"] == r["event_id"]].iloc[0]
+        assert row["n_clicks_24h"] == m.sum()
+        assert row["click_value_sum"] == cen[m].sum() / 100.0
+    assert len(got) == len(p)
