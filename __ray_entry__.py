@@ -1103,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": J.q15_top_supplier,
         "events_trend": R.events_trend,
         "events_window_join": S.window_agg_join,
+        "events_daily_dense": R.events_daily_dense,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2727,6 +2728,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_daily_dense": """
+            -- calendar densification: generate_series day grid x types,
+            -- LEFT JOIN the sparse counts, zero-fill
+            WITH agg AS (
+              SELECT CAST(ts AS DATE) AS day, event_type,
+                     count(*) AS n,
+                     sum(CAST(round(value * 100) AS BIGINT)) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            days AS (
+              SELECT CAST(unnest(generate_series(
+                (SELECT min(day) FROM agg)::TIMESTAMP,
+                (SELECT max(day) FROM agg)::TIMESTAMP,
+                INTERVAL 1 DAY)) AS DATE) AS day
+            ),
+            types AS (SELECT DISTINCT event_type FROM events)
+            SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+                   CAST(coalesce(a.c, 0) AS BIGINT) / 100.0 AS sum_value
+            FROM (SELECT day, event_type FROM days CROSS JOIN types) g
+            LEFT JOIN agg a
+              ON a.day = g.day AND a.event_type = g.event_type
+            ORDER BY 1, 2
         """,
         "events_window_join": """
             -- banded interval join + aggregate: clicks of the same user

@@ -145,6 +145,16 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Compact a fragmented parquet directory into ~target-row files."""
+    _ensure_ray()
+    from .sources.compact import compact_parquet
+
+    info = compact_parquet(args.input, args.output, args.target_rows)
+    print(json.dumps(info))
+    return 0
+
+
 def cmd_gen_corpus(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .corpus import ensure_transcripts
@@ -206,6 +216,13 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--output", required=True)
     pi.add_argument("--min-df", type=int, default=3, dest="min_df")
     pi.set_defaults(fn=cmd_index)
+
+    pcx = sub.add_parser("compact", help="compact small parquet files")
+    pcx.add_argument("--input", required=True)
+    pcx.add_argument("--output", required=True)
+    pcx.add_argument("--target-rows", type=int, default=1_000_000,
+                     dest="target_rows")
+    pcx.set_defaults(fn=cmd_compact)
 
     pb = sub.add_parser("bm25", help="exact BM25 top-k retrieval")
     pb.add_argument("--input", required=True)

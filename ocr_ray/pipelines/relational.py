@@ -1488,3 +1488,44 @@ def events_trend(sf_dir: str) -> pd.DataFrame:
          "slope_c": slope, "intercept_c": intercept}
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_daily_dense(sf_dir: str) -> pd.DataFrame:
+    """Calendar densification: the FULL day x event_type grid between the
+    corpus's first and last day, zero-filled where no events happened —
+    gap-free time series for downstream window math.
+
+    Scale shape: the sparse side reduces to per-(day, type) count/sum
+    partials (bounded by calendar x types, not events); the dense grid is
+    generated driver-side at that same bounded size and left-merged.
+    Nothing driver-side scales with event count."""
+    from ..stages.partial_agg import partial_sum_count
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.date32())
+        return pa.Table.from_arrays(
+            [day, t["event_type"].combine_chunks(), _cents(t["value"])],
+            names=["day", "event_type", "value_c"],
+        )
+
+    agg = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"), ["day", "event_type"],
+        ["value_c"],
+    ).to_pandas()  # bounded: days x types
+    agg["day"] = pd.to_datetime(agg["day"])
+    days = pd.date_range(agg["day"].min(), agg["day"].max(), freq="D")
+    types = sorted(agg["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [days, types], names=["day", "event_type"]
+    ).to_frame(index=False)
+    out = grid.merge(agg, on=["day", "event_type"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out["sum_value"] = out["value_c"].fillna(0).astype(np.int64) / 100.0
+    out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+    return (
+        out[["day", "event_type", "n", "sum_value"]]
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )

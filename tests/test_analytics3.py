@@ -585,3 +585,28 @@ def test_events_window_join(ray_session):
         assert row["n_clicks_24h"] == m.sum()
         assert row["click_value_sum"] == cen[m].sum() / 100.0
     assert len(got) == len(p)
+
+
+def test_events_daily_dense(ray_session):
+    from ocr_ray.pipelines.relational import events_daily_dense
+
+    got = events_daily_dense(SF)
+    ev = _tbl("events")
+    days = pd.date_range(ev["ts"].dt.floor("D").min(),
+                         ev["ts"].dt.floor("D").max(), freq="D")
+    types = sorted(ev["event_type"].unique())
+    assert len(got) == len(days) * len(types)  # full grid, no gaps
+    agg = (
+        pd.DataFrame({"day": ev["ts"].dt.strftime("%Y-%m-%d"),
+                      "event_type": ev["event_type"],
+                      "c": _cents_s(ev["value"])})
+        .groupby(["day", "event_type"], as_index=False)
+        .agg(n=("c", "size"), c=("c", "sum"))
+    )
+    m = got.merge(agg, on=["day", "event_type"], how="left")
+    filled = m["n_y"].isna()
+    assert (m.loc[filled, "n_x"] == 0).all()
+    assert (m.loc[~filled, "n_x"] == m.loc[~filled, "n_y"]).all()
+    assert np.allclose(m.loc[~filled, "sum_value"],
+                       m.loc[~filled, "c"] / 100.0)
+    assert got["n"].sum() == len(ev)

@@ -198,3 +198,32 @@ def test_cli_index(ray_session, tmp_path, capsys):
     assert idx.loc[1, "postings"] == "0,1,2"
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["min_df"] == 2
+
+
+def test_compact_parquet(ray_session, tmp_path):
+    """Compaction preserves every row/value and collapses the file count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.sources.compact import compact_parquet
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"k": np.arange(5000, dtype=np.int64),
+         "v": rng.normal(size=5000),
+         "s": [f"s{i % 97}" for i in range(5000)]}
+    )
+    src = str(tmp_path / "frag")
+    # fragmented write: many small files
+    rd.from_pandas(df).repartition(40).write_parquet(src)
+    import os
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) >= 20
+
+    dst = str(tmp_path / "compact")
+    info = compact_parquet(src, dst, target_rows=2000)
+    assert info["rows"] == 5000
+    assert info["files_out"] <= 3
+
+    back = pd.read_parquet(dst).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
