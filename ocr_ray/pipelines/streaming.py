@@ -1408,6 +1408,31 @@ def type_islands(sf_dir: str) -> pd.DataFrame:
 WINDOW_JOIN_SEC = 86400
 
 
+def window_bounds(
+    cu: np.ndarray, cts: np.ndarray, pu: np.ndarray, pts: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge-rank window bounds for a banded interval join.
+
+    ``(cu, cts)`` is the build side sorted user-major (user, ts); probes
+    need, per (pu[i], pts[i]), the index range [lo, hi) of build rows
+    with the same user and ts in [pts-w, pts). Probes (user, ts-w) and
+    (user, ts) are lexsorted into the build stream, sorting BEFORE build
+    rows on exact (user, ts) ties — so the lower bound keeps an equal-ts
+    build row inside the window and the upper bound excludes it (strict
+    ts < probe ts). The running build-row count at a probe's sorted
+    position is exactly its global index into the sorted build array."""
+    n_c, n_p = len(cu), len(pu)
+    u_all = np.concatenate([cu, pu, pu])
+    ts_all = np.concatenate([cts, pts - w, pts])
+    flag = np.concatenate([np.ones(n_c, np.int8), np.zeros(2 * n_p, np.int8)])
+    order = np.lexsort((flag, ts_all, u_all))
+    is_build = (order < n_c).astype(np.int64)
+    before = np.cumsum(is_build) - is_build  # build rows strictly before
+    pos = np.empty(len(order), np.int64)
+    pos[order] = np.arange(len(order))
+    return before[pos[n_c:n_c + n_p]], before[pos[n_c + n_p:]]
+
+
 def window_agg_join(sf_dir: str) -> pd.DataFrame:
     """Range-join + aggregate: for every purchase, the count and exact
     value sum of the SAME USER's clicks in the preceding 24 h
@@ -1452,23 +1477,7 @@ def window_agg_join(sf_dir: str) -> pd.DataFrame:
         pu = p["user_id"].to_numpy(np.int64)
         pts = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         w = WINDOW_JOIN_SEC * 1_000_000
-
-        n_c, n_p = len(cu), len(pu)
-        u_all = np.concatenate([cu, pu, pu])
-        ts_all = np.concatenate([cts, pts - w, pts])
-        # probes sort BEFORE clicks on (user, ts) ties: the lower bound
-        # keeps an equal-ts click inside the window, the upper bound
-        # excludes it (strict c.ts < p.ts)
-        flag = np.concatenate(
-            [np.ones(n_c, np.int8), np.zeros(2 * n_p, np.int8)]
-        )
-        order = np.lexsort((flag, ts_all, u_all))
-        is_click = (order < n_c).astype(np.int64)
-        before = np.cumsum(is_click) - is_click  # clicks strictly before
-        pos = np.empty(len(order), np.int64)
-        pos[order] = np.arange(len(order))
-        lo = before[pos[n_c:n_c + n_p]]
-        hi = before[pos[n_c + n_p:]]
+        lo, hi = window_bounds(cu, cts, pu, pts, w)
         return pd.DataFrame(
             {"event_id": p["event_id"].to_numpy(np.int64),
              "user_id": pu,

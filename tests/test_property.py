@@ -147,3 +147,37 @@ def test_seg_searchsorted_matches_per_segment_loop(data):
         for s, e in zip(starts, ends):
             want[s:e] = np.searchsorted(vals[s:e], targets[s:e], side=side)
         np.testing.assert_array_equal(got, want, err_msg=side)
+
+
+# ---- merge-rank window bounds (banded interval join kernel) ---------------
+
+import numpy as np
+
+win_cases = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+             min_size=0, max_size=40),   # build rows (user, ts) — coarse ts
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+             min_size=1, max_size=25),   # probes
+    st.integers(1, 8),                   # window width
+)
+
+
+@given(win_cases)
+@settings(max_examples=300, deadline=None)
+def test_window_bounds_matches_bruteforce(case):
+    """lo/hi from the merge rank == nested-loop counts, under heavy
+    (user, ts) ties and every boundary coincidence hypothesis finds."""
+    from ocr_ray.pipelines.streaming import window_bounds
+
+    build, probes, w = case
+    build = sorted(build)  # user-major (user, ts)
+    cu = np.array([u for u, _ in build], dtype=np.int64)
+    cts = np.array([t for _, t in build], dtype=np.int64)
+    pu = np.array([u for u, _ in probes], dtype=np.int64)
+    pts = np.array([t for _, t in probes], dtype=np.int64)
+    lo, hi = window_bounds(cu, cts, pu, pts, w)
+    for i in range(len(probes)):
+        in_win = (cu == pu[i]) & (cts >= pts[i] - w) & (cts < pts[i])
+        assert hi[i] - lo[i] == in_win.sum()
+        # the [lo, hi) slice is exactly the in-window rows
+        assert set(np.flatnonzero(in_win)) == set(range(lo[i], hi[i]))
