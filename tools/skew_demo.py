@@ -70,20 +70,39 @@ def main() -> None:
     from ray.data.aggregate import Sum
 
     def keysum(ds):
+        # pre-aggregate per block BEFORE the grouped shuffle — the
+        # scale-correct downstream consumer (partial combiner)
+        import pandas as pd
+
+        def part(df):
+            return df.groupby("k", as_index=False).agg(s=("rv", "sum"))
+
         return (
-            ds.groupby("k").aggregate(Sum("rv", alias_name="s")).to_pandas()
+            ds.map_batches(part, batch_format="pandas")
+            .groupby("k").aggregate(Sum("s", alias_name="s")).to_pandas()
             .sort_values("k").reset_index(drop=True)
         )
 
+    # time the JOINS alone (count() forces full execution), then check
+    # parity untimed. Both joins also get a DOWNSTREAM aggregate timed
+    # separately: the salted join's output blocks are balanced, the
+    # plain join's hot bucket emits one giant block that stalls any
+    # consumer without a partial combiner.
     t0 = time.time()
-    plain = bucket_hash_join(lds, rds, on="k")
-    plain_sum = keysum(plain)
+    plain = bucket_hash_join(lds, rds, on="k").materialize()
     t_plain = time.time() - t0
+    t0 = time.time()
+    salted = salted_bucket_join(
+        lds, rds, on="k", hot_keys=hot, salt=salt
+    ).materialize()
+    t_salted = time.time() - t0
 
     t0 = time.time()
-    salted = salted_bucket_join(lds, rds, on="k", hot_keys=hot, salt=salt)
+    plain_sum = keysum(plain)
+    t_plain_agg = time.time() - t0
+    t0 = time.time()
     salted_sum = keysum(salted)
-    t_salted = time.time() - t0
+    t_salted_agg = time.time() - t0
 
     ok = plain_sum.equals(salted_sum)
     hot_share = float((lk == HOT).mean())
@@ -92,8 +111,10 @@ def main() -> None:
         "hot_share": hot_share, "detect_sec": round(t_detect, 3),
         "plain_join_sec": round(t_plain, 3),
         "salted_join_sec": round(t_salted, 3),
-        "speedup": round(t_plain / t_salted, 3),
+        "plain_downstream_agg_sec": round(t_plain_agg, 3),
+        "salted_downstream_agg_sec": round(t_salted_agg, 3),
         "per_key_sums_equal": bool(ok),
+        "n_out_rows": int(plain.count()),
         "n_out_keys": int(len(salted_sum)),
     }))
     ray.shutdown()
