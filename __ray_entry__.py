@@ -1104,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend": R.events_trend,
         "events_window_join": S.window_agg_join,
         "events_daily_dense": R.events_daily_dense,
+        "catalog_stats": R.catalog_stats,
+        "fk_integrity_audit": R.fk_integrity_audit,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2728,6 +2730,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "catalog_stats": """
+            SELECT * FROM (SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('region')) AS n_cols FROM region
+            UNION ALL SELECT 'nation' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('nation')) AS n_cols FROM nation
+            UNION ALL SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('customer')) AS n_cols FROM customer
+            UNION ALL SELECT 'supplier' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('supplier')) AS n_cols FROM supplier
+            UNION ALL SELECT 'part' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('part')) AS n_cols FROM part
+            UNION ALL SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('orders')) AS n_cols FROM orders
+            UNION ALL SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('lineitem')) AS n_cols FROM lineitem
+            UNION ALL SELECT 'events' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('events')) AS n_cols FROM events
+            UNION ALL SELECT 'documents' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('documents')) AS n_cols FROM documents
+            UNION ALL SELECT 'embeddings' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM pragma_table_info('embeddings')) AS n_cols FROM embeddings)
+            ORDER BY table_name
+        """,
+        "fk_integrity_audit": """
+            SELECT * FROM (SELECT 'orders.custkey->customer' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            UNION ALL SELECT 'lineitem.orderkey->orders' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+            UNION ALL SELECT 'lineitem.partkey->part' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+            UNION ALL SELECT 'lineitem.suppkey->supplier' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+            UNION ALL SELECT 'customer.nationkey->nation' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+            UNION ALL SELECT 'supplier.nationkey->supplier' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+            UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+            ORDER BY constraint_name
         """,
         "events_daily_dense": """
             -- calendar densification: generate_series day grid x types,

@@ -1529,3 +1529,80 @@ def events_daily_dense(sf_dir: str) -> pd.DataFrame:
         .sort_values(["day", "event_type"])
         .reset_index(drop=True)
     )
+
+
+CATALOG_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def catalog_stats(sf_dir: str) -> pd.DataFrame:
+    """Catalog statistics: row and column counts for every table.
+
+    Scale shape: METADATA-ONLY — parquet footers serve both numbers
+    without scanning a single data page, exactly how a catalog service
+    answers at 100 TB."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for t in CATALOG_TABLES:
+        f = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet"))
+        rows.append(
+            {"table_name": t,
+             "n_rows": np.int64(f.metadata.num_rows),
+             "n_cols": np.int64(f.metadata.num_columns)}
+        )
+    return (
+        pd.DataFrame(rows).sort_values("table_name").reset_index(drop=True)
+    )
+
+
+FK_CONSTRAINTS = [
+    # (name, child table, fk col, parent table, pk col)
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->supplier", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit: for every declared FK edge, the
+    number of child rows whose key has no parent — the data-quality gate
+    a pipeline runs before joining tables it did not produce.
+
+    Scale shape: each child side is ONE pruned column scan reduced to
+    per-block orphan-count partials against the broadcast parent key set
+    (parents here are dimension tables; a fact-sized parent would flow
+    through semi_anti_join's cogroup path instead — same adaptive gate
+    as every other membership test in the engine)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    rows = []
+    for name, child, fk, parent, pk in FK_CONSTRAINTS:
+        keys = pq.read_table(
+            os.path.join(sf_dir, f"{parent}.parquet"), columns=[pk]
+        ).column(pk).to_numpy()
+        keys_ref = ray.put(keys)
+        ds = _read(sf_dir, child, [fk])
+
+        def orphans(t: pa.Table, _fk=fk, _ref=keys_ref) -> pa.Table:
+            v = t.column(_fk).to_numpy(zero_copy_only=False)
+            n = int((~np.isin(v, ray.get(_ref))).sum())
+            return pa.Table.from_pydict({"n": [n]})
+
+        part = ds.map_batches(orphans, batch_format="pyarrow").to_pandas()
+        rows.append(
+            {"constraint_name": name,
+             "n_orphans": np.int64(part["n"].sum())}
+        )
+    return (
+        pd.DataFrame(rows).sort_values("constraint_name")
+        .reset_index(drop=True)
+    )

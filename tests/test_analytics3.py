@@ -610,3 +610,23 @@ def test_events_daily_dense(ray_session):
     assert np.allclose(m.loc[~filled, "sum_value"],
                        m.loc[~filled, "c"] / 100.0)
     assert got["n"].sum() == len(ev)
+
+
+def test_catalog_stats_and_fk_audit(ray_session):
+    from ocr_ray.pipelines.relational import catalog_stats, fk_integrity_audit
+
+    cat = catalog_stats(SF)
+    assert len(cat) == 10
+    ev = _tbl("events")
+    row = cat[cat["table_name"] == "events"].iloc[0]
+    assert row["n_rows"] == len(ev) and row["n_cols"] == ev.shape[1]
+
+    audit = fk_integrity_audit(SF)
+    assert len(audit) == 7
+    # the synthetic corpus is referentially clean
+    assert (audit["n_orphans"] == 0).all()
+    # sanity: a constraint against a PRUNED parent set must find orphans
+    orders = _tbl("orders")
+    cust = _tbl("customer")
+    half = set(cust["c_custkey"][: len(cust) // 2])
+    assert (~orders["o_custkey"].isin(half)).sum() > 0
