@@ -1106,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_dense": R.events_daily_dense,
         "catalog_stats": R.catalog_stats,
         "fk_integrity_audit": R.fk_integrity_audit,
+        "events_winsorized_stats": R.events_winsorized_stats,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -1524,6 +1525,92 @@ def _kmv_sql(k: int = 256) -> str:
                                / CAST(kth AS DOUBLE) END + 0.5)
                     AS BIGINT) AS approx_distinct
         FROM sel ORDER BY event_type
+    """
+
+
+def _winsor_sql() -> str:
+    """SQL replay of the sketch-driven winsorization: the HDR bucket
+    chain (same integer arithmetic as events_hdr_quantiles) yields
+    per-type floor(rep) thresholds at p1/p99, then exact HUGEINT
+    sufficient stats of the clipped cents."""
+    return """
+        WITH pow2 AS (
+          SELECT e, (CAST(1 AS BIGINT) << e) AS p
+          FROM generate_series(0, 62) t(e)
+        ),
+        vals AS (
+          SELECT event_type,
+                 GREATEST(CAST(round(value * 100) AS BIGINT), 1) AS v
+          FROM events
+        ),
+        vcnt AS (
+          SELECT event_type, v, count(*) AS cnt
+          FROM vals GROUP BY 1, 2
+        ),
+        ve AS (
+          SELECT event_type, v, cnt, max(e) AS e
+          FROM vcnt JOIN pow2 ON p <= v
+          GROUP BY event_type, v, cnt
+        ),
+        bk AS (
+          SELECT event_type,
+                 CASE WHEN e < 4 THEN v
+                      ELSE ((e - 3) << 4) + ((v >> (e - 4)) - 16)
+                 END AS bucket,
+                 sum(cnt) AS cnt
+          FROM ve GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bucket, cnt,
+                 sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY bucket) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM bk
+        ),
+        pick AS (
+          SELECT event_type,
+                 min(CASE WHEN cum >= (1 * n + 100 - 1) // 100
+                          THEN bucket END) AS b_lo,
+                 min(CASE WHEN cum >= (99 * n + 100 - 1) // 100
+                          THEN bucket END) AS b_hi
+          FROM cum GROUP BY event_type
+        ),
+        reps AS (
+          SELECT DISTINCT bucket,
+                 CASE WHEN bucket < 16 THEN CAST(bucket AS DOUBLE)
+                      ELSE (2 * ((16 + (bucket & 15))
+                                 << ((bucket >> 4) - 1))
+                            + (CAST(1 AS BIGINT) << ((bucket >> 4) - 1))
+                            - 1) / 2
+                 END AS rep
+          FROM bk
+        ),
+        thr AS (
+          SELECT p.event_type,
+                 CAST(floor(rl.rep) AS BIGINT) AS lo_c,
+                 CAST(floor(rh.rep) AS BIGINT) AS hi_c
+          FROM pick p
+          JOIN reps rl ON rl.bucket = p.b_lo
+          JOIN reps rh ON rh.bucket = p.b_hi
+        ),
+        w AS (
+          SELECT v.event_type,
+                 LEAST(GREATEST(CAST(round(value * 100) AS BIGINT),
+                                t.lo_c), t.hi_c) AS wv
+          FROM events v JOIN thr t ON t.event_type = v.event_type
+        ),
+        agg AS (
+          SELECT event_type, count(*) AS n, sum(wv) AS s,
+                 sum(wv * wv) AS q
+          FROM w GROUP BY event_type
+        )
+        SELECT a.event_type, CAST(a.n AS BIGINT) AS n, t.lo_c, t.hi_c,
+               (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) / 100.0
+                 AS mean_w,
+               CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+                 / CAST(a.n * (a.n - 1) AS DOUBLE) / 10000.0 AS var_w
+        FROM agg a JOIN thr t ON t.event_type = a.event_type
+        ORDER BY a.event_type
     """
 
 
@@ -3306,4 +3393,5 @@ def oracle_sql() -> dict[str, str]:
         out["kmeans_clusters"] = km
     out["events_hll_users"] = _hll_sql()
     out["events_kmv_users"] = _kmv_sql()
+    out["events_winsorized_stats"] = _winsor_sql()
     return out

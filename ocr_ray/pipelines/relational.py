@@ -1606,3 +1606,98 @@ def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
         pd.DataFrame(rows).sort_values("constraint_name")
         .reset_index(drop=True)
     )
+
+
+WINSOR_LO = (1, 100)   # p1
+WINSOR_HI = (99, 100)  # p99
+
+
+def events_winsorized_stats(sf_dir: str) -> pd.DataFrame:
+    """Winsorized per-type statistics: clip values at the [p1, p99]
+    thresholds READ FROM THE MERGEABLE HDR SKETCH (floored to integer
+    cents), then exact integer sufficient stats of the clipped values —
+    the outlier-robust aggregation a quality pipeline runs, composed
+    from two stages that both replay exactly in SQL.
+
+    Scale shape: pass 1 = the HDR bucket-count reduction (bounded bucket
+    space); thresholds broadcast as a tiny per-type dict; pass 2 = one
+    clip+sufficient-stats partial per block."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import hdr_bucket, hdr_rep_c
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"event_type": t.column("event_type").to_pandas(),
+                 "bucket": hdr_bucket(_cents(t["value"]).to_numpy())}
+            )
+            .groupby(["event_type", "bucket"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["event_type", "bucket"], kind="mergesort")
+    )
+
+    thresholds = {}
+    for k, g in counts.groupby("event_type", sort=True):
+        cnt = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        picks = []
+        for num, den in (WINSOR_LO, WINSOR_HI):
+            r = (num * n + den - 1) // den
+            idx = int(np.searchsorted(cum, r, side="left"))
+            rep = hdr_rep_c(g["bucket"].to_numpy(np.int64)[idx:idx + 1])[0]
+            picks.append(int(np.floor(rep)))  # integer cents threshold
+        thresholds[k] = tuple(picks)
+    thr_ref = ray.put(thresholds)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        df = pd.DataFrame(
+            {"event_type": t.column("event_type").to_pandas(),
+             "v": _cents(t["value"]).to_numpy()}
+        )
+        lo = df["event_type"].map({k: v[0] for k, v in thr.items()})
+        hi = df["event_type"].map({k: v[1] for k, v in thr.items()})
+        w = np.minimum(np.maximum(df["v"].to_numpy(), lo.to_numpy()),
+                       hi.to_numpy())
+        g = (
+            pd.DataFrame({"event_type": df["event_type"], "s": w,
+                          "q": w * w})
+            .groupby("event_type", as_index=False)
+            .agg(n=("s", "size"), s=("s", "sum"), q=("q", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].astype(object)
+    s, q = agg["s"].astype(object), agg["q"].astype(object)
+    lo_c = agg["event_type"].map({k: v[0] for k, v in thresholds.items()})
+    hi_c = agg["event_type"].map({k: v[1] for k, v in thresholds.items()})
+    return pd.DataFrame(
+        {"event_type": agg["event_type"], "n": agg["n"].astype(np.int64),
+         "lo_c": lo_c.astype(np.int64), "hi_c": hi_c.astype(np.int64),
+         "mean_w": (s.astype(np.float64) / n.astype(np.float64)) / 100.0,
+         "var_w": (n * q - s * s).astype(np.float64)
+                  / (n * (n - 1)).astype(np.float64) / 10000.0}
+    )

@@ -630,3 +630,25 @@ def test_catalog_stats_and_fk_audit(ray_session):
     cust = _tbl("customer")
     half = set(cust["c_custkey"][: len(cust) // 2])
     assert (~orders["o_custkey"].isin(half)).sum() > 0
+
+
+def test_events_winsorized_stats(ray_session):
+    from ocr_ray.functions.sketch import HDR_SUB_BITS
+    from ocr_ray.pipelines.relational import events_winsorized_stats
+
+    got = events_winsorized_stats(SF)
+    ev = _tbl("events")
+    cen = _cents_s(ev["value"])
+    for _, r in got.iterrows():
+        m = (ev["event_type"] == r["event_type"]).to_numpy()
+        v = cen[m]
+        assert r["n"] == m.sum()
+        # thresholds within the sketch's error band of the true quantiles
+        tol = 2.0 ** -(HDR_SUB_BITS + 1)
+        p1 = np.sort(v)[int(np.ceil(0.01 * len(v))) - 1]
+        p99 = np.sort(v)[int(np.ceil(0.99 * len(v))) - 1]
+        assert abs(r["lo_c"] - p1) <= tol * p1 + 1
+        assert abs(r["hi_c"] - p99) <= tol * p99 + 1
+        w = np.clip(v, r["lo_c"], r["hi_c"]).astype(np.int64)
+        assert abs(r["mean_w"] - w.mean() / 100.0) < 1e-9
+        assert abs(r["var_w"] - w.var(ddof=1) / 10000.0) < 1e-6
