@@ -156,6 +156,8 @@ def run_bench(ncpu: int) -> dict:
         "events_retention",
         "q3_shipping_priority",
         "docs_inverted_index",
+        "events_window_join",
+        "events_hdr_quantiles",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver
