@@ -1107,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "catalog_stats": R.catalog_stats,
         "fk_integrity_audit": R.fk_integrity_audit,
         "events_winsorized_stats": R.events_winsorized_stats,
+        "revenue_pareto": R.revenue_pareto,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2867,6 +2868,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
             ORDER BY constraint_name
+        """,
+        "revenue_pareto": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS r
+              FROM orders GROUP BY 1
+            ),
+            t AS (
+              SELECT CAST(sum(r) AS BIGINT) AS total, count(*) AS n
+              FROM rev
+            ),
+            c AS (
+              SELECT r,
+                     sum(r) OVER (ORDER BY r DESC, o_custkey) AS cum,
+                     row_number() OVER (ORDER BY r DESC, o_custkey) AS rn
+              FROM rev
+            )
+            SELECT CAST(min(rn) AS BIGINT) AS n_top_customers,
+                   CAST(any_value(t.n) AS BIGINT) AS n_customers,
+                   CAST(min(rn) AS DOUBLE) / any_value(t.n)
+                     AS customer_share,
+                   CAST(min_by(cum, rn) AS DOUBLE) / any_value(t.total)
+                     AS revenue_share
+            FROM c, t WHERE cum >= (4 * t.total + 4) // 5
         """,
         "events_daily_dense": """
             -- calendar densification: generate_series day grid x types,

@@ -1701,3 +1701,103 @@ def events_winsorized_stats(sf_dir: str) -> pd.DataFrame:
          "var_w": (n * q - s * s).astype(np.float64)
                   / (n * (n - 1)).astype(np.float64) / 10000.0}
     )
+
+
+def revenue_pareto(sf_dir: str) -> pd.DataFrame:
+    """Pareto concentration: the smallest set of top customers whose
+    orders cover >= 80% of all revenue — one row: how many customers,
+    their share of the customer base, and the exact revenue share at the
+    crossing.
+
+    Scale shape: per-customer revenue reduces via partial sums; ONE
+    range-partitioning sort (rev desc, custkey) over that grouped table;
+    then the reconcile_sorted pattern — per-block boundary summaries
+    (first key, row count, block revenue sum; O(1) rows per block), a
+    driver prefix-sum over O(blocks) summaries, and a second pass where
+    ONLY the block containing the 80% crossing emits the answer row.
+    The crossing threshold is the exact integer ceil(4*total/5), so
+    block boundaries cannot mis-place it."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.partial_agg import partial_sum_count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(), _cents(t["o_totalprice"])],
+            names=["o_custkey", "r"],
+        )
+
+    rev = partial_sum_count(
+        orders.map_batches(widen, batch_format="pyarrow"), ["o_custkey"], ["r"]
+    ).select_columns(["o_custkey", "r"]).materialize()
+
+    n_cust = rev.count()
+    nblocks = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    sorted_ds = (
+        rev.repartition(nblocks)
+        .sort(["r", "o_custkey"], descending=[True, False])
+        .materialize()
+    )
+
+    _SUM = pa.schema([("k_r", pa.int64()), ("k_c", pa.int64()),
+                      ("cnt", pa.int64()), ("rsum", pa.int64())])
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SUM.empty_table()
+        return pa.Table.from_pydict(
+            {"k_r": [t.column("r")[0].as_py()],
+             "k_c": [t.column("o_custkey")[0].as_py()],
+             "cnt": [t.num_rows],
+             "rsum": [pc.sum(t.column("r")).as_py()]},
+            schema=_SUM,
+        )
+
+    summ = (
+        sorted_ds.map_batches(summarize, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+    )
+    summ = summ.sort_values(
+        ["k_r", "k_c"], ascending=[False, True], kind="mergesort"
+    )
+    cnt_off = np.concatenate([[0], np.cumsum(summ["cnt"].to_numpy())[:-1]])
+    rev_off = np.concatenate([[0], np.cumsum(summ["rsum"].to_numpy())[:-1]])
+    total = int(summ["rsum"].sum())
+    thresh = (4 * total + 4) // 5  # ceil(0.8 * total), exact integer
+    omap = ray.put(
+        {(int(r), int(c)): (int(co), int(ro))
+         for r, c, co, ro in zip(summ["k_r"], summ["k_c"], cnt_off, rev_off)}
+    )
+
+    _OUT = pa.schema([("n_top", pa.int64()), ("rev_cum", pa.int64())])
+
+    def crossing(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        co, ro = ray.get(omap)[
+            (t.column("r")[0].as_py(), t.column("o_custkey")[0].as_py())
+        ]
+        cum = ro + np.cumsum(t.column("r").to_numpy())
+        if ro >= thresh or cum[-1] < thresh:
+            return _OUT.empty_table()  # crossing is not in this block
+        i = int(np.searchsorted(cum, thresh, side="left"))
+        return pa.Table.from_pydict(
+            {"n_top": [co + i + 1], "rev_cum": [int(cum[i])]}, schema=_OUT
+        )
+
+    hit = (
+        sorted_ds.map_batches(crossing, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert len(hit) == 1, hit
+    n_top, rev_cum = int(hit["n_top"].iloc[0]), int(hit["rev_cum"].iloc[0])
+    return pd.DataFrame(
+        {"n_top_customers": [np.int64(n_top)],
+         "n_customers": [np.int64(n_cust)],
+         "customer_share": [float(n_top) / float(n_cust)],
+         "revenue_share": [float(rev_cum) / float(total)]}
+    )

@@ -652,3 +652,27 @@ def test_events_winsorized_stats(ray_session):
         w = np.clip(v, r["lo_c"], r["hi_c"]).astype(np.int64)
         assert abs(r["mean_w"] - w.mean() / 100.0) < 1e-9
         assert abs(r["var_w"] - w.var(ddof=1) / 10000.0) < 1e-6
+
+
+def test_revenue_pareto(ray_session):
+    from ocr_ray.pipelines.relational import revenue_pareto
+
+    got = revenue_pareto(SF)
+    orders = _tbl("orders")
+    rev = (
+        pd.DataFrame({"c": orders["o_custkey"],
+                      "r": _cents_s(orders["o_totalprice"])})
+        .groupby("c", as_index=False)["r"].sum()
+        .sort_values(["r", "c"], ascending=[False, True])
+    )
+    total = int(rev["r"].sum())
+    thresh = (4 * total + 4) // 5
+    cum = np.cumsum(rev["r"].to_numpy())
+    n_top = int(np.searchsorted(cum, thresh, side="left")) + 1
+    row = got.iloc[0]
+    assert row["n_top_customers"] == n_top
+    assert row["n_customers"] == len(rev)
+    assert row["customer_share"] == n_top / len(rev)
+    assert row["revenue_share"] == float(cum[n_top - 1]) / float(total)
+    # crossing is genuine: one fewer customer falls short of 80%
+    assert cum[n_top - 2] < thresh <= cum[n_top - 1]
