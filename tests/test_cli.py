@@ -227,3 +227,31 @@ def test_compact_parquet(ray_session, tmp_path):
 
     back = pd.read_parquet(dst).sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_quarantine_split(ray_session, tmp_path):
+    """One-pass tee: good/bad partition exactly, nothing lost."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.sources.sideout import quarantine_split
+
+    df = pd.DataFrame({"k": np.arange(10_000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(16)
+
+    def pred(t: pa.Table) -> pa.Array:
+        return pa.array(t.column("k").to_numpy() % 7 != 0)
+
+    info = quarantine_split(
+        ds, pred, str(tmp_path / "good"), str(tmp_path / "bad")
+    )
+    exp_bad = (df["k"] % 7 == 0).sum()
+    assert info["n_bad"] == exp_bad
+    assert info["n_good"] == len(df) - exp_bad
+
+    good = pd.read_parquet(tmp_path / "good")["k"]
+    bad = pd.read_parquet(tmp_path / "bad")["k"]
+    assert (good % 7 != 0).all() and (bad % 7 == 0).all()
+    assert sorted(list(good) + list(bad)) == list(range(10_000))
