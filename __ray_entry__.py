@@ -1108,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_audit": R.fk_integrity_audit,
         "events_winsorized_stats": R.events_winsorized_stats,
         "revenue_pareto": R.revenue_pareto,
+        "orders_open_per_day": R.orders_open_per_day,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2868,6 +2869,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
             ORDER BY constraint_name
+        """,
+        "orders_open_per_day": """
+            -- sweep line: each order interval collapses to +1/-1 deltas
+            WITH ship AS (
+              SELECT l_orderkey, max(l_shipdate) AS ship_end
+              FROM lineitem GROUP BY 1
+            ),
+            iv AS (
+              SELECT CAST(o.o_orderdate AS DATE) AS s,
+                     GREATEST(CAST(ship.ship_end AS DATE),
+                              CAST(o.o_orderdate AS DATE)) AS e
+              FROM orders o JOIN ship ON ship.l_orderkey = o.o_orderkey
+            ),
+            d AS (
+              SELECT s AS day, 1 AS delta FROM iv
+              UNION ALL
+              SELECT CAST(e + INTERVAL 1 DAY AS DATE), -1 FROM iv
+            ),
+            agg AS (
+              SELECT day, sum(delta) AS delta FROM d GROUP BY 1
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+            FROM agg ORDER BY day
         """,
         "revenue_pareto": """
             WITH rev AS (

@@ -1801,3 +1801,62 @@ def revenue_pareto(sf_dir: str) -> pd.DataFrame:
          "customer_share": [float(n_top) / float(n_cust)],
          "revenue_share": [float(rev_cum) / float(total)]}
     )
+
+
+def orders_open_per_day(sf_dir: str) -> pd.DataFrame:
+    """Sweep-line interval counting: how many orders are OPEN (ordered
+    but not yet fully shipped) on each calendar day — interval [order
+    date, max lineitem shipdate] per order, counted by day.
+
+    Scale shape: the interval endpoints reduce per order via one grouped
+    max (partial combine); each interval then collapses to TWO delta
+    events (+1 at start, -1 after end) regardless of its length — the
+    sweep — and the per-day delta sum is calendar-bounded, so the final
+    running cumsum over days runs driver-side on O(days) rows. No
+    interval is ever expanded to its covered days."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.partial_agg import partial_sum_count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    ship = (
+        li.groupby("l_orderkey")
+        .aggregate(Max("l_shipdate", alias_name="ship_end"))
+    )
+    from .joins import bucket_hash_join
+
+    o2 = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(o2, ship, on="l_orderkey")
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        start = pd.to_datetime(df["o_orderdate"]).dt.floor("D")
+        # the synthetic generator draws shipdates independently, so an
+        # order's last shipment can precede its order date — clamp the
+        # interval end to the start (open at least its order day)
+        end = np.maximum(
+            pd.to_datetime(df["ship_end"]).dt.floor("D"), start
+        )
+        d = pd.concat(
+            [pd.DataFrame({"day": start, "delta": 1}),
+             pd.DataFrame({"day": end + pd.Timedelta(days=1), "delta": -1})]
+        )
+        return d.groupby("day", as_index=False)["delta"].sum()
+
+    agg = (
+        joined.map_batches(deltas, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()  # calendar-bounded
+        .sort_values("day")
+    )
+    agg["n_open"] = agg["delta"].cumsum().astype(np.int64)
+    out = pd.DataFrame(
+        {"day": pd.to_datetime(agg["day"]).dt.strftime("%Y-%m-%d"),
+         "n_open": agg["n_open"]}
+    )
+    return out.reset_index(drop=True)

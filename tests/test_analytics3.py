@@ -676,3 +676,25 @@ def test_revenue_pareto(ray_session):
     assert row["revenue_share"] == float(cum[n_top - 1]) / float(total)
     # crossing is genuine: one fewer customer falls short of 80%
     assert cum[n_top - 2] < thresh <= cum[n_top - 1]
+
+
+def test_orders_open_per_day(ray_session):
+    from ocr_ray.pipelines.relational import orders_open_per_day
+
+    got = orders_open_per_day(SF)
+    orders, li = _tbl("orders"), _tbl("lineitem")
+    ship = li.groupby("l_orderkey")["l_shipdate"].max()
+    iv = pd.DataFrame(
+        {"s": orders["o_orderdate"].dt.floor("D"),
+         "e": orders["o_orderkey"].map(ship).dt.floor("D")}
+    )
+    iv["e"] = np.maximum(iv["e"], iv["s"])  # clamped like the engine
+    # brute force: count intervals covering a sample of the delta days
+    days = pd.to_datetime(got["day"])
+    for i in np.linspace(0, len(got) - 1, 25, dtype=int):
+        day = days.iloc[i]
+        exp = ((iv["s"] <= day) & (day <= iv["e"])).sum()
+        assert got["n_open"].iloc[i] == exp, (day, exp)
+    # counts return to zero after the horizon and never go negative
+    assert got["n_open"].iloc[-1] == 0
+    assert (got["n_open"] >= 0).all()
