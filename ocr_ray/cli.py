@@ -155,6 +155,24 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_catalog(args: argparse.Namespace) -> int:
+    """Metadata-only table statistics (parquet footers, no data scan)."""
+    from .pipelines.relational import catalog_stats
+
+    print(catalog_stats(args.sf_dir).to_json(orient="records"))
+    return 0
+
+
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Referential-integrity audit over the declared FK edges."""
+    _ensure_ray()
+    from .pipelines.relational import fk_integrity_audit
+
+    df = fk_integrity_audit(args.sf_dir)
+    print(df.to_json(orient="records"))
+    return 1 if int(df["n_orphans"].sum()) else 0
+
+
 def cmd_gen_corpus(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .corpus import ensure_transcripts
@@ -216,6 +234,14 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--output", required=True)
     pi.add_argument("--min-df", type=int, default=3, dest="min_df")
     pi.set_defaults(fn=cmd_index)
+
+    pct = sub.add_parser("catalog", help="metadata-only table stats")
+    pct.add_argument("--sf-dir", required=True, dest="sf_dir")
+    pct.set_defaults(fn=cmd_catalog)
+
+    pau = sub.add_parser("audit", help="FK referential-integrity audit")
+    pau.add_argument("--sf-dir", required=True, dest="sf_dir")
+    pau.set_defaults(fn=cmd_audit)
 
     pcx = sub.add_parser("compact", help="compact small parquet files")
     pcx.add_argument("--input", required=True)

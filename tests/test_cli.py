@@ -255,3 +255,17 @@ def test_quarantine_split(ray_session, tmp_path):
     bad = pd.read_parquet(tmp_path / "bad")["k"]
     assert (good % 7 != 0).all() and (bad % 7 == 0).all()
     assert sorted(list(good) + list(bad)) == list(range(10_000))
+
+
+def test_cli_catalog_and_audit(ray_session, capsys):
+    import json
+
+    from ocr_ray.cli import main
+
+    assert main(["catalog", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    cat = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["table_name"] for r in cat} >= {"events", "orders", "lineitem"}
+
+    assert main(["audit", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(audit) == 7 and all(r["n_orphans"] == 0 for r in audit)
