@@ -1109,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized_stats": R.events_winsorized_stats,
         "revenue_pareto": R.revenue_pareto,
         "orders_open_per_day": R.orders_open_per_day,
+        "events_click_conversion": S.click_conversion,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2869,6 +2870,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
             ORDER BY constraint_name
+        """,
+        "events_click_conversion": """
+            -- forward-window EXISTS: purchase by the same user within
+            -- (ts, ts+24h], grouped by click hour
+            SELECT CAST(hour(c.ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_clicks,
+                   CAST(sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM events p
+                       WHERE p.user_id = c.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.ts > c.ts
+                         AND p.ts <= c.ts + INTERVAL 24 HOUR)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   CAST(sum(CASE WHEN EXISTS (
+                       SELECT 1 FROM events p
+                       WHERE p.user_id = c.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.ts > c.ts
+                         AND p.ts <= c.ts + INTERVAL 24 HOUR)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                     AS conversion_rate
+            FROM events c WHERE c.event_type = 'click'
+            GROUP BY 1 ORDER BY 1
         """,
         "orders_open_per_day": """
             -- sweep line: each order interval collapses to +1/-1 deltas

@@ -1508,3 +1508,78 @@ def window_agg_join(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def click_conversion(sf_dir: str) -> pd.DataFrame:
+    """Forward-window conversion: the share of clicks followed by a
+    purchase from the same user within 24 h — per event hour-of-day,
+    so the row count stays fixed while every click is classified.
+
+    Scale shape: REUSES window_bounds verbatim — the forward window
+    (ts, ts+24h] equals the kernel's half-open [P-w, P) at
+    P = ts + w + 1us because timestamps are integral microseconds; the
+    build side is the user-major purchase stream, probes are clicks.
+    One bucket shuffle, no pair materialization."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["purchase", "click"])
+        )
+        return add_hash_bucket(t.filter(keep), ["user_id"], 64)
+
+    bucketed = ds.map_batches(tag, batch_format="pyarrow")
+    w = WINDOW_JOIN_SEC * 1_000_000
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(
+            ["user_id", "ts"], kind="mergesort"
+        )
+        c = g[g["event_type"] == "click"]
+        if not len(c):
+            return pd.DataFrame()
+        pu = p["user_id"].to_numpy(np.int64)
+        pts = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cu = c["user_id"].to_numpy(np.int64)
+        cts = c["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lo, hi = window_bounds(pu, pts, cu, cts + w + 1, w)
+        conv = (hi - lo) > 0
+        hour = pd.to_datetime(c["ts"]).dt.hour.to_numpy(np.int64)
+        out = (
+            pd.DataFrame({"hour": hour, "n_clicks": 1,
+                          "n_converted": conv.astype(np.int64)})
+            .groupby("hour", as_index=False)
+            .sum()
+        )
+        return out
+
+    cols = {"hour": "int64", "n_clicks": "int64", "n_converted": "int64"}
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return df[list(cols)]
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        bucketed.groupby("bucket")
+        .map_groups(probe_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(Sum("n_clicks", alias_name="n_clicks"),
+                   Sum("n_converted", alias_name="n_converted"))
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    agg["n_clicks"] = agg["n_clicks"].astype(np.int64)
+    agg["n_converted"] = agg["n_converted"].astype(np.int64)
+    agg["conversion_rate"] = (
+        agg["n_converted"].astype(np.float64)
+        / agg["n_clicks"].astype(np.float64)
+    )
+    return agg

@@ -698,3 +698,29 @@ def test_orders_open_per_day(ray_session):
     # counts return to zero after the horizon and never go negative
     assert got["n_open"].iloc[-1] == 0
     assert (got["n_open"] >= 0).all()
+
+
+def test_events_click_conversion(ray_session):
+    from ocr_ray.pipelines.streaming import click_conversion
+
+    got = click_conversion(SF)
+    ev = _tbl("events")
+    c = ev[ev["event_type"] == "click"]
+    p = ev[ev["event_type"] == "purchase"]
+    conv = []
+    for _, r in c.iterrows():
+        conv.append(
+            ((p["user_id"] == r["user_id"])
+             & (p["ts"] > r["ts"])
+             & (p["ts"] <= r["ts"] + pd.Timedelta(hours=24))).any()
+        )
+    exp = (
+        pd.DataFrame({"hour": c["ts"].dt.hour.to_numpy(),
+                      "conv": np.array(conv, dtype=np.int64)})
+        .groupby("hour", as_index=False)
+        .agg(n_clicks=("conv", "size"), n_converted=("conv", "sum"))
+    )
+    m = got.merge(exp, on="hour", suffixes=("", "_e"))
+    assert len(m) == len(got) == len(exp)
+    assert (m["n_clicks"] == m["n_clicks_e"]).all()
+    assert (m["n_converted"] == m["n_converted_e"]).all()
