@@ -1110,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto": R.revenue_pareto,
         "orders_open_per_day": R.orders_open_per_day,
         "events_click_conversion": S.click_conversion,
+        "events_user_p90": S.user_value_p90,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2870,6 +2871,59 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
             ORDER BY constraint_name
+        """,
+        "events_user_p90": """
+            -- per-user HDR-sketch p90: same integer bucket arithmetic
+            -- as events_hdr_quantiles, partitioned by user
+            WITH pow2 AS (
+              SELECT e, (CAST(1 AS BIGINT) << e) AS p
+              FROM generate_series(0, 62) t(e)
+            ),
+            vcnt AS (
+              SELECT user_id,
+                     GREATEST(CAST(round(value * 100) AS BIGINT), 1) AS v,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ),
+            ve AS (
+              SELECT user_id, v, cnt, max(e) AS e
+              FROM vcnt JOIN pow2 ON p <= v
+              GROUP BY user_id, v, cnt
+            ),
+            bk AS (
+              SELECT user_id,
+                     CASE WHEN e < 4 THEN v
+                          ELSE ((e - 3) << 4) + ((v >> (e - 4)) - 16)
+                     END AS bucket,
+                     sum(cnt) AS cnt
+              FROM ve GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT user_id, bucket, cnt,
+                     sum(cnt) OVER (
+                       PARTITION BY user_id ORDER BY bucket) AS cum,
+                     sum(cnt) OVER (PARTITION BY user_id) AS n
+              FROM bk
+            ),
+            pick AS (
+              SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+                     min(CASE WHEN cum >= (9 * n + 9) // 10
+                              THEN bucket END) AS b90
+              FROM cum GROUP BY user_id
+            ),
+            reps AS (
+              SELECT DISTINCT bucket,
+                     CASE WHEN bucket < 16 THEN CAST(bucket AS DOUBLE)
+                          ELSE (2 * ((16 + (bucket & 15))
+                                     << ((bucket >> 4) - 1))
+                                + (CAST(1 AS BIGINT) << ((bucket >> 4) - 1))
+                                - 1) / 2
+                     END AS rep
+              FROM bk
+            )
+            SELECT p.user_id, p.n_events, r.rep / 100 AS p90
+            FROM pick p JOIN reps r ON r.bucket = p.b90
+            ORDER BY p.user_id
         """,
         "events_click_conversion": """
             -- forward-window EXISTS: purchase by the same user within

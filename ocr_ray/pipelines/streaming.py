@@ -1583,3 +1583,81 @@ def click_conversion(sf_dir: str) -> pd.DataFrame:
         / agg["n_clicks"].astype(np.float64)
     )
     return agg
+
+
+def user_value_p90(sf_dir: str) -> pd.DataFrame:
+    """Per-USER approximate p90 of value from the HDR sketch — the
+    high-cardinality variant of events_hdr_quantiles: user count scales
+    with the corpus, so the quantile pick itself must be distributed.
+
+    Scale shape: per-block (user, bucket) count partials -> one grouped
+    sum (bounded by users x ~16-per-octave buckets) -> coarse user-hash
+    buckets, and inside each bucket ONE vectorized pass: sort
+    (user, bucket), global cumsum (strictly increasing), per-user rank
+    targets offset by the segment base, and a SINGLE np.searchsorted
+    over the whole cumulative array resolves every user's pick at once
+    — no per-user loop, no driver structure proportional to users."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import hdr_bucket, hdr_rep_c
+    from ..money import cents as _money_cents
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"user_id": t.column("user_id").to_numpy(),
+                 "b": hdr_bucket(_money_cents(t["value"]).to_numpy())}
+            )
+            .groupby(["user_id", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby(["user_id", "b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda t: add_hash_bucket(t, ["user_id"], 64),
+            batch_format="pyarrow",
+        )
+    )
+
+    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "b"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        C = np.cumsum(cnt)  # strictly increasing (cnt >= 1)
+        starts = np.flatnonzero(
+            np.concatenate([[True], u[1:] != u[:-1]])
+        )
+        ends = np.append(starts[1:], len(u)) - 1
+        base = np.where(starts > 0, C[starts - 1], 0)
+        n_u = C[ends] - base
+        r = (9 * n_u + 9) // 10  # ceil(0.9 n), exact integer rank
+        idx = np.searchsorted(C, base + r, side="left")
+        return pd.DataFrame(
+            {"user_id": u[starts], "n_events": n_u,
+             "p90": hdr_rep_c(b[idx]) / 100.0}
+        )
+
+    cols = {"user_id": "int64", "n_events": "int64", "p90": "float64"}
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in cols.items()})
+        return df[list(cols)]
+
+    res = (
+        counts.groupby("bucket")
+        .map_groups(pick_bucket, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values("user_id").reset_index(drop=True)

@@ -724,3 +724,20 @@ def test_events_click_conversion(ray_session):
     assert len(m) == len(got) == len(exp)
     assert (m["n_clicks"] == m["n_clicks_e"]).all()
     assert (m["n_converted"] == m["n_converted_e"]).all()
+
+
+def test_events_user_p90(ray_session):
+    from ocr_ray.functions.sketch import HDR_SUB_BITS
+    from ocr_ray.pipelines.streaming import user_value_p90
+
+    got = user_value_p90(SF)
+    ev = _tbl("events")
+    cen = _cents_s(ev["value"])
+    tol = 2.0 ** -(HDR_SUB_BITS + 1)
+    assert len(got) == ev["user_id"].nunique()
+    for _, r in got.sample(min(30, len(got)), random_state=4).iterrows():
+        m = (ev["user_id"] == r["user_id"]).to_numpy()
+        v = np.sort(cen[m])
+        assert r["n_events"] == m.sum()
+        exact = v[(9 * len(v) + 9) // 10 - 1] / 100.0
+        assert abs(r["p90"] - exact) <= tol * exact + 1e-9
