@@ -1111,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_open_per_day": R.orders_open_per_day,
         "events_click_conversion": S.click_conversion,
         "events_user_p90": S.user_value_p90,
+        "q4_late_shipments": J.q4_late_shipments,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2871,6 +2872,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
             ORDER BY constraint_name
+        """,
+        "q4_late_shipments": """
+            SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY 1 ORDER BY 1
         """,
         "events_user_p90": """
             -- per-user HDR-sketch p90: same integer bucket arithmetic

@@ -41,6 +41,7 @@ __all__ = [
     "q14_promo_effect",
     "q18_big_orders",
     "q22_dormant_customers",
+    "q4_late_shipments",
     "q15_top_supplier",
     "detect_hot_keys",
     "salted_bucket_join",
@@ -1331,3 +1332,65 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
          "total_revenue": top["rev_c4"].astype(np.int64) / 10000.0}
     )
     return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q4_FROM, Q4_TO = "1996-07-01", "1996-10-01"
+Q4_LATE_DAYS = 30
+
+
+def q4_late_shipments(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (order priority checking): per priority, the count
+    of one quarter's orders having at least one lineitem shipped more
+    than 30 days after the order date — a correlated EXISTS turned into
+    an aggregate-then-join.
+
+    Scale shape: the EXISTS collapses to ONE grouped max (latest
+    shipdate per order, partial-combined); the quarter window is pushed
+    into the orders scan; the date predicate evaluates vectorized after
+    a partitioned join on orderkey; the priority rollup ships one row
+    per (block, priority)."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Max, Sum
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    ship = li.groupby("l_orderkey").aggregate(
+        Max("l_shipdate", alias_name="ship_end")
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pads.field("o_orderdate") >= pd.Timestamp(Q4_FROM))
+            & (pads.field("o_orderdate") < pd.Timestamp(Q4_TO))
+        ),
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = bucket_hash_join(orders, ship, on="l_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            pd.to_datetime(df["ship_end"])
+            > pd.to_datetime(df["o_orderdate"])
+            + pd.Timedelta(days=Q4_LATE_DAYS)
+        )
+        g = df[late].groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "n_late"})
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+        .to_pandas()
+    )
+    out["n_late"] = out["n_late"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

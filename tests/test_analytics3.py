@@ -741,3 +741,24 @@ def test_events_user_p90(ray_session):
         assert r["n_events"] == m.sum()
         exact = v[(9 * len(v) + 9) // 10 - 1] / 100.0
         assert abs(r["p90"] - exact) <= tol * exact + 1e-9
+
+
+def test_q4_late_shipments(ray_session):
+    from ocr_ray.pipelines.joins import (Q4_FROM, Q4_LATE_DAYS, Q4_TO,
+                                         q4_late_shipments)
+
+    got = q4_late_shipments(SF)
+    orders, li = _tbl("orders"), _tbl("lineitem")
+    ship = li.groupby("l_orderkey")["l_shipdate"].max()
+    o = orders[(orders["o_orderdate"] >= Q4_FROM)
+               & (orders["o_orderdate"] < Q4_TO)].copy()
+    o["ship_end"] = o["o_orderkey"].map(ship)
+    late = o[o["ship_end"]
+             > o["o_orderdate"] + pd.Timedelta(days=Q4_LATE_DAYS)]
+    exp = (
+        late.groupby("o_orderpriority", as_index=False).size()
+        .rename(columns={"size": "n_late"})
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
