@@ -1112,6 +1112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_click_conversion": S.click_conversion,
         "events_user_p90": S.user_value_p90,
         "q4_late_shipments": J.q4_late_shipments,
+        "q8_market_share": J.q8_market_share,
+        "q13_order_count_distribution": J.q13_order_count_distribution,
+        "q17_small_quantity_revenue": J.q17_small_quantity_revenue,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2872,6 +2875,56 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
             ORDER BY constraint_name
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                            THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                                 * (100 - CAST(round(l_discount * 100)
+                                               AS BIGINT))
+                            ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT))) AS DOUBLE)
+                     AS mkt_share
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_type = 'PROMO'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+                         AND r.r_name = 'ASIA'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q13_order_count_distribution": """
+            WITH pc AS (
+              SELECT o_custkey, count(*) AS c_count
+              FROM orders GROUP BY 1
+            ),
+            fullc AS (
+              SELECT c.c_custkey, coalesce(pc.c_count, 0) AS c_count
+              FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS n_cust
+            FROM fullc GROUP BY 1
+            ORDER BY n_cust DESC, c_count DESC
+        """,
+        "q17_small_quantity_revenue": """
+            WITH pp AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                     count(*) AS n
+              FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) / 7.0 / 100.0 AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN pp ON pp.l_partkey = l.l_partkey
+            WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.n < pp.s
         """,
         "q4_late_shipments": """
             SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late

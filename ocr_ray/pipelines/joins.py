@@ -42,6 +42,9 @@ __all__ = [
     "q18_big_orders",
     "q22_dormant_customers",
     "q4_late_shipments",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
     "q15_top_supplier",
     "detect_hot_keys",
     "salted_bucket_join",
@@ -1394,3 +1397,240 @@ def q4_late_shipments(sf_dir: str) -> pd.DataFrame:
     )
     out["n_late"] = out["n_late"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): per order year, the share
+    of PROMO-part revenue delivered into one region's customers that was
+    supplied by one nation — a ratio of two exact-cents aggregates over
+    the same joined stream.
+
+    Scale shape: Q5/Q7's plan — part-type and supplier-nation and
+    customer-region dimension maps broadcast once; lineitem ships only
+    PROMO rows (orderkey, supp-is-target flag, rev_c4), orders ships
+    region-customer (orderkey, year); one partitioned join; per-batch
+    partials into the tiny year space carrying (target_c4, total_c4)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..money import cents_np as _cents_np
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet")
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet")
+    ).to_pandas()
+    rk = set(region.loc[region["r_name"] == Q8_REGION, "r_regionkey"])
+    region_nations = set(
+        nation.loc[nation["n_regionkey"].isin(rk), "n_nationkey"]
+    )
+    target_nk = set(
+        nation.loc[nation["n_name"] == Q8_NATION, "n_nationkey"]
+    )
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).to_pandas()
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    promo_ref = ray.put(
+        set(part.loc[part["p_type"] == Q8_TYPE, "p_partkey"])
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        promo = ray.get(promo_ref)
+        df = df[df["l_partkey"].isin(promo)]
+        lut = ray.get(supp_ref)
+        s_nk = df["l_suppkey"].map(lut)
+        rev = _cents_np(df["l_extendedprice"].to_numpy()) * (
+            100 - _cents_np(df["l_discount"].to_numpy())
+        )
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "is_target": s_nk.isin(target_nk).to_numpy(),
+             "rev_c4": rev}
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(cust_ref)
+        c_nk = df["o_custkey"].map(lut)
+        df = df[c_nk.isin(region_nations).to_numpy()]
+        return pd.DataFrame(
+            {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "o_year": pd.to_datetime(df["o_orderdate"]).dt.year.to_numpy(
+                 np.int64)}
+        )
+
+    joined = bucket_hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders.map_batches(o_side, batch_format="pandas"),
+        on="l_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            target_c4=np.where(df["is_target"].to_numpy(bool),
+                               df["rev_c4"], 0)
+        )
+        return df.groupby("o_year", as_index=False).agg(
+            target_c4=("target_c4", "sum"), total_c4=("rev_c4", "sum")
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(Sum("target_c4", alias_name="target_c4"),
+                   Sum("total_c4", alias_name="total_c4"))
+        .to_pandas()
+    )
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["mkt_share"] = (
+        out["target_c4"].astype(np.float64)
+        / out["total_c4"].astype(np.float64)
+    )
+    return (
+        out[["o_year", "mkt_share"]].sort_values("o_year")
+        .reset_index(drop=True)
+    )
+
+
+def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 (customer distribution): the histogram of customers by
+    how many orders they placed, INCLUDING zero-order customers — a
+    LEFT-join grouped count of a grouped count.
+
+    Scale shape: orders reduce to per-customer counts; zero-order
+    customers come from one total-customer count minus the counted set
+    (no LEFT join shuffle needed: |customers with >=1 order| is already
+    the grouped table's row count); the final histogram is bounded by
+    max orders per customer."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.partial_agg import partial_sum_count
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = partial_sum_count(orders, ["o_custkey"], ["one"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["n"]).to_pandas().groupby("n", as_index=False).size()
+            .rename(columns={"n": "c_count", "size": "n_cust"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("n_cust", alias_name="n_cust"))
+        .to_pandas()
+    )
+    import pyarrow.parquet as pq
+
+    n_total = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")
+    ).metadata.num_rows
+    n_with = int(hist["n_cust"].sum())
+    if n_total - n_with > 0:
+        hist = pd.concat(
+            [hist,
+             pd.DataFrame({"c_count": [0], "n_cust": [n_total - n_with]})]
+        )
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["n_cust"] = hist["n_cust"].astype(np.int64)
+    return (
+        hist.sort_values(["n_cust", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+
+
+Q17_QTY_FRACTION_NUM, Q17_QTY_FRACTION_DEN = 1, 5  # 0.2 exactly
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not taken — a per-group scalar threshold applied back to the fact
+    table.
+
+    Scale shape: per-part (sum_qty, n) reduces via partials into a
+    part-dimension-sized table broadcast as two int arrays; the
+    threshold predicate is the cross-multiplied integer comparison
+    qty * 5 * n_part < sum_qty (no float average anywhere); one more
+    scan of lineitem emits per-block revenue partials."""
+    import ray
+
+    from ..money import cents_np as _cents_np
+    from ..stages.partial_agg import partial_sum_count
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["l_partkey"].combine_chunks(),
+             pc.cast(t["l_quantity"], pa.int64())],
+            names=["l_partkey", "qty"],
+        )
+
+    per_part = partial_sum_count(
+        li.map_batches(widen, batch_format="pyarrow"), ["l_partkey"], ["qty"]
+    ).to_pandas()  # part-dimension-sized
+    sum_ref = ray.put(dict(zip(per_part["l_partkey"], per_part["qty"])))
+    n_ref = ray.put(dict(zip(per_part["l_partkey"], per_part["n"])))
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sums = ray.get(sum_ref)
+        ns = ray.get(n_ref)
+        qty = df["l_quantity"].to_numpy(np.int64)
+        s = df["l_partkey"].map(sums).to_numpy(np.int64)
+        n = df["l_partkey"].map(ns).to_numpy(np.int64)
+        keep = (qty * Q17_QTY_FRACTION_DEN * n
+                * Q17_QTY_FRACTION_NUM) < s  # qty*5 < avg*5 = s/n -> qty*5*n < s
+        price_c = _cents_np(df["l_extendedprice"].to_numpy())
+        return pd.DataFrame(
+            {"rev_c": [int(price_c[keep].sum())],
+             "n_items": [int(keep.sum())]}
+        )
+
+    p = li.map_batches(rev_partial, batch_format="pandas").to_pandas()
+    rev_c = int(p["rev_c"].sum())
+    return pd.DataFrame(
+        {"avg_yearly": [rev_c / 7.0 / 100.0],
+         "n_items": [np.int64(p["n_items"].sum())]}
+    )

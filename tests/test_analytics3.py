@@ -762,3 +762,56 @@ def test_q4_late_shipments(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_q13_and_q17(ray_session):
+    from ocr_ray.pipelines.joins import (q13_order_count_distribution,
+                                         q17_small_quantity_revenue)
+
+    q13 = q13_order_count_distribution(SF)
+    orders, cust = _tbl("orders"), _tbl("customer")
+    pc = orders.groupby("o_custkey").size()
+    counts = cust["c_custkey"].map(pc).fillna(0).astype(np.int64)
+    exp = counts.value_counts()
+    assert q13["n_cust"].sum() == len(cust)
+    for _, r in q13.iterrows():
+        assert exp.get(r["c_count"], 0) == r["n_cust"]
+
+    q17 = q17_small_quantity_revenue(SF)
+    li = _tbl("lineitem")
+    g = li.groupby("l_partkey")["l_quantity"].agg(["sum", "count"])
+    s = li["l_partkey"].map(g["sum"]).to_numpy()
+    n = li["l_partkey"].map(g["count"]).to_numpy()
+    keep = li["l_quantity"].to_numpy(np.int64) * 5 * n < s
+    rev_c = int(_cents_s(li["l_extendedprice"])[keep].sum())
+    assert q17["n_items"].iloc[0] == keep.sum()
+    assert q17["avg_yearly"].iloc[0] == rev_c / 7.0 / 100.0
+
+
+def test_q8_market_share(ray_session):
+    from ocr_ray.pipelines.joins import (Q8_NATION, Q8_REGION, Q8_TYPE,
+                                         q8_market_share)
+
+    got = q8_market_share(SF)
+    li, orders = _tbl("lineitem"), _tbl("orders")
+    part, supp = _tbl("part"), _tbl("supplier")
+    cust, nat, reg = _tbl("customer"), _tbl("nation"), _tbl("region")
+    rk = set(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"])
+    region_nk = set(nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"])
+    target_nk = set(nat.loc[nat["n_name"] == Q8_NATION, "n_nationkey"])
+    df = li[li["l_partkey"].isin(
+        set(part.loc[part["p_type"] == Q8_TYPE, "p_partkey"])
+    )].merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    df = df[df["o_custkey"].map(
+        dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    ).isin(region_nk)]
+    rev = _cents_s(df["l_extendedprice"]) * (100 - _cents_s(df["l_discount"]))
+    is_t = df["l_suppkey"].map(
+        dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    ).isin(target_nk).to_numpy()
+    year = df["o_orderdate"].dt.year.to_numpy()
+    for _, r in got.iterrows():
+        m = year == r["o_year"]
+        assert r["mkt_share"] == float(rev[m & is_t].sum()) / float(
+            rev[m].sum()
+        )
