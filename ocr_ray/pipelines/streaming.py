@@ -1433,7 +1433,7 @@ def window_bounds(
     return before[pos[n_c:n_c + n_p]], before[pos[n_c + n_p:]]
 
 
-def window_agg_join(sf_dir: str) -> pd.DataFrame:
+def window_agg_join(sf_dir: str, n_buckets: int = 128) -> pd.DataFrame:
     """Range-join + aggregate: for every purchase, the count and exact
     value sum of the SAME USER's clicks in the preceding 24 h
     [ts-24h, ts). The banded interval join Ray Data lacks, expressed
@@ -1456,7 +1456,7 @@ def window_agg_join(sf_dir: str) -> pd.DataFrame:
         keep = pc.is_in(
             t["event_type"], value_set=pa.array(["purchase", "click"])
         )
-        return add_hash_bucket(t.filter(keep), ["user_id"], 64)
+        return add_hash_bucket(t.filter(keep), ["user_id"], n_buckets)
 
     bucketed = ds.map_batches(tag, batch_format="pyarrow")
 
@@ -1528,7 +1528,7 @@ def click_conversion(sf_dir: str) -> pd.DataFrame:
         keep = pc.is_in(
             t["event_type"], value_set=pa.array(["purchase", "click"])
         )
-        return add_hash_bucket(t.filter(keep), ["user_id"], 64)
+        return add_hash_bucket(t.filter(keep), ["user_id"], 128)
 
     bucketed = ds.map_batches(tag, batch_format="pyarrow")
     w = WINDOW_JOIN_SEC * 1_000_000
