@@ -2870,7 +2870,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
             UNION ALL SELECT 'customer.nationkey->nation' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
-            UNION ALL SELECT 'supplier.nationkey->supplier' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
+            UNION ALL SELECT 'supplier.nationkey->nation' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))

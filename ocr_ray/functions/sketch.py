@@ -300,11 +300,18 @@ def hdr_quantiles_by_key(
         cnt = g["cnt"].to_numpy(np.int64)
         cum = np.cumsum(cnt)
         n = int(cum[-1])
+        labels = [f"p{num * 100 // den}" for num, den in qs]
+        if len(set(labels)) != len(labels):
+            raise ValueError(
+                f"hdr_quantiles_by_key: quantile labels collide ({labels}) "
+                "— e.g. (99,100) and (999,1000) both format as p99; pass "
+                "ratios with distinct integer-percent labels"
+            )
         picks = {}
-        for num, den in qs:
+        for (num, den), label in zip(qs, labels):
             r = (num * n + den - 1) // den  # ceil(num*n/den), exact
             idx = int(np.searchsorted(cum, r, side="left"))
-            picks[f"p{num * 100 // den}"] = float(
+            picks[label] = float(
                 hdr_rep_c(g["bucket"].to_numpy(np.int64)[idx : idx + 1])[0]
             ) / 100.0
         rows.append({key: k, "n": n, **picks})

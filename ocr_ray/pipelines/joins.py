@@ -827,7 +827,6 @@ def q7_nation_flows(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
-    nat_ref = ray.put(nat_names)
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -978,7 +977,10 @@ def q18_big_orders(sf_dir: str, k: int = 100) -> pd.DataFrame:
 
     qty = partial_sum_count(
         li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["qty"]
-    ).filter(expr=f"qty > {Q18_MIN_QTY}")
+    ).filter(expr=f"qty > {Q18_MIN_QTY}").materialize()
+    # materialized once: both the semi-join build side and the report
+    # merge read it, and without this the full lineitem scan + grouped
+    # sum would execute twice
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),

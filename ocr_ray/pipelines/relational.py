@@ -1430,9 +1430,15 @@ def events_spearman(sf_dir: str) -> pd.DataFrame:
         )
 
     p = base.map_batches(stats_partial, batch_format="pandas").to_pandas()
-    n = int(p["n"].sum())
-    sr, sk = int(p["sr"].sum()), int(p["sk"].sum())
-    srk, sr2, sk2 = int(p["srk"].sum()), int(p["sr2"].sum()), int(p["sk2"].sum())
+
+    def _bigsum(col: str) -> int:
+        # Python-bignum combine: a plain int64 .sum() would silently wrap
+        # once total rank products pass 2^63 (n ~ 1.9M events)
+        return sum(int(x) for x in p[col])
+
+    n = _bigsum("n")
+    sr, sk = _bigsum("sr"), _bigsum("sk")
+    srk, sr2, sk2 = _bigsum("srk"), _bigsum("sr2"), _bigsum("sk2")
     import math
 
     rho = float(n * srk - sr * sk) / math.sqrt(
@@ -1565,7 +1571,7 @@ FK_CONSTRAINTS = [
     ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
     ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier.nationkey->supplier", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
     ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
 ]
 

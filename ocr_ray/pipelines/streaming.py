@@ -27,6 +27,8 @@ from ..money import cents as _cents
 
 import ray.data as rd
 
+from ..stages.partial_agg import pin_schema
+
 __all__ = [
     "tumbling_window",
     "hopping_window",
@@ -204,13 +206,8 @@ def session_windows(sf_dir: str) -> pd.DataFrame:
              ).astype(np.int64)}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": "int64", "session_start": "datetime64[us]",
-                "n_events": "int64", "duration_sec": "int64"}
-        if not all(c in df.columns for c in cols):
-            # empty sort partition passed through with its input schema
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"user_id": "int64", "session_start": "datetime64[us]",
+                "n_events": "int64", "duration_sec": "int64"})
 
     res = (
         bucketed.groupby("bucket")
@@ -338,11 +335,7 @@ def rolling_user_sum(sf_dir: str) -> pd.DataFrame:
              "running_c": cs - offset}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_id": "int64", "user_id": "int64", "running_c": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"event_id": "int64", "user_id": "int64", "running_c": "int64"})
 
     res = (
         bucketed.groupby("bucket")
@@ -421,13 +414,8 @@ def asof_last_login(sf_dir: str) -> pd.DataFrame:
         )
         return merged[["event_id", "user_id", "ts", "last_login_ts"]]
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_id": "int64", "user_id": "int64",
-                "ts": "datetime64[us]", "last_login_ts": "datetime64[us]"}
-        if not all(c in df.columns for c in cols):
-            # empty sort partition passed through with its input schema
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"event_id": "int64", "user_id": "int64",
+                "ts": "datetime64[us]", "last_login_ts": "datetime64[us]"})
 
     res = (
         bucketed.groupby("bucket")
@@ -469,11 +457,7 @@ def lag_delta(sf_dir: str) -> pd.DataFrame:
              "delta_us": delta}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_id": "int64", "user_id": "int64", "delta_us": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"event_id": "int64", "user_id": "int64", "delta_us": "int64"})
 
     return (
         bucketed.groupby("bucket")
@@ -512,11 +496,7 @@ def transition_counts(sf_dir: str) -> pd.DataFrame:
         out = df.groupby(["prev_type", "next_type"], as_index=False).size()
         return out.rename(columns={"size": "n"})
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"prev_type": "object", "next_type": "object", "n": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"prev_type": "object", "next_type": "object", "n": "int64"})
 
     partials = (
         bucketed.groupby("bucket")
@@ -568,11 +548,7 @@ def user_value_median(sf_dir: str) -> pd.DataFrame:
              "median_value": vals[pick]}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": "int64", "n_events": "int64", "median_value": "float64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"user_id": "int64", "n_events": "int64", "median_value": "float64"})
 
     return (
         bucketed.groupby("bucket")
@@ -650,10 +626,7 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
              "last_type": types[ends], "last_ts": ts[ends]}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema(cols)
 
     return (
         bucketed.groupby("bucket")
@@ -726,11 +699,7 @@ def rolling_range_sum(sf_dir: str) -> pd.DataFrame:
              "user_id": users, "window_sum_c": win}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_id": "int64", "user_id": "int64", "window_sum_c": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"event_id": "int64", "user_id": "int64", "window_sum_c": "int64"})
 
     res = (
         bucketed.groupby("bucket")
@@ -799,12 +768,8 @@ def moving_avg(sf_dir: str) -> pd.DataFrame:
              "k": i - left + 1}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_id": "int64", "user_id": "int64",
-                "win_c": "int64", "k": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"event_id": "int64", "user_id": "int64",
+                "win_c": "int64", "k": "int64"})
 
     res = (
         bucketed.groupby("bucket")
@@ -866,11 +831,7 @@ def band_pair_counts(sf_dir: str) -> pd.DataFrame:
              "n_pairs": np.add.reduceat(per_row, seg_starts)}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": "int64", "n_pairs": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"user_id": "int64", "n_pairs": "int64"})
 
     return (
         bucketed.groupby("bucket")
@@ -935,11 +896,7 @@ def user_type_entropy(sf_dir: str) -> pd.DataFrame:
         )
         return pd.DataFrame({"user_id": users[seg_starts], "entropy": ent6})
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": "int64", "entropy": "float64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"user_id": "int64", "entropy": "float64"})
 
     return (
         bucketed.groupby("bucket")
@@ -981,11 +938,7 @@ def user_event_path(sf_dir: str) -> pd.DataFrame:
         agg.columns = ["path", "n_steps"]
         return agg.reset_index()
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": "int64", "path": "object", "n_steps": "int64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"user_id": "int64", "path": "object", "n_steps": "int64"})
 
     return (
         bucketed.groupby("bucket")
@@ -1144,11 +1097,7 @@ def user_value_mad(sf_dir: str) -> pd.DataFrame:
             {"user_id": users[starts], "median_value": med, "mad": mad}
         )
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"user_id": "int64", "median_value": "float64", "mad": "float64"}
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"user_id": "int64", "median_value": "float64", "mad": "float64"})
 
     return (
         bucketed.groupby("bucket")
@@ -1209,12 +1158,7 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
         )
         return out.astype(cols)
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"cohort_day": str, "day_offset": np.int64, "n_users": np.int64}
-        if not all(c in df.columns for c in cols):
-            # empty sort partition passed through with its input schema
-            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema({"cohort_day": str, "day_offset": np.int64, "n_users": np.int64})
 
     part = (
         bucketed.groupby("bucket")
@@ -1390,11 +1334,7 @@ def type_islands(sf_dir: str) -> pd.DataFrame:
             "n_events": "int64", "ts_from": "datetime64[us]",
             "ts_to": "datetime64[us]"}
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t)
-                                 for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema(cols)
 
     res = (
         bucketed.groupby("bucket")
@@ -1490,11 +1430,7 @@ def window_agg_join(sf_dir: str, n_buckets: int = 128) -> pd.DataFrame:
             "ts": "datetime64[us]", "n_clicks_24h": "int64",
             "click_sum_c": "int64"}
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t)
-                                 for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema(cols)
 
     res = (
         bucketed.groupby("bucket")
@@ -1557,11 +1493,7 @@ def click_conversion(sf_dir: str) -> pd.DataFrame:
 
     cols = {"hour": "int64", "n_clicks": "int64", "n_converted": "int64"}
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t)
-                                 for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema(cols)
 
     from ray.data.aggregate import Sum
 
@@ -1648,11 +1580,7 @@ def user_value_p90(sf_dir: str) -> pd.DataFrame:
 
     cols = {"user_id": "int64", "n_events": "int64", "p90": "float64"}
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        if not all(c in df.columns for c in cols):
-            return pd.DataFrame({c: pd.Series([], dtype=t)
-                                 for c, t in cols.items()})
-        return df[list(cols)]
+    norm = pin_schema(cols)
 
     res = (
         counts.groupby("bucket")

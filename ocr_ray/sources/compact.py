@@ -30,6 +30,14 @@ def compact_parquet(
     serves from footer metadata without scanning data. Rows are
     preserved exactly; file count drops from O(tasks x partitions) to
     O(n / target_rows)."""
+    if os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        raise FileExistsError(
+            f"compact_parquet: {out_dir} already holds parquet files — "
+            "write_parquet appends, so re-running would duplicate rows; "
+            "point at an empty directory or remove the old output first"
+        )
     ds = rd.read_parquet(in_dir)
     n = ds.count()  # parquet metadata count: no data scan
     n_files = max(1, -(-n // target_rows))

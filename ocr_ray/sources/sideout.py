@@ -36,7 +36,21 @@ def quarantine_split(
     duplicate part, the same at-least-once contract as any side-effect
     sink, so quarantine consumers dedup on a key if exactness matters).
 
-    Returns counts. The good-side write is the only dataset execution."""
+    Returns counts. The good-side write is the only dataset execution.
+
+    Both directories must start EMPTY (write_parquet and the side writes
+    append, so a re-run into the same dirs would double-count and
+    duplicate rows), and on a multi-node cluster ``bad_dir`` must be on
+    shared storage (each task writes its quarantine part locally to that
+    path)."""
+    for d in (good_dir, bad_dir):
+        if os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            raise FileExistsError(
+                f"quarantine_split: {d} already holds parquet files — "
+                "counts and contents would mix with the previous run"
+            )
     os.makedirs(bad_dir, exist_ok=True)
 
     def split(t: pa.Table) -> pa.Table:

@@ -15,7 +15,27 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-__all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket", "grouped_topn"]
+__all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket", "grouped_topn", "pin_schema"]
+
+
+def pin_schema(cols: dict):
+    """Batch normalizer pinning map_groups output to a fixed schema.
+
+    An empty sort partition passes through ``groupby().map_groups`` with
+    its INPUT schema (Ray Data 2.49); every grouped pipeline therefore
+    normalizes blocks before the result feeds another shuffle or
+    to_pandas. ``cols`` maps column name -> pandas dtype string; blocks
+    missing any output column are replaced by a typed empty frame."""
+    import pandas as pd
+
+    def norm(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in cols.items()}
+            )
+        return df[list(cols)]
+
+    return norm
 
 
 def add_hash_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> pa.Table:
