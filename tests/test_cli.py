@@ -269,3 +269,31 @@ def test_cli_catalog_and_audit(ray_session, capsys):
     assert main(["audit", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(audit) == 7 and all(r["n_orphans"] == 0 for r in audit)
+
+
+def test_compact_and_quarantine_refuse_nonempty_output(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ocr_ray.sources.compact import compact_parquet
+    from ocr_ray.sources.sideout import quarantine_split
+
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    src = str(tmp_path / "src")
+    rd.from_pandas(df).repartition(4).write_parquet(src)
+
+    out = str(tmp_path / "out")
+    compact_parquet(src, out, target_rows=50)
+    with pytest.raises(FileExistsError):
+        compact_parquet(src, out, target_rows=50)  # would duplicate rows
+
+    def pred(t: pa.Table) -> pa.Array:
+        return pa.array(t.column("k").to_numpy() % 2 == 0)
+
+    g, b = str(tmp_path / "g"), str(tmp_path / "b")
+    quarantine_split(rd.from_pandas(df).repartition(4), pred, g, b)
+    with pytest.raises(FileExistsError):
+        quarantine_split(rd.from_pandas(df).repartition(4), pred, g, b)
