@@ -187,3 +187,39 @@ def test_kmv_merge_invariance_accuracy_and_exact_branch(ray_session):
     # big group: ~1/sqrt(k-2) std error, allow 4 sigma
     rel = abs(e1["big"] - exact["big"]) / exact["big"]
     assert rel < 4.0 / np.sqrt(KMV_K - 2), rel
+
+
+def test_hdr_bucket_sql_parity():
+    """The oracle's bucket CTE (powers-of-two join + integer shifts)
+    computes EXACTLY hdr_bucket for random and adversarial values."""
+    import duckdb
+    import numpy as np
+
+    from ocr_ray.functions.sketch import hdr_bucket
+
+    rng = np.random.default_rng(21)
+    v = np.unique(np.concatenate([
+        rng.integers(1, 1 << 50, 5000),
+        np.arange(1, 600),
+        (np.int64(1) << np.arange(0, 50)),
+        (np.int64(1) << np.arange(1, 50)) - 1,
+        (np.int64(1) << np.arange(1, 50)) + 1,
+    ]).astype(np.int64))
+    con = duckdb.connect()
+    con.register("vals_np", __import__("pandas").DataFrame({"v": v}))
+    sql = """
+        WITH pow2 AS (
+          SELECT e, (CAST(1 AS BIGINT) << e) AS p
+          FROM generate_series(0, 62) t(e)
+        ),
+        ve AS (
+          SELECT v, max(e) AS e FROM vals_np JOIN pow2 ON p <= v GROUP BY v
+        )
+        SELECT v, CASE WHEN e < 4 THEN v
+                       ELSE ((e - 3) << 4) + ((v >> (e - 4)) - 16)
+                  END AS bucket
+        FROM ve ORDER BY v
+    """
+    got = con.execute(sql).df()
+    exp = hdr_bucket(got["v"].to_numpy(np.int64))
+    assert np.array_equal(got["bucket"].to_numpy(np.int64), exp)
