@@ -174,7 +174,10 @@ def inverted_index(docs: rd.Dataset, min_df: int = 3) -> rd.Dataset:
         # array), flatten with np.repeat parent ids, one C-level groupby.
         # Arrow emits '' tokens at string edges where Python .split()
         # emits nothing — the mask keeps the two tokenizations identical.
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(t.column("text")))
+        # null text cells would flow NaN lengths into np.repeat (int64
+        # underflow -> ValueError); treat them as empty documents
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
         flat = pc.list_flatten(toks).combine_chunks()
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         did = np.repeat(
@@ -212,13 +215,10 @@ def inverted_index(docs: rd.Dataset, min_df: int = 3) -> rd.Dataset:
         agg = agg[agg["df"] >= min_df].reset_index()
         return agg[list(cols)].astype(cols)
 
-    def norm(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"term": "object", "df": "int64", "total_tf": "int64",
-                "postings": "object"}
-        if not all(c in df.columns for c in cols):
-            # empty sort partition passed through with its input schema
-            return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
-        return df[list(cols)]
+    from ..stages.partial_agg import pin_schema
+
+    norm = pin_schema({"term": "object", "df": "int64",
+                       "total_tf": "int64", "postings": "object"})
 
     return (
         bucketed.groupby("bucket")

@@ -261,7 +261,7 @@ def semi_anti_join(
     if isinstance(keys, rd.Dataset):
         kcol = keys.schema().names[0]
         if assume_distinct:
-            distinct = keys.materialize()
+            distinct = keys.select_columns([kcol]).materialize()
         else:
             distinct = (
                 keys.groupby(kcol).count().select_columns([kcol]).materialize()
@@ -745,8 +745,15 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["l_orderkey", "rev_c4", "o_orderdate", "o_orderpriority"]
         if not all(c in df.columns for c in cols):
-            # empty sort partition passed through with its input schema
-            return pd.DataFrame(columns=cols)
+            # empty sort partition passed through with its input schema;
+            # typed empties so a future pandas concat can't demote the
+            # int columns to object
+            return pd.DataFrame(
+                {"l_orderkey": pd.Series([], dtype="int64"),
+                 "rev_c4": pd.Series([], dtype="int64"),
+                 "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                 "o_orderpriority": pd.Series([], dtype="object")}
+            )
         return df.sort_values(
             ["rev_c4", "o_orderdate", "l_orderkey"],
             ascending=[False, True, True], kind="mergesort",

@@ -1155,9 +1155,11 @@ def events_zscore_outliers(sf_dir: str) -> pd.DataFrame:
     def flag(t: pa.Table) -> pa.Table:
         st = ray.get(ref)
         types = t["event_type"].to_pandas()
-        n = types.map(lambda k: st[k][0]).to_numpy(np.int64)
-        s = types.map(lambda k: st[k][1]).to_numpy(np.int64)
-        q = types.map(lambda k: st[k][2]).to_numpy(np.int64)
+        # Series.map(dict) is pandas' C take-path — a lambda here would
+        # be a per-row Python call, three times per block
+        n = types.map({k: v[0] for k, v in st.items()}).to_numpy(np.int64)
+        s = types.map({k: v[1] for k, v in st.items()}).to_numpy(np.int64)
+        q = types.map({k: v[2] for k, v in st.items()}).to_numpy(np.int64)
         v = _cents(t["value"]).to_numpy()
         lhs = (v * n - s).astype(np.float64)
         rhs = (ZSCORE_THRESHOLD ** 2) * (

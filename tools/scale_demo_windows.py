@@ -175,6 +175,8 @@ def main() -> int:
         len(ret) == len(exp_ret)
         and (ret["n_users"].to_numpy() == exp_ret["n_users"].to_numpy()).all()
         and (ret["cohort_day"].to_numpy() == exp_ret["cohort_day"].to_numpy()).all()
+        and (ret["day_offset"].to_numpy()
+             == exp_ret["day_offset"].to_numpy()).all()
     )
     out["rows_per_sec_retention"] = round(n_rows / out["retention_sec"], 1)
     print(json.dumps(out))
