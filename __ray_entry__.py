@@ -2622,7 +2622,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(array_to_string(
                      list_slice(toks, u.g + 1, u.g + least(64, dl - u.g)), ' '
                    )) AS BIGINT) AS n_chars
-            FROM t, UNNEST(generate_series(0, t.dl - 1, 48)) u(g)
+            FROM t, UNNEST(generate_series(
+                   0, 48 * ((greatest(t.dl - 64, 0) + 47) // 48), 48)) u(g)
+            WHERE t.dl > 0
             ORDER BY doc_id, chunk_idx
         """,
         "events_funnel": """

@@ -112,9 +112,14 @@ def chunk_documents(
         dl = np.where(
             pc.equal(text, "").to_numpy(zero_copy_only=False), 0, n_list
         )
-        n_chunks = np.where(dl > 0, (dl + stride - 1) // stride, 0)
-        # a trailing window fully contained in the previous one is noise:
-        # drop starts where start >= dl (can't happen with this formula)
+        # a trailing window fully contained in the previous one adds no
+        # new tokens (start > dl - size + stride) — stop before it: the
+        # last kept start is ceil(max(dl-size,0)/stride)*stride
+        n_chunks = np.where(
+            dl > 0,
+            (np.maximum(dl - size, 0) + stride - 1) // stride + 1,
+            0,
+        )
         row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), n_chunks)
         base = np.repeat(np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks)
         chunk_idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - base

@@ -83,6 +83,10 @@ def bm25_topk(docs: rd.Dataset, terms: list[str], k: int = 20) -> pd.DataFrame:
         .sum()
     )
     n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        # empty corpus: no stats, no scores — typed empty result
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
     avgdl = float(stats["sum_dl"]) / n_docs
     # Scalar idf per term on the driver; same libm ln as the SQL twin.
     idf = [

@@ -73,7 +73,8 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
-from ..money import cents as _cents  # half-away-from-zero, see ocr_ray.money
+from ..money import cents as _cents
+from ..stages.partial_agg import pin_schema  # half-away-from-zero, see ocr_ray.money
 from ..money import cents_np as _cents_np
 
 
@@ -523,7 +524,14 @@ def _docs_jsonl_dir(sf_dir: str) -> str:
     import hashlib as _hl
     import shutil
 
-    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # key includes source mtime+size: a regenerated events.parquet at
+    # the same path must invalidate the cached rewrite, not serve stale
+    # partitions against a fresh oracle
+    key = _hl.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     out = os.path.join("/tmp", "ocr_ray_jsonl", key, "documents")
     if os.path.isdir(out) and os.listdir(out):
         return out
@@ -647,7 +655,14 @@ def _events_csv_dir(sf_dir: str) -> str:
     import hashlib as _hl
     import shutil
 
-    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # key includes source mtime+size: a regenerated events.parquet at
+    # the same path must invalidate the cached rewrite, not serve stale
+    # partitions against a fresh oracle
+    key = _hl.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     out = os.path.join("/tmp", "ocr_ray_csv", key, "events")
     if os.path.isdir(out) and os.listdir(out):
         return out
@@ -997,7 +1012,13 @@ def users_click_purchase_outer(sf_dir: str) -> pd.DataFrame:
                      batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
-        .map_batches(lambda df: combine(df), batch_format="pandas")
+        .map_batches(
+            # schema-pin only: rows are already combined per bucket, so
+            # re-running the groupby here would re-aggregate every block
+            pin_schema({"user_id": "int64", "n_clicks": "int64",
+                        "n_purchases": "int64"}),
+            batch_format="pandas",
+        )
         .to_pandas()
         .sort_values("user_id")
         .reset_index(drop=True)
@@ -1012,7 +1033,14 @@ def _events_hive_dir(sf_dir: str) -> str:
     import hashlib as _hl
     import shutil
 
-    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # key includes source mtime+size: a regenerated events.parquet at
+    # the same path must invalidate the cached rewrite, not serve stale
+    # partitions against a fresh oracle
+    key = _hl.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     out = os.path.join("/tmp", "ocr_ray_hive", key, "events")
     if os.path.isdir(out) and os.listdir(out):
         return out

@@ -1010,6 +1010,11 @@ def funnel_counts(sf_dir: str) -> pd.DataFrame:
     part = (
         bucketed.groupby("bucket")
         .map_groups(fold_bucket, batch_format="pandas")
+        .map_batches(
+            pin_schema({"n_signup": "int64", "n_signup_click": "int64",
+                        "n_funnel": "int64"}),
+            batch_format="pandas",
+        )  # empty sort partitions pass through with their INPUT schema
         .to_pandas()  # O(buckets) partial rows
     )
     out = part.sum().to_frame().T.astype(np.int64)
@@ -1034,7 +1039,11 @@ def new_users_daily(sf_dir: str) -> pd.DataFrame:
     first = hash_bucket_min(ds, ["user_id"], ["ts"])
 
     def day_counts(t: pa.Table) -> pa.Table:
-        if "ts" not in t.column_names:  # empty passthrough partition
+        # defensive only: hash_bucket_min's combine output AND the raw
+        # passthrough schema both contain ts, so this branch is
+        # unreachable today; real empty blocks fall through to the
+        # normal path, where strftime/groupby on zero rows is benign
+        if "ts" not in t.column_names:
             return pa.Table.from_pydict(
                 {"day": pa.array([], pa.string()),
                  "n_new": pa.array([], pa.int64())}

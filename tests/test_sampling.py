@@ -281,6 +281,8 @@ def test_chunk_documents_matches_brute_and_slices_reconstruct(ray_session):
         toks = txt.split(" ") if txt else []
         s, ci = 0, 0
         while s < len(toks):
+            if ci and s + CHUNK_TOKENS - CHUNK_STRIDE >= len(toks):
+                break  # fully contained in the previous window
             n = min(CHUNK_TOKENS, len(toks) - s)
             start_char = len(" ".join(toks[:s])) + (1 if s else 0)
             chunk = " ".join(toks[s:s + n])
