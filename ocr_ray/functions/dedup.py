@@ -573,7 +573,10 @@ def contamination_scores(
     def shingle_rows(t: pa.Table) -> pa.Table:
         return shingle_hash_rows(t, shingle_k)
 
-    doc_sh = docs.map_batches(shingle_rows, batch_format="pyarrow")
+    # materialized: both the semi-join probe and the tagged union read
+    # doc_sh, and the per-shingle hashing pass is the dominant cost —
+    # without this, lineage re-execution runs it twice
+    doc_sh = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
     bench_sh = bench.map_batches(shingle_rows, batch_format="pyarrow").select_columns(
         ["sh"]
     )
@@ -594,6 +597,12 @@ def contamination_scores(
     agg = hash_bucket_sum(tagged, ["doc_id"], ["is_match"])
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in ("doc_id", "is_match", "n")):
+            # empty sort partition passed through with its input schema
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ("doc_id", "matched", "total")}
+            )
         return pd.DataFrame(
             {"doc_id": df["doc_id"].astype(np.int64),
              "matched": df["is_match"].astype(np.int64),

@@ -310,7 +310,9 @@ def rare_terms(docs, n: int = 3):
              "tok": pa.array(out_tok, pa.string())}
         )
 
-    pairs = docs.map_batches(pairs_of, batch_format="pyarrow")
+    # materialized: both the df count and the join read pairs; without
+    # this the tokenization pass re-executes for each branch
+    pairs = docs.map_batches(pairs_of, batch_format="pyarrow").materialize()
     dfs = hash_bucket_sum(pairs.select_columns(["tok"]), ["tok"], [],
                           count_alias="df")
     joined = bucket_hash_join(pairs, dfs, on="tok")
@@ -324,7 +326,10 @@ def rare_terms(docs, n: int = 3):
 # Redaction pattern — must match the SQL oracle's regexp verbatim (kept
 # RE2-compatible: no lookarounds, greedy classes only).
 REDACT_PATTERN = r"\b(table|value)\b"
-_REDACT_RE = re.compile(REDACT_PATTERN)
+# re.ASCII pins \b to ASCII word characters, matching DuckDB RE2's
+# ASCII-only \b — Unicode \b would diverge next to non-ASCII letters
+# (the documents table carries fr/de/es/zh text)
+_REDACT_RE = re.compile(REDACT_PATTERN, re.ASCII)
 REDACT_TOKEN = "[X]"
 
 

@@ -613,7 +613,12 @@ def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     per_cust = hash_bucket_sum(
         wide.select_columns(["o_custkey", "price_c"]), ["o_custkey"], ["price_c"]
     ).map_batches(
-        lambda df: df.rename(columns={"price_c": "sum_c"})[["o_custkey", "sum_c", "n"]],
+        lambda df: (
+            df.rename(columns={"price_c": "sum_c"})[["o_custkey", "sum_c", "n"]]
+            if all(c in df.columns for c in ("o_custkey", "price_c", "n"))
+            else pd.DataFrame({c: pd.Series([], dtype="int64")
+                               for c in ("o_custkey", "sum_c", "n")})
+        ),
         batch_format="pandas",
     )
 

@@ -516,26 +516,32 @@ def events_value_tiers(sf_dir: str) -> pd.DataFrame:
     return out[["tier", "n", "sum_value"]].sort_values("tier").reset_index(drop=True)
 
 
+def _conv_cache_key(sf_dir: str, table: str) -> str:
+    """Cache key for one-time /tmp format conversions: source path PLUS
+    the source file's mtime+size, so a regenerated parquet at the same
+    path invalidates the cached rewrite instead of serving stale data."""
+    import hashlib as _hl
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return _hl.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{st.st_mtime_ns}|{st.st_size}"
+        .encode()
+    ).hexdigest()[:12]
+
+
 def _docs_jsonl_dir(sf_dir: str) -> str:
     """One-time parquet->json-lines conversion of the documents table,
     cached under /tmp keyed by the source dir (atomic rename so
     concurrent queries share one conversion). The conversion itself is a
     Ray Data job: read_parquet -> write_json, no driver materialization."""
-    import hashlib as _hl
     import shutil
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # key includes source mtime+size: a regenerated events.parquet at
-    # the same path must invalidate the cached rewrite, not serve stale
-    # partitions against a fresh oracle
-    key = _hl.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    key = _conv_cache_key(sf_dir, "documents")
     out = os.path.join("/tmp", "ocr_ray_jsonl", key, "documents")
     if os.path.isdir(out) and os.listdir(out):
         return out
-    tmp = out + ".tmp"
+    tmp = f"{out}.tmp-{os.getpid()}"  # per-process: concurrent cold-cache
+    # converters must not interleave writes in a shared tmp dir
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     _read(sf_dir, "documents", ["doc_id", "text", "lang"]).write_json(tmp)
@@ -652,21 +658,14 @@ def _events_csv_dir(sf_dir: str) -> str:
     /tmp keyed by source dir, atomic rename). Ray Data job end-to-end;
     arrow's CSV writer emits shortest-round-trip doubles, so ``value``
     survives the text round trip bit-exactly (pinned by pytest)."""
-    import hashlib as _hl
     import shutil
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # key includes source mtime+size: a regenerated events.parquet at
-    # the same path must invalidate the cached rewrite, not serve stale
-    # partitions against a fresh oracle
-    key = _hl.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    key = _conv_cache_key(sf_dir, "events")
     out = os.path.join("/tmp", "ocr_ray_csv", key, "events")
     if os.path.isdir(out) and os.listdir(out):
         return out
-    tmp = out + ".tmp"
+    tmp = f"{out}.tmp-{os.getpid()}"  # per-process: concurrent cold-cache
+    # converters must not interleave writes in a shared tmp dir
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     _read(sf_dir, "events", ["event_id", "event_type", "value"]).write_csv(tmp)
@@ -945,6 +944,8 @@ def users_purchase_and_error(sf_dir: str) -> pd.DataFrame:
     out = distinct_set_op(
         _typed_users(ds, "purchase"), _typed_users(ds, "error"), on="user_id"
     ).to_pandas()
+    if "user_id" not in out.columns:  # empty result drops the schema
+        out = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64)})
     out["user_id"] = out["user_id"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
 
@@ -1030,21 +1031,14 @@ def _events_hive_dir(sf_dir: str) -> str:
     (``event_type=<v>/`` directories via ``write_parquet(partition_cols)``),
     cached under /tmp keyed by source dir — the resumable partitioned-sink
     layout the engine writes at scale, reused here as a PRUNABLE source."""
-    import hashlib as _hl
     import shutil
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # key includes source mtime+size: a regenerated events.parquet at
-    # the same path must invalidate the cached rewrite, not serve stale
-    # partitions against a fresh oracle
-    key = _hl.md5(
-        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    key = _conv_cache_key(sf_dir, "events")
     out = os.path.join("/tmp", "ocr_ray_hive", key, "events")
     if os.path.isdir(out) and os.listdir(out):
         return out
-    tmp = out + ".tmp"
+    tmp = f"{out}.tmp-{os.getpid()}"  # per-process: concurrent cold-cache
+    # converters must not interleave writes in a shared tmp dir
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
     _read(sf_dir, "events", ["event_type", "ts", "value"]).write_parquet(

@@ -576,6 +576,12 @@ def user_mode_type(sf_dir: str) -> pd.DataFrame:
     counts = hash_bucket_sum(ds, ["user_id", "event_type"], [], count_alias="n")
 
     def drop_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if "n" not in df.columns:  # empty sort partition passthrough
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "event_type": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
         return df[["user_id", "event_type", "n"]]
 
     top = grouped_topn(

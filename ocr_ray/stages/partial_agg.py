@@ -52,6 +52,11 @@ def add_hash_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> pa.Table:
         )
         h = h * np.uint64(1099511628211) + v
     bucket = ((h * np.uint64(2654435761)) % np.uint64(n_buckets)).astype(np.int64)
+    if "bucket" in t.column_names:
+        # an empty pass-through block from an UPSTREAM bucketed groupby
+        # still carries its old bucket column; appending would create a
+        # duplicate field name and break the next groupby's sort
+        t = t.drop_columns(["bucket"])
     return t.append_column("bucket", pa.array(bucket))
 
 

@@ -67,7 +67,9 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    work = "/tmp/ocr_ray_windemo"
+    # cache keyed by the requested size: re-running with different
+    # n_rows/n_users must not report new labels over the old file
+    work = f"/tmp/ocr_ray_windemo_{n_rows}_{n_users}"
     os.makedirs(work, exist_ok=True)
     if not os.path.exists(os.path.join(work, "events.parquet")):
         build(n_rows, n_users, work)
