@@ -1416,7 +1416,10 @@ def events_spearman(sf_dir: str) -> pd.DataFrame:
             [_cents(t["value"]), pa.array(ks)], names=["v", "k"]
         )
 
-    base = ds.map_batches(widen, batch_format="pyarrow")
+    # materialized: the rank-count pass AND the sufficient-stats pass
+    # both read base, and widen's per-row regex extraction is the
+    # dominant cost — lineage re-execution would run it twice
+    base = ds.map_batches(widen, batch_format="pyarrow").materialize()
 
     def cnt_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
