@@ -1115,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": J.q8_market_share,
         "q13_order_count_distribution": J.q13_order_count_distribution,
         "q17_small_quantity_revenue": J.q17_small_quantity_revenue,
+        "null_profile": R.null_profile,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2877,6 +2878,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.regionkey->region' AS constraint_name, CAST(count(*) AS BIGINT) AS n_orphans
             FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
             ORDER BY constraint_name
+        """,
+        "null_profile": """
+            WITH u AS (
+              SELECT 'events' AS table_name, unnest(['event_id','ts','user_id','event_type','value','props']) AS column_name,
+                     count(*) AS n_rows,
+                     unnest([count(*)-count(event_id), count(*)-count(ts),
+                             count(*)-count(user_id), count(*)-count(event_type),
+                             count(*)-count(value), count(*)-count(props)]) AS n_nulls
+              FROM events GROUP BY 1
+              UNION ALL
+              SELECT 'documents', unnest(['doc_id','lang','n_chars','source','text']),
+                     count(*),
+                     unnest([count(*)-count(doc_id), count(*)-count(lang),
+                             count(*)-count(n_chars), count(*)-count(source),
+                             count(*)-count(text)])
+              FROM documents GROUP BY 1
+              UNION ALL
+              SELECT 'orders', unnest(['o_orderkey','o_custkey','o_orderstatus',
+                                       'o_totalprice','o_orderdate','o_orderpriority']),
+                     count(*),
+                     unnest([count(*)-count(o_orderkey), count(*)-count(o_custkey),
+                             count(*)-count(o_orderstatus), count(*)-count(o_totalprice),
+                             count(*)-count(o_orderdate), count(*)-count(o_orderpriority)])
+              FROM orders GROUP BY 1
+              UNION ALL
+              SELECT 'customer', unnest(['c_custkey','c_name','c_nationkey',
+                                         'c_acctbal','c_mktsegment']),
+                     count(*),
+                     unnest([count(*)-count(c_custkey), count(*)-count(c_name),
+                             count(*)-count(c_nationkey), count(*)-count(c_acctbal),
+                             count(*)-count(c_mktsegment)])
+              FROM customer GROUP BY 1
+            )
+            SELECT table_name, column_name,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_nulls AS BIGINT) AS n_nulls
+            FROM u ORDER BY table_name, column_name
         """,
         "q8_market_share": """
             SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

@@ -1893,3 +1893,45 @@ def orders_open_per_day(sf_dir: str) -> pd.DataFrame:
          "n_open": agg["n_open"]}
     )
     return out.reset_index(drop=True)
+
+
+PROFILE_TABLES = ["events", "documents", "orders", "customer"]
+
+
+def null_profile(sf_dir: str) -> pd.DataFrame:
+    """Data profiling: per (table, column), row count and null count —
+    the completeness check a pipeline runs before trusting a new drop.
+
+    Scale shape: one pruned scan per table; each block emits ONE row per
+    column (pyarrow null_count reads validity bitmaps, no value pass);
+    the grouped sum is bounded by the schema width."""
+    from ray.data.aggregate import Sum
+
+    frames = []
+    for tbl in PROFILE_TABLES:
+        ds = _read(sf_dir, tbl, None)
+
+        def profile(t: pa.Table, _tbl=tbl) -> pa.Table:
+            names = t.column_names
+            return pa.Table.from_pydict(
+                {"table_name": [_tbl] * len(names),
+                 "column_name": names,
+                 "n_rows": [t.num_rows] * len(names),
+                 "n_nulls": [t.column(c).null_count for c in names]}
+            )
+
+        agg = (
+            ds.map_batches(profile, batch_format="pyarrow")
+            .groupby(["table_name", "column_name"])
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_nulls", alias_name="n_nulls"))
+            .to_pandas()
+        )
+        frames.append(agg)
+    out = pd.concat(frames)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_nulls"] = out["n_nulls"].astype(np.int64)
+    return (
+        out.sort_values(["table_name", "column_name"])
+        .reset_index(drop=True)
+    )

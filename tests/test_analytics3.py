@@ -815,3 +815,16 @@ def test_q8_market_share(ray_session):
         assert r["mkt_share"] == float(rev[m & is_t].sum()) / float(
             rev[m].sum()
         )
+
+
+def test_null_profile(ray_session):
+    from ocr_ray.pipelines.relational import PROFILE_TABLES, null_profile
+
+    got = null_profile(SF)
+    for tbl in PROFILE_TABLES:
+        df = _tbl(tbl)
+        sub = got[got["table_name"] == tbl]
+        assert set(sub["column_name"]) == set(df.columns)
+        for _, r in sub.iterrows():
+            assert r["n_rows"] == len(df)
+            assert r["n_nulls"] == df[r["column_name"]].isna().sum()
