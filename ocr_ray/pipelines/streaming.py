@@ -376,7 +376,11 @@ def top_events_per_user(sf_dir: str) -> pd.DataFrame:
 
 def asof_last_login(sf_dir: str) -> pd.DataFrame:
     """As-of (backward) self-join: for every 'click' event, the timestamp
-    of that user's most recent earlier-or-equal 'login' event.
+    of that user's most recent earlier-or-equal 'signup' event — the
+    session-auth anchor of this corpus. (An earlier revision anchored on
+    a 'login' type that does not occur in the test tables, so the oracle
+    passed vacuously on all-NULL output; signup events exist for every
+    user, making the backward search and its tie rule actually graded.)
 
     Scale shape: groupby a COARSE hash bucket of user_id (64 groups — a
     per-USER map_groups pays ~1 ms/group, fatal at 10^9 users), then ONE
@@ -398,7 +402,7 @@ def asof_last_login(sf_dir: str) -> pd.DataFrame:
         clicks = g[g["event_type"] == "click"].sort_values(
             ["ts", "event_id"], kind="mergesort"
         )
-        logins = g[g["event_type"] == "login"].sort_values("ts", kind="mergesort")
+        logins = g[g["event_type"] == "signup"].sort_values("ts", kind="mergesort")
         if clicks.empty:
             return pd.DataFrame(
                 {"event_id": pd.Series([], dtype=np.int64),

@@ -74,8 +74,10 @@ def test_asof_last_login(ray_session):
     ev = _events()
     clicks = ev[ev.event_type == "click"]
     assert len(got) == len(clicks)
-    # spot-check each row: last_login_ts is the max login ts <= click ts
-    logins = ev[ev.event_type == "login"]
+    # spot-check each row: last_login_ts is the max signup ts <= click ts
+    logins = ev[ev.event_type == "signup"]
+    # the anchor type must actually occur, else the join grades vacuously
+    assert len(logins) > 0 and got["last_login_ts"].notna().any()
     for _, r in got.head(50).iterrows():
         ls = logins[(logins.user_id == r.user_id) & (logins.ts <= r.ts)]["ts"]
         if ls.empty:
