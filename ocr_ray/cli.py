@@ -58,9 +58,11 @@ def cmd_sample(args: argparse.Namespace) -> int:
     _ensure_ray()
     import ray.data as rd
 
+    from .pqread import read_parquet as _read_parquet
+
     from .functions.sampling import hash_sample
 
-    ds = rd.read_parquet(args.input)
+    ds = _read_parquet(args.input)
     hash_sample(ds, args.key, pct=args.pct).write_parquet(args.output)
     print(json.dumps({"input": args.input, "output": args.output, "pct": args.pct}))
     return 0
@@ -71,9 +73,11 @@ def cmd_split(args: argparse.Namespace) -> int:
     _ensure_ray()
     import ray.data as rd
 
+    from .pqread import read_parquet as _read_parquet
+
     from .functions.sampling import stratified_split
 
-    ds = rd.read_parquet(args.input, columns=[args.key])
+    ds = _read_parquet(args.input, columns=[args.key])
     stratified_split(ds, args.key).write_parquet(
         args.output, partition_cols=["split"]
     )
@@ -102,9 +106,11 @@ def cmd_chunk(args: argparse.Namespace) -> int:
     _ensure_ray()
     import ray.data as rd
 
+    from .pqread import read_parquet as _read_parquet
+
     from .functions.packing import chunk_documents
 
-    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    ds = _read_parquet(args.input, columns=["doc_id", "text"])
     chunk_documents(ds, size=args.size, stride=args.stride).write_parquet(
         args.output
     )
@@ -119,9 +125,11 @@ def cmd_bm25(args: argparse.Namespace) -> int:
     _ensure_ray()
     import ray.data as rd
 
+    from .pqread import read_parquet as _read_parquet
+
     from .functions.retrieval import bm25_topk
 
-    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    ds = _read_parquet(args.input, columns=["doc_id", "text"])
     out = bm25_topk(ds, args.terms, k=args.k)
     print(json.dumps({"query": args.terms,
                       "hits": out.to_dict(orient="records")}))
@@ -135,9 +143,11 @@ def cmd_index(args: argparse.Namespace) -> int:
     _ensure_ray()
     import ray.data as rd
 
+    from .pqread import read_parquet as _read_parquet
+
     from .functions.retrieval import inverted_index
 
-    ds = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    ds = _read_parquet(args.input, columns=["doc_id", "text"])
     idx = inverted_index(ds, min_df=args.min_df)
     idx.write_parquet(args.output)
     print(json.dumps({"input": args.input, "output": args.output,

@@ -56,7 +56,9 @@ def _ensure_cols(cols: dict[str, str]):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if not all(c in df.columns for c in cols):
             return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+        # dtype-pin non-empty blocks too: empty-side pandas concat in the
+        # shuffle promotes int64 -> float64 (round-3 doc_rare_terms lesson)
+        return df[list(cols)].astype(cols)
 
     return fn
 

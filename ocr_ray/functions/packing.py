@@ -89,6 +89,12 @@ def chunk_documents(
     per block over the Arrow split-list offsets — no per-row Python), no
     shuffle; output order is irrelevant downstream and every chunk row is
     a pure function of its document."""
+    if size < 1 or stride < 1:
+        raise ValueError(f"chunk size/stride must be >= 1, got {size}/{stride}")
+    if stride > size:
+        # the n_chunks closed form assumes contiguous coverage; a stride
+        # beyond the window would also skip tokens outright
+        raise ValueError(f"chunk stride ({stride}) must be <= size ({size})")
 
     def explode(t: pa.Table) -> pa.Table:
         out_schema = pa.schema(

@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partial_agg import from_pandas as _from_pandas
+
 import ray.data as rd
 
 K1 = 1.2
@@ -197,7 +199,7 @@ def inverted_index(docs: rd.Dataset, min_df: int = 3) -> rd.Dataset:
             .size()
             .rename(columns={"size": "tf"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     bucketed = docs.map_batches(tf_rows, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["term"], 64), batch_format="pyarrow"

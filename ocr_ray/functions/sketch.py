@@ -14,6 +14,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..stages.partial_agg import from_pandas as _from_pandas
+
 __all__ = [
     "HyperLogLog",
     "hll_distinct_by_key",
@@ -114,7 +116,7 @@ def exact_distinct_by_key(ds: rd.Dataset, key: str, value: str) -> pd.DataFrame:
 
     def dedup_block(t: pa.Table) -> pa.Table:
         df = t.select([key, value]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _from_pandas(df)
 
     pairs = (
         ds.map_batches(dedup_block, batch_format="pyarrow")
@@ -285,7 +287,7 @@ def hdr_quantiles_by_key(
             .size()
             .rename(columns={"size": "cnt"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")

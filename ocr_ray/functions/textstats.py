@@ -298,16 +298,24 @@ def rare_terms(docs, n: int = 3):
     from ..stages.partial_agg import grouped_topn, hash_bucket_sum
 
     def pairs_of(t: pa.Table) -> pa.Table:
-        out_id: list[int] = []
-        out_tok: list[str] = []
-        for did, txt in zip(t.column("doc_id").to_pylist(),
-                            t.column("text").to_pylist()):
-            toks = sorted(set(txt.lower().split()))
-            out_id.extend([did] * len(toks))
-            out_tok.extend(toks)
+        # vectorized tokenize + explode (same shape as the inverted-index
+        # builder): Arrow emits '' tokens at string edges where Python
+        # .split() emits nothing — mask them; null text = empty doc
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {"doc_id": did[keep], "tok": flat.to_pandas().to_numpy()[keep]}
+        ).drop_duplicates()
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(out_id, pa.int64()),
-             "tok": pa.array(out_tok, pa.string())}
+            {"doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+             "tok": pa.array(g["tok"], pa.string())}
         )
 
     # materialized: both the df count and the join read pairs; without

@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+
+from ..pqread import read_parquet as _read_parquet
 from ray.data.aggregate import Min
 
 __all__ = ["curate_documents"]
@@ -38,7 +40,7 @@ def curate_documents(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     from ..functions.textstats import quality_batch
     from .joins import cogroup_bucket_join, semi_anti_join
 
-    docs = rd.read_parquet(
+    docs = _read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 

@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..pqread import read_parquet as _read_parquet
+
 from .. import config as C
 from ..stages.extractor import SpanExtractor
 
@@ -128,8 +130,8 @@ def read_turns(
         cols = list(columns or TURN_COLUMNS)
         if "role" not in cols:
             cols.append("role")
-        return rd.read_parquet(path, columns=cols, **kwargs)
-    return rd.read_parquet(path, columns=columns or TURN_COLUMNS, **kwargs)
+        return _read_parquet(path, columns=cols, **kwargs)
+    return _read_parquet(path, columns=columns or TURN_COLUMNS, **kwargs)
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:

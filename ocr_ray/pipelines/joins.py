@@ -23,6 +23,10 @@ from ..money import cents as _cents
 
 import ray.data as rd
 
+from ..pqread import read_parquet as _read_parquet
+
+from ..stages.partial_agg import from_pandas as _from_pandas
+
 __all__ = [
     "bucket_hash_join",
     "cogroup_bucket_join",
@@ -164,8 +168,13 @@ def bucket_hash_join(
     of the two sides must be disjoint apart from ``on``."""
     from ..stages.partial_agg import add_hash_bucket
 
-    lcols = [c for c in left.schema().names if c != on]
-    rcols = [c for c in right.schema().names if c != on]
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c != on]
+    rcols = [c for c in rschema.names if c != on]
+    arrow_types: dict = {}
+    for sch in (lschema, rschema):
+        for n, t in zip(sch.names, sch.types):
+            arrow_types.setdefault(n, t)
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -186,7 +195,28 @@ def bucket_hash_join(
         r = df[df["__side"] == "R"].reindex(columns=[on, *rcols])
         return l.merge(r, on=on, how=how)
 
-    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    out_cols = [on, *lcols, *rcols]
+
+    def norm_out(df: pd.DataFrame) -> pd.DataFrame:
+        # an empty sort partition passes through map_groups with its INPUT
+        # schema (bucket/__side + one side's columns); pin it to the join's
+        # output schema so consumers can index any output column. No astype
+        # on the non-empty path: a left join legitimately promotes missing
+        # right-side ints to float.
+        if all(c in df.columns for c in out_cols):
+            return df[out_cols]
+        if len(df):
+            raise ValueError(
+                f"bucket_hash_join: non-empty block missing output columns; "
+                f"got {list(df.columns)}"
+            )
+        return pa.table(
+            {c: pa.array([], type=arrow_types[c]) for c in out_cols}
+        ).to_pandas()
+
+    return both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    ).map_batches(norm_out, batch_format="pandas")
 
 
 def segment_revenue_native(sf_dir: str) -> pd.DataFrame:
@@ -194,7 +224,7 @@ def segment_revenue_native(sf_dir: str) -> pd.DataFrame:
     orders ⋈ customer on custkey, exact-cents order value by market
     segment. The bucket join above is the portable fallback; this is the
     built-in path when available."""
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
@@ -204,7 +234,7 @@ def segment_revenue_native(sf_dir: str) -> pd.DataFrame:
             [t["o_custkey"].combine_chunks(), price_c], names=["o_custkey", "price_c"]
         )
 
-    cust = rd.read_parquet(
+    cust = _read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     )
@@ -323,7 +353,7 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     least one 1998 shipment (semi) and how many have none (anti).
     Build side = distinct l_orderkey of the filtered lineitems (distributed
     unique -> broadcast; NOT EXISTS / EXISTS in SQL)."""
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
     )
     late = li.map_batches(
@@ -335,7 +365,7 @@ def orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     # build side stays a Dataset: semi_anti_join picks broadcast vs
     # cogroup-join by distinct-key volume (was: driver-side unique())
     keys = late.materialize()
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderstatus"],
     )
@@ -370,7 +400,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     from ..stages.partial_agg import hash_bucket_sum
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -387,7 +417,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
         li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
     ).drop_columns(["n"])
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
     )
     joined = li_agg.join(
@@ -437,7 +467,7 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
     orders, then a tiny grouped sum."""
     from ..stages.partial_agg import hash_bucket_sum
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -454,7 +484,7 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
         li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
     ).drop_columns(["n"])
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderstatus"]
     ).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_orderstatus"]),
@@ -523,7 +553,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
     nat_ref = ray.put(nat_names)
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -536,7 +566,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
              "c_nk": df["o_custkey"].map(lut).to_numpy(np.int64)}
         )
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -597,7 +627,7 @@ def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     corpus, so no broadcast."""
     from ..stages.partial_agg import hash_bucket_sum
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -653,10 +683,10 @@ def cust_order_counts(sf_dir: str) -> pd.DataFrame:
     the corpus so neither broadcasts."""
     from ..stages.partial_agg import hash_bucket_sum
 
-    cust = rd.read_parquet(
+    cust = _read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     )
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     ).map_batches(
         lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
@@ -708,12 +738,12 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
     cutoff = pd.Timestamp(Q3_CUTOFF)
 
-    building = rd.read_parquet(
+    building = _read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey"],
         filter=(pads.field("c_mktsegment") == "BUILDING"),
     )
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=(pads.field("o_orderdate") < cutoff),
@@ -722,7 +752,10 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     # final join — and it's the most selective relation in the query
     # (segment cut x date cut), so the join order starts here
     orders_f = (
-        semi_anti_join(orders, building, on="o_custkey")
+        # building carries the customer PK (scan-filtered) — already
+        # distinct, so the semi join skips its dedup shuffle; the gate
+        # count afterwards is free (materialized metadata)
+        semi_anti_join(orders, building, on="o_custkey", assume_distinct=True)
         .map_batches(
             lambda t: t.select(
                 ["o_orderkey", "o_orderdate", "o_orderpriority"]
@@ -732,7 +765,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .materialize()
     )
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pads.field("l_shipdate") > cutoff),
@@ -840,7 +873,7 @@ def q7_nation_flows(sf_dir: str) -> pd.DataFrame:
     supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
@@ -857,7 +890,7 @@ def q7_nation_flows(sf_dir: str) -> pd.DataFrame:
              "rev_c4": price_c * (100 - disc_c)}
         )
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
     )
@@ -927,7 +960,7 @@ def q14_promo_effect(sf_dir: str) -> pd.DataFrame:
         dict(zip(part["p_partkey"], part["p_type"].eq("PROMO")))
     )
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_extendedprice", "l_discount"],
         filter=(
@@ -975,7 +1008,7 @@ def q18_big_orders(sf_dir: str, k: int = 100) -> pd.DataFrame:
 
     from ..stages.partial_agg import partial_sum_count
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_quantity"],
     )
@@ -994,7 +1027,7 @@ def q18_big_orders(sf_dir: str, k: int = 100) -> pd.DataFrame:
     # merge read it, and without this the full lineitem scan + grouped
     # sum would execute twice
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
@@ -1058,7 +1091,7 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     from ..money import cents_np as _cents_np
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=(pads.field("l_returnflag") == "R"),
@@ -1072,7 +1105,7 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
             {"l_orderkey": df["l_orderkey"].to_numpy(np.int64), "rev_c4": rev}
         )
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
         filter=(
@@ -1151,7 +1184,7 @@ def q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
 
     from ..money import cents_np as _cents_np
 
-    cust = rd.read_parquet(
+    cust = _read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment", "c_acctbal"],
     )
@@ -1177,7 +1210,7 @@ def q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
 
     import pyarrow.dataset as pads
 
-    active = rd.read_parquet(
+    active = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
         filter=(pads.field("o_orderdate") >= pd.Timestamp(Q22_CUTOFF)),
     ).map_batches(
@@ -1222,7 +1255,7 @@ def detect_hot_keys(ds: rd.Dataset, on: str, threshold: int) -> list:
             t.select([on]).to_pandas().groupby(on, as_index=False).size()
             .rename(columns={"size": "cnt"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1256,8 +1289,13 @@ def salted_bucket_join(
 
     from ..stages.partial_agg import add_hash_bucket
 
-    lcols = [c for c in left.schema().names if c != on]
-    rcols = [c for c in right.schema().names if c != on]
+    lschema, rschema = left.schema(), right.schema()
+    lcols = [c for c in lschema.names if c != on]
+    rcols = [c for c in rschema.names if c != on]
+    arrow_types: dict = {}
+    for sch in (lschema, rschema):
+        for n, t in zip(sch.names, sch.types):
+            arrow_types.setdefault(n, t)
     hot_ref = ray.put(np.asarray(list(hot_keys)))
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -1293,9 +1331,24 @@ def salted_bucket_join(
         r = df[df["__side"] == "R"].reindex(columns=[on, *rcols])
         return l.merge(r, on=on, how="inner")
 
+    out_cols = [on, *lcols, *rcols]
+
+    def norm_out(df: pd.DataFrame) -> pd.DataFrame:
+        # same empty-sort-partition pass-through guard as bucket_hash_join
+        if all(c in df.columns for c in out_cols):
+            return df[out_cols]
+        if len(df):
+            raise ValueError(
+                f"salted_bucket_join: non-empty block missing output "
+                f"columns; got {list(df.columns)}"
+            )
+        return pa.table(
+            {c: pa.array([], type=arrow_types[c]) for c in out_cols}
+        ).to_pandas()
+
     return both.groupby(["bucket", "__salt"]).map_groups(
         join_bucket, batch_format="pandas"
-    )
+    ).map_batches(norm_out, batch_format="pandas")
 
 
 Q15_FROM, Q15_TO = "1996-10-01", "1997-01-01"
@@ -1317,7 +1370,7 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
     from ..money import cents_np as _cents_np
     from ..stages.partial_agg import partial_sum_count
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_suppkey", "l_extendedprice", "l_discount"],
         filter=(
@@ -1370,7 +1423,7 @@ def q4_late_shipments(sf_dir: str) -> pd.DataFrame:
 
     from ray.data.aggregate import Max, Sum
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_shipdate"],
     )
@@ -1378,7 +1431,7 @@ def q4_late_shipments(sf_dir: str) -> pd.DataFrame:
         Max("l_shipdate", alias_name="ship_end")
     )
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         filter=(
@@ -1467,7 +1520,7 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         set(part.loc[part["p_type"] == Q8_TYPE, "p_partkey"])
     )
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
@@ -1487,7 +1540,7 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
              "rev_c4": rev}
         )
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     )
@@ -1549,7 +1602,7 @@ def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
 
     from ..stages.partial_agg import partial_sum_count
 
-    orders = rd.read_parquet(
+    orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     ).map_batches(
         lambda t: t.append_column(
@@ -1564,7 +1617,7 @@ def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
             t.select(["n"]).to_pandas().groupby("n", as_index=False).size()
             .rename(columns={"n": "c_count", "size": "n_cust"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     hist = (
         per_cust.map_batches(hist_partial, batch_format="pyarrow")
@@ -1610,7 +1663,7 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     from ..money import cents_np as _cents_np
     from ..stages.partial_agg import partial_sum_count
 
-    li = rd.read_parquet(
+    li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_partkey", "l_quantity", "l_extendedprice"],
     )

@@ -32,7 +32,11 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
+
+from ..pqread import read_parquet as _read_parquet
 from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.partial_agg import from_pandas as _from_pandas
 
 __all__ = [
     "q1_pricing_summary",
@@ -70,7 +74,7 @@ __all__ = [
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    return _read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 from ..money import cents as _cents
@@ -313,7 +317,7 @@ def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
         df = t.to_pandas().sort_values(
             ["rev_c4", "l_orderkey"], ascending=[False, True], kind="mergesort"
         )
-        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+        return _from_pandas(df.head(k))
 
     cand = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     top = cand.sort_values(
@@ -503,7 +507,7 @@ def events_value_tiers(sf_dir: str) -> pd.DataFrame:
         g = df.groupby("tier", as_index=False).agg(
             value_c=("value_c", "sum"), n=("value_c", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     out = (
         ds.map_batches(assign, batch_format="pyarrow")
@@ -813,7 +817,7 @@ def events_pruned_scan(sf_dir: str) -> pd.DataFrame:
     (O(days) groups)."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["ts", "value"],
         filter=(pads.field("event_type") == "purchase"),
@@ -996,7 +1000,7 @@ def users_click_purchase_outer(sf_dir: str) -> pd.DataFrame:
         ).fillna(0).astype(np.int64)
         wide = wide[(wide.n_clicks > 0) | (wide.n_purchases > 0)]
         wide.index.name = "user_id"
-        return pa.Table.from_pandas(wide.reset_index(), preserve_index=False)
+        return _from_pandas(wide.reset_index())
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["user_id", "n_clicks", "n_purchases"]
@@ -1061,7 +1065,7 @@ def events_hive_source(sf_dir: str) -> pd.DataFrame:
     from ..stages.partial_agg import hash_bucket_sum
 
     part_dir = os.path.join(_events_hive_dir(sf_dir), "event_type=purchase")
-    ds = rd.read_parquet(part_dir, columns=["ts", "value"])
+    ds = _read_parquet(part_dir, columns=["ts", "value"])
 
     def widen(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -1214,7 +1218,7 @@ def lineitem_q6(sf_dir: str) -> pd.DataFrame:
     reduction ships one partial row per block."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_extendedprice", "l_discount", "l_quantity"],
         filter=(
@@ -1264,7 +1268,7 @@ def events_value_hist(sf_dir: str) -> pd.DataFrame:
             n=("v", "size"), value_c=("value_c", "sum"),
             vmin=("v", "min"), vmax=("v", "max"),
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _from_pandas(out)
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1429,7 +1433,7 @@ def events_spearman(sf_dir: str) -> pd.DataFrame:
             g.columns = ["val", "cnt"]
             g.insert(0, "col", col)
             parts.append(g)
-        return pa.Table.from_pandas(pd.concat(parts), preserve_index=False)
+        return _from_pandas(pd.concat(parts))
 
     counts = (
         base.map_batches(cnt_partial, batch_format="pyarrow")
@@ -1608,22 +1612,36 @@ def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
     number of child rows whose key has no parent — the data-quality gate
     a pipeline runs before joining tables it did not produce.
 
-    Scale shape: each child side is ONE pruned column scan reduced to
-    per-block orphan-count partials against the broadcast parent key set
-    (parents here are dimension tables; a fact-sized parent would flow
-    through semi_anti_join's cogroup path instead — same adaptive gate
-    as every other membership test in the engine)."""
+    Scale shape: the parquet footer's row count (free — no scan) gates
+    each edge through the same adaptive strategy as every other
+    membership test in the engine: a dimension-sized parent broadcasts
+    its key set once and the child scan reduces to per-block orphan
+    counts; a fact-sized parent (e.g. orders under lineitem.orderkey)
+    stays a Dataset and membership runs through semi_anti_join's
+    partitioned cogroup path — no O(|parent|) driver or object-store
+    structure on either side."""
     import pyarrow.parquet as pq
 
     import ray
 
+    from . import joins
+
     rows = []
     for name, child, fk, parent, pk in FK_CONSTRAINTS:
-        keys = pq.read_table(
-            os.path.join(sf_dir, f"{parent}.parquet"), columns=[pk]
-        ).column(pk).to_numpy()
-        keys_ref = ray.put(keys)
+        parent_path = os.path.join(sf_dir, f"{parent}.parquet")
+        n_parent = pq.ParquetFile(parent_path).metadata.num_rows
         ds = _read(sf_dir, child, [fk])
+        if n_parent > joins._BROADCAST_KEY_LIMIT:
+            n = joins.semi_anti_join(
+                ds, _read(sf_dir, parent, [pk]), on=fk, anti=True,
+                assume_distinct=True,  # pk is unique by construction
+            ).count()
+            rows.append(
+                {"constraint_name": name, "n_orphans": np.int64(n)}
+            )
+            continue
+        keys = pq.read_table(parent_path, columns=[pk]).column(pk).to_numpy()
+        keys_ref = ray.put(keys)
 
         def orphans(t: pa.Table, _fk=fk, _ref=keys_ref) -> pa.Table:
             v = t.column(_fk).to_numpy(zero_copy_only=False)
@@ -1672,7 +1690,7 @@ def events_winsorized_stats(sf_dir: str) -> pd.DataFrame:
             .size()
             .rename(columns={"size": "cnt"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     counts = (
         ds.map_batches(bucket_partial, batch_format="pyarrow")
@@ -1712,7 +1730,7 @@ def events_winsorized_stats(sf_dir: str) -> pd.DataFrame:
             .groupby("event_type", as_index=False)
             .agg(n=("s", "size"), s=("s", "sum"), q=("q", "sum"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     agg = (
         ds.map_batches(stats_partial, batch_format="pyarrow")

@@ -27,7 +27,9 @@ from ..money import cents as _cents
 
 import ray.data as rd
 
-from ..stages.partial_agg import pin_schema
+from ..pqread import read_parquet as _read_parquet
+
+from ..stages.partial_agg import from_pandas as _from_pandas, pin_schema
 
 __all__ = [
     "tumbling_window",
@@ -85,7 +87,7 @@ def seg_searchsorted(seg_id: np.ndarray, ts: np.ndarray,
 
 
 def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+    return _read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
 
 
 def tumbling_window(sf_dir: str) -> pd.DataFrame:
@@ -287,6 +289,10 @@ def sessionize_incremental(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
     ray.get(pending)
     rows = list(itertools.chain.from_iterable(ray.get([a.flush.remote() for a in actors])))
     out = pd.DataFrame(rows, columns=["user_id", "session_start", "n_events", "duration_end"])
+    # rows come back as numpy datetime64[us] scalars but DataFrame() pins
+    # ns resolution; the driver hash is dtype-sensitive, so match the
+    # parquet/oracle us resolution explicitly
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
     out["duration_sec"] = (
         (out["duration_end"] - out["session_start"]).dt.total_seconds().astype(np.int64)
     )
@@ -875,7 +881,7 @@ def user_type_entropy(sf_dir: str) -> pd.DataFrame:
             .size()
             .rename(columns={"size": "n"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
@@ -989,7 +995,7 @@ def funnel_counts(sf_dir: str) -> pd.DataFrame:
             .groupby(["user_id", "event_type"], as_index=False, sort=False)["ts"]
             .min()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
@@ -1063,7 +1069,7 @@ def new_users_daily(sf_dir: str) -> pd.DataFrame:
         out = g.groupby("day", as_index=False).size().rename(
             columns={"size": "n_new"}
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _from_pandas(out)
 
     counts = (
         first.map_batches(day_counts, batch_format="pyarrow")
@@ -1154,7 +1160,7 @@ def retention_cohorts(sf_dir: str) -> pd.DataFrame:
         g = pa.Table.from_arrays(
             [t["user_id"].combine_chunks(), day], names=["user_id", "day"]
         ).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
@@ -1215,7 +1221,7 @@ def window_distinct_users(sf_dir: str) -> pd.DataFrame:
             [hour, t["user_id"].combine_chunks()],
             names=["window_start", "user_id"],
         ).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     deduped = hash_bucket_sum(
         ds.map_batches(widen, batch_format="pyarrow"),
@@ -1269,7 +1275,7 @@ def first_touch_attribution(sf_dir: str) -> pd.DataFrame:
         )
         out = first.merge(purch, on="user_id", how="left")
         out["n_purch"] = out["n_purch"].fillna(0).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _from_pandas(out)
 
     bucketed = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
@@ -1294,7 +1300,7 @@ def first_touch_attribution(sf_dir: str) -> pd.DataFrame:
         if not all(c in df.columns for c in cols):
             # empty sort partition passed through with its input schema
             return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
-        return df[list(cols)]
+        return df[list(cols)].astype(cols)
 
     part = (
         bucketed.groupby("bucket")
@@ -1566,7 +1572,7 @@ def user_value_p90(sf_dir: str) -> pd.DataFrame:
             .size()
             .rename(columns={"size": "cnt"})
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     counts = (
         ds.map_batches(bucket_partial, batch_format="pyarrow")

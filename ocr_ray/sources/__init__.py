@@ -12,6 +12,7 @@ stable source API:
 """
 
 from ..corpus import ensure_transcripts
+from ..pqread import read_parquet
 from ..pipelines.extract import read_turns, read_turns_any, training_reader
 
-__all__ = ["read_turns", "read_turns_any", "training_reader", "ensure_transcripts"]
+__all__ = ["read_turns", "read_turns_any", "training_reader", "ensure_transcripts", "read_parquet"]

@@ -16,6 +16,8 @@ import os
 
 import ray.data as rd
 
+from ..pqread import read_parquet as _read_parquet
+
 
 def compact_parquet(
     in_dir: str,
@@ -38,7 +40,7 @@ def compact_parquet(
             "write_parquet appends, so re-running would duplicate rows; "
             "point at an empty directory or remove the old output first"
         )
-    ds = rd.read_parquet(in_dir)
+    ds = _read_parquet(in_dir)
     n = ds.count()  # parquet metadata count: no data scan
     n_files = max(1, -(-n // target_rows))
     ds.repartition(n_files).write_parquet(out_dir)

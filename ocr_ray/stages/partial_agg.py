@@ -15,7 +15,18 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-__all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket", "grouped_topn", "pin_schema"]
+__all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket",
+           "grouped_topn", "pin_schema", "from_pandas"]
+
+
+def from_pandas(df: pd.DataFrame) -> pa.Table:
+    """``pa.Table.from_pandas`` minus the ``b'pandas'`` schema metadata.
+
+    That metadata embeds a dict, which makes the Arrow schema unhashable —
+    Ray's block-schema deduplication then fails (``Failed to hash the
+    schemas`` warned on every block) and every block ships its own schema
+    copy. Every pandas->Arrow producer in the engine goes through here."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 def pin_schema(cols: dict):
@@ -24,16 +35,26 @@ def pin_schema(cols: dict):
     An empty sort partition passes through ``groupby().map_groups`` with
     its INPUT schema (Ray Data 2.49); every grouped pipeline therefore
     normalizes blocks before the result feeds another shuffle or
-    to_pandas. ``cols`` maps column name -> pandas dtype string; blocks
-    missing any output column are replaced by a typed empty frame."""
+    to_pandas. ``cols`` maps column name -> pandas dtype string; EMPTY
+    blocks missing any output column are replaced by a typed empty frame,
+    non-empty blocks are dtype-pinned (an empty-side pandas concat inside
+    the shuffle can promote int64 -> float64, which must not leak to the
+    result), and a NON-empty block missing a column raises — that is a
+    genuine upstream schema bug, not pass-through noise."""
     import pandas as pd
 
     def norm(df: "pd.DataFrame") -> "pd.DataFrame":
-        if not all(c in df.columns for c in cols):
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            if len(df):
+                raise ValueError(
+                    f"pin_schema: non-empty block missing columns {missing}; "
+                    f"got {list(df.columns)}"
+                )
             return pd.DataFrame(
                 {c: pd.Series([], dtype=t) for c, t in cols.items()}
             )
-        return df[list(cols)]
+        return df[list(cols)].astype(cols)
 
     return norm
 
@@ -107,7 +128,10 @@ def grouped_topn(
         if not all(c in df.columns for c in cols):
             # empty sort partition passed through with its input schema
             return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-        return df[list(cols)]
+        # dtype-pin the NON-empty path too: an empty-side pandas concat
+        # inside the bucket shuffle promotes int64 -> float64, and the
+        # driver's value hash is dtype-sensitive (round-3 doc_rare_terms red)
+        return df[list(cols)].astype(cols)
 
     return (
         bucketed.groupby("bucket")
@@ -136,7 +160,7 @@ def partial_sum_count(
         )
         cnt = df.groupby(keys, as_index=False, sort=False).size()
         g[count_alias] = cnt["size"].to_numpy()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas(g)
 
     partials = ds.map_batches(combine_block, batch_format="pyarrow")
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
@@ -198,7 +222,7 @@ def hash_bucket_min(
         g = df.groupby(keys, as_index=False, sort=False).agg(
             {c: "min" for c in min_cols}
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas(g)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(keys, as_index=False, sort=False).agg(

@@ -29,6 +29,8 @@ import shutil
 
 import ray.data as rd
 
+from ..pqread import read_parquet as _read_parquet
+
 from .. import config as C
 
 __all__ = ["operator_fingerprint", "CheckpointedExtraction"]
@@ -193,7 +195,7 @@ class CheckpointedExtraction:
         tmp = self.final_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(self.final_dir, ignore_errors=True)
-        spans = rd.read_parquet(self.spans_dir)
+        spans = _read_parquet(self.spans_dir)
         out = reconcile_sorted(spans)
         out.write_parquet(tmp)
         os.rename(tmp, self.final_dir)

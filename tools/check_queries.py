@@ -89,6 +89,17 @@ def main() -> int:
         if list(res.columns) != list(exp.columns):
             status.append(f"columns {list(res.columns)} != {list(exp.columns)}")
         if not status:
+            # the driver's value hash is dtype-sensitive (round-3
+            # doc_rare_terms red: identical values, int64 vs float64) —
+            # assert dtype equality, don't just compare stringified values
+            bad = [
+                f"{c}: {res[c].dtype}!={exp[c].dtype}"
+                for c in res.columns
+                if res[c].dtype != exp[c].dtype
+            ]
+            if bad:
+                status.append("dtypes differ: " + ", ".join(bad))
+        if not status:
             try:
                 import pandas.testing as pdt
 
