@@ -152,9 +152,18 @@ def _pillow_factory():
     return decode
 
 
+def _png_factory():
+    # real-format backend with no third-party dependency (stdlib zlib):
+    # exercises the seam end-to-end where cv2/Pillow are absent
+    from .png_codec import png_factory
+
+    return png_factory()
+
+
 register_codec("synthetic", _synthetic_factory)
 register_codec("cv2", _cv2_factory)
 register_codec("pillow", _pillow_factory)
+register_codec("png", _png_factory)
 
 
 def decode_real(payload: bytes, codec: str | None = None) -> np.ndarray:
@@ -212,11 +221,16 @@ class FakeImageDecoder:
         )
 
 
-def media_pipeline(media: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
+def media_pipeline(
+    media: rd.Dataset, concurrency=(1, 4), codec: str | None = None
+) -> rd.Dataset:
     """Decode/feature-extract stage wired the way a real image pipeline
-    would be: actor pool, small batches for large binary rows."""
+    would be: actor pool, small batches for large binary rows. ``codec``
+    selects the decode backend per the seam (default:
+    $OCR_RAY_IMAGE_CODEC, else synthetic)."""
     return media.map_batches(
         FakeImageDecoder,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=concurrency,
