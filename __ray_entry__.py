@@ -922,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import joins as J
     from ocr_ray.pipelines import relational as R
     from ocr_ray.pipelines import streaming as S
+    from ocr_ray.pipelines import tpch_ext as T
 
     # ORDERING CONTRACT: the driver grades the first 50 entries only
     # (observed in round 2 — CORRECTNESS_r02 cut at entry 50).  The
@@ -1103,6 +1104,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_order_count_distribution": J.q13_order_count_distribution,
         "q17_small_quantity_revenue": J.q17_small_quantity_revenue,
         "null_profile": R.null_profile,
+        # TPC-H over DERIVED relations (partsupp / shipmode / commit +
+        # receipt dates / container / mfgr as integer-key formulas — the
+        # CTE twins live in PARTSUPP_CTE; completes the 22-shape set)
+        "q2_min_cost_supplier": T.q2_min_cost_supplier,
+        "q9_product_profit": T.q9_product_profit,
+        "q11_important_stock": T.q11_important_stock,
+        "q12_shipmode_priority": T.q12_shipmode_priority,
+        "q16_supplier_cnt": T.q16_supplier_cnt,
+        "q19_discounted_revenue": T.q19_discounted_revenue,
+        "q20_potential_promotion": T.q20_potential_promotion,
+        "q21_waiting_suppliers": T.q21_waiting_suppliers,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -1611,6 +1623,8 @@ def _winsor_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.pipelines.tpch_ext import PARTSUPP_CTE as _PS
+
     mh = _minhash_pairs_cte()
     dedup_minhash_sql = (
         "WITH " + mh
@@ -2902,6 +2916,149 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_rows AS BIGINT) AS n_rows,
                    CAST(n_nulls AS BIGINT) AS n_nulls
             FROM u ORDER BY table_name, column_name
+        """,
+        # ---- TPC-H over DERIVED relations (twins of tpch_ext.py; the
+        # ---- shared _PS CTE defines partsupp/lineitem_ext/part_ext) ----
+        "q2_min_cost_supplier": _PS + """
+            , elig AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'
+            ), ps AS (
+              SELECT ps_partkey, ps_suppkey, ps_supplycost_c
+              FROM partsupp_full JOIN part ON p_partkey = ps_partkey
+              JOIN elig ON s_suppkey = ps_suppkey
+              WHERE p_size = 15 AND p_type = 'STANDARD'
+            )
+            SELECT e.s_acctbal, e.s_name, e.n_name,
+                   ps.ps_partkey AS p_partkey,
+                   'MFGR#' || CAST(ps.ps_partkey % 5 + 1 AS VARCHAR) AS p_mfgr,
+                   ps.ps_supplycost_c / 100.0 AS supplycost
+            FROM ps JOIN elig e ON e.s_suppkey = ps.ps_suppkey
+            WHERE ps.ps_supplycost_c = (
+              SELECT min(ps2.ps_supplycost_c) FROM ps ps2
+              WHERE ps2.ps_partkey = ps.ps_partkey)
+            ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+            LIMIT 100
+        """,
+        "q9_product_profit": _PS + """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                            - ps.ps_supplycost_c
+                              * CAST(l.l_quantity AS BIGINT) * 100)
+                        AS BIGINT) / 10000.0 AS sum_profit
+            FROM lineitem l
+            JOIN partsupp_full ps ON ps.ps_partkey = l.l_partkey
+                                 AND ps.ps_suppkey = l.l_suppkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+        """,
+        "q11_important_stock": _PS + """
+            , v AS (
+              SELECT ps_partkey,
+                     CAST(sum(ps_supplycost_c * ps_availqty) AS BIGINT)
+                       AS val_c
+              FROM partsupp_full
+              JOIN supplier s ON s.s_suppkey = ps_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'EUROPE' GROUP BY 1)
+            SELECT ps_partkey, val_c / 100.0 AS value
+            FROM v
+            WHERE val_c * 500 > (SELECT CAST(sum(val_c) AS BIGINT) FROM v)
+            ORDER BY value DESC, ps_partkey
+        """,
+        "q12_shipmode_priority": _PS + """
+            SELECT l.l_shipmode,
+                   CAST(count(*) FILTER (
+                     o.o_orderpriority IN ('1-URGENT','2-HIGH'))
+                     AS BIGINT) AS high_line_count,
+                   CAST(count(*) FILTER (
+                     o.o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+                     AS BIGINT) AS low_line_count
+            FROM lineitem_ext l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipmode IN ('MAIL','SHIP')
+              AND l.l_commitdate < l.l_receiptdate
+              AND l.l_shipdate < l.l_commitdate
+              AND l.l_receiptdate >= TIMESTAMP '1997-01-01'
+              AND l.l_receiptdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q16_supplier_cnt": _PS + """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+            FROM partsupp_full ps
+            JOIN part_ext p ON p.p_partkey = ps.ps_partkey
+            WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'MEDIUM'
+              AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 50)
+              AND ps.ps_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q19_discounted_revenue": _PS + """
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                   AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem_ext l JOIN part_ext p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipmode IN ('AIR','REG AIR') AND (
+              (p.p_brand = 'Brand#1'
+               AND p.p_container IN ('SM CASE','SM BOX')
+               AND l.l_quantity BETWEEN 1 AND 20
+               AND p.p_size BETWEEN 1 AND 20)
+              OR (p.p_brand = 'Brand#2'
+               AND p.p_container IN ('MED BAG','MED BOX')
+               AND l.l_quantity BETWEEN 10 AND 30
+               AND p.p_size BETWEEN 1 AND 30)
+              OR (p.p_brand = 'Brand#3'
+               AND p.p_container IN ('LG CASE','LG BOX')
+               AND l.l_quantity BETWEEN 20 AND 40
+               AND p.p_size BETWEEN 1 AND 40))
+        """,
+        "q20_potential_promotion": _PS + """
+            , agg AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2)
+            SELECT DISTINCT s.s_name, s.s_acctbal
+            FROM agg
+            JOIN partsupp_full ps ON ps.ps_partkey = agg.l_partkey
+                                 AND ps.ps_suppkey = agg.l_suppkey
+            JOIN part p ON p.p_partkey = agg.l_partkey
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_name LIKE 'small%' AND ps.ps_availqty > 0.5 * agg.q
+              AND r.r_name = 'EUROPE'
+            ORDER BY s.s_name
+        """,
+        "q21_waiting_suppliers": _PS + """
+            , li AS (
+              SELECT l_orderkey, l_suppkey,
+                     (l_receiptdate > l_commitdate) AS late
+              FROM lineitem_ext JOIN orders ON o_orderkey = l_orderkey
+              WHERE o_orderstatus = 'F'),
+            per AS (
+              SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+                     count(DISTINCT l_suppkey) FILTER (late) AS nl,
+                     min(CASE WHEN late THEN l_suppkey END) AS the_supp
+              FROM li GROUP BY 1),
+            win AS (SELECT the_supp FROM per WHERE ns > 1 AND nl = 1)
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM win JOIN supplier s ON s.s_suppkey = win.the_supp
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'AMERICA'
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
         """,
         "q8_market_share": """
             SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

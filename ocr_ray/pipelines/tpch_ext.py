@@ -1,0 +1,754 @@
+"""The 8 TPC-H shapes the base test tables can't express (Q2/Q9/Q11/Q12/
+Q16/Q19/Q20/Q21) over DERIVED relations.
+
+The corpus has no partsupp table and no l_shipmode / l_commitdate /
+l_receiptdate / p_container / p_mfgr columns, so this module derives them
+as deterministic integer functions of the existing keys — identical
+formulas in the engine (vectorized numpy) and in the DuckDB oracle (CTEs
+over the registered views), so every query keeps an exact value-level
+oracle:
+
+- ``partsupp``: each part supplied by 4 suppliers at modular offsets
+  ``(p_partkey + i*(S//4+1)) % S`` (S = supplier count, keys dense
+  0..S-1), with ``ps_availqty`` / ``ps_supplycost_c`` (integer cents)
+  derived from the key pair. Because cost/qty are pure functions of the
+  keys, the ENGINE never materializes or joins partsupp against facts —
+  membership is an O(1) vectorized offset test and the values are
+  computed inline, which is the scale plan (the oracle does the real
+  joins over the CTE; results are provably identical since the join key
+  functionally determines the payload).
+- ``l_shipmode`` / ``l_commitdate`` / ``l_receiptdate``: modular formulas
+  of (l_orderkey, l_linenumber) on top of l_shipdate.
+- ``p_container`` / ``p_mfgr``: modular formulas of p_partkey.
+
+Reference anchors: the shapes mirror TPC-H Q2 (min-cost supplier),
+Q9 (product-type profit), Q11 (important stock), Q12 (shipmode
+priority), Q16 (supplier count), Q19 (OR-of-ANDs revenue), Q20 (part
+promotion), Q21 (waiting suppliers); parameters are fixed constants
+chosen non-vacuous at sf0.001 AND sf0.01 (every predicate fires).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..money import cents_np as _cents_np
+from ..pqread import read_parquet as _read_parquet
+from ..stages.partial_agg import add_hash_bucket, from_pandas, hash_bucket_sum, pin_schema
+
+__all__ = [
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_supplier_cnt",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+    "PARTSUPP_CTE",
+]
+
+MODES = np.array(["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"])
+CONTAINERS = np.array(
+    ["SM CASE", "SM BOX", "MED BAG", "MED BOX",
+     "LG CASE", "LG BOX", "JUMBO PACK", "WRAP JAR"]
+)
+
+# shared oracle preamble: the derived relations as CTEs over the
+# registered views — the SQL twin of every formula in this module
+PARTSUPP_CTE = """
+WITH partsupp AS (
+  SELECT DISTINCT p_partkey AS ps_partkey,
+         (p_partkey + i * ((SELECT count(*) FROM supplier) // 4 + 1))
+           % (SELECT count(*) FROM supplier) AS ps_suppkey
+  FROM part, range(4) t(i)
+), partsupp_full AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 13 + ps_suppkey * 17) % 90000 + 10000 AS ps_supplycost_c
+  FROM partsupp
+), lineitem_ext AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         l_extendedprice, l_discount, l_shipdate,
+    (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])
+      [(l_orderkey*31 + l_linenumber*7) % 7 + 1] AS l_shipmode,
+    l_shipdate + ((l_orderkey + 3*l_linenumber) % 61 - 30)
+      * INTERVAL 1 DAY AS l_commitdate,
+    l_shipdate + ((l_orderkey*5 + l_linenumber) % 30 + 1)
+      * INTERVAL 1 DAY AS l_receiptdate
+  FROM lineitem
+), part_ext AS (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+    (['SM CASE','SM BOX','MED BAG','MED BOX','LG CASE','LG BOX',
+      'JUMBO PACK','WRAP JAR'])[(p_partkey*19) % 8 + 1] AS p_container,
+    'MFGR#' || CAST(p_partkey % 5 + 1 AS VARCHAR) AS p_mfgr
+  FROM part
+)
+"""
+
+
+def _supplier_count(sf_dir: str) -> int:
+    """Supplier cardinality from the parquet footer (keys dense 0..S-1)."""
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "supplier.parquet")
+    ).metadata.num_rows
+
+
+def _ps_offsets(s: int) -> np.ndarray:
+    """Distinct supplier offsets of the derived partsupp (mod S)."""
+    return np.unique((np.arange(4) * (s // 4 + 1)) % s)
+
+
+def _ps_availqty(pk: np.ndarray, sk: np.ndarray) -> np.ndarray:
+    return (pk * 7 + sk * 11) % 9999 + 1
+
+
+def _ps_cost_c(pk: np.ndarray, sk: np.ndarray) -> np.ndarray:
+    return (pk * 13 + sk * 17) % 90000 + 10000
+
+
+def _shipmode_idx(ok: np.ndarray, ln: np.ndarray) -> np.ndarray:
+    return (ok * 31 + ln * 7) % 7
+
+
+def _commit_receipt(
+    ship: pd.Series, ok: np.ndarray, ln: np.ndarray
+) -> tuple[pd.Series, pd.Series]:
+    commit = ship + pd.to_timedelta((ok + 3 * ln) % 61 - 30, unit="D")
+    receipt = ship + pd.to_timedelta((ok * 5 + ln) % 30 + 1, unit="D")
+    return commit, receipt
+
+
+def _region_suppliers(sf_dir: str, region: str) -> pd.DataFrame:
+    """Dimension prep: suppliers in a region with name/acctbal/nation
+    (tiny: supplier x nation x region are all dimension tables)."""
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet")
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet")
+    ).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nation = nation[nation["n_regionkey"].isin(rk)]
+    out = supp.merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="s_nationkey", right_on="n_nationkey",
+    )
+    return out[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+
+Q2_SIZE, Q2_TYPE, Q2_REGION = 15, "STANDARD", "EUROPE"
+
+
+def q2_min_cost_supplier(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """TPC-H Q2 shape: for parts of a given size/type, the region
+    supplier(s) achieving the MINIMUM supply cost (correlated min
+    subquery), richest suppliers first.
+
+    Scale shape: part scan is predicate-pushed to (size, type); the
+    derived partsupp explodes only the qualifying parts (x4); the
+    region's supplier attributes broadcast once via ray.put; min-per-part
+    + keep-the-min happen in ONE coarse hash-bucket shuffle (vectorized
+    transform('min') per bucket); the final sort runs on the tiny
+    qualifying set."""
+    import pyarrow.dataset as pads
+
+    s = _supplier_count(sf_dir)
+    offsets = _ps_offsets(s)
+    dim = _region_suppliers(sf_dir, Q2_REGION)
+    dim_ref = ray.put(
+        {int(r.s_suppkey): (r.s_name, float(r.s_acctbal), r.n_name)
+         for r in dim.itertuples()}
+    )
+
+    part = _read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"],
+        filter=(pads.field("p_size") == Q2_SIZE)
+        & (pads.field("p_type") == Q2_TYPE),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        pk = np.repeat(
+            t.column("p_partkey").to_numpy(zero_copy_only=False), len(offsets)
+        )
+        sk = (pk + np.tile(offsets, t.num_rows)) % s
+        eligible = ray.get(dim_ref)
+        keep = np.isin(sk, np.fromiter(eligible, dtype=np.int64, count=len(eligible)))
+        pk, sk = pk[keep], sk[keep]
+        return pa.table(
+            {"ps_partkey": pk, "ps_suppkey": sk,
+             "cost_c": _ps_cost_c(pk, sk)}
+        )
+
+    ps = part.map_batches(explode, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["ps_partkey"], 32), batch_format="pyarrow"
+    )
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("ps_partkey")["cost_c"].transform("min")
+        return df[df["cost_c"] == m]
+
+    norm = pin_schema(
+        {"ps_partkey": "int64", "ps_suppkey": "int64", "cost_c": "int64"}
+    )
+    out = (
+        ps.groupby("bucket")
+        .map_groups(
+            lambda df: keep_min(df.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    lut = dim.set_index("s_suppkey")
+    out["s_name"] = out["ps_suppkey"].map(lut["s_name"])
+    out["s_acctbal"] = out["ps_suppkey"].map(lut["s_acctbal"])
+    out["n_name"] = out["ps_suppkey"].map(lut["n_name"])
+    out["p_mfgr"] = "MFGR#" + (out["ps_partkey"] % 5 + 1).astype(str)
+    out["supplycost"] = out["cost_c"].astype(np.int64) / 100.0
+    out = out.rename(columns={"ps_partkey": "p_partkey"})
+    return (
+        out[["s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr", "supplycost"]]
+        .sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True], kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+Q9_NAME_SUBSTR = "red"
+
+
+def q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus supply cost) by supplier
+    nation and order year for parts whose name contains a substring.
+
+    Scale shape: the part filter ships as a partkey id-set via ray.put;
+    partsupp membership is the O(1) offset test and ps_supplycost_c is
+    computed INLINE (pure function of the join key — no partsupp join,
+    no broadcast of a fact-sized table); supplier->nation ships as one
+    int map; the only shuffle is the orderkey bucket join to fetch the
+    order year, identical to Q7's plan."""
+    from .joins import bucket_hash_join
+
+    s = _supplier_count(sf_dir)
+    offsets = _ps_offsets(s)
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    keys = part.loc[
+        part["p_name"].str.contains(Q9_NAME_SUBSTR), "p_partkey"
+    ].to_numpy(np.int64)
+    keys_ref = ray.put(keys)
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    nat_names = dict(
+        zip(*pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name"],
+        ).to_pandas().to_dict("list").values())
+    )
+
+    li = _read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        keep = np.isin(pk, ray.get(keys_ref)) & np.isin((sk - pk) % s, offsets)
+        df = df[keep]
+        pk, sk = pk[keep], sk[keep]
+        price_c = _cents_np(df["l_extendedprice"].to_numpy())
+        disc_c = _cents_np(df["l_discount"].to_numpy())
+        qty = df["l_quantity"].to_numpy(np.int64)
+        amount_c4 = price_c * (100 - disc_c) - _ps_cost_c(pk, sk) * qty * 100
+        lut = ray.get(supp_ref)
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+             "s_nk": df["l_suppkey"].map(lut).to_numpy(np.int64),
+             "amount_c4": amount_c4}
+        )
+
+    orders = _read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)}
+        )
+
+    joined = bucket_hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders.map_batches(o_side, batch_format="pandas"),
+        on="l_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["s_nk", "o_year"], as_index=False).agg(
+            amount_c4=("amount_c4", "sum")
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["s_nk", "o_year"])
+        .aggregate(Sum("amount_c4", alias_name="amount_c4"))
+        .to_pandas()
+    )
+    out["nation"] = out["s_nk"].map(nat_names)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["sum_profit"] = out["amount_c4"].astype(np.int64) / 10000.0
+    return (
+        out[["nation", "o_year", "sum_profit"]]
+        .sort_values(["nation", "o_year"], ascending=[True, False],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+Q11_REGION, Q11_FRACTION_DENOM = "EUROPE", 500
+
+
+def q11_important_stock(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape: per-part stock value held by one region's
+    suppliers, keeping parts above a fraction of the region total
+    (HAVING > scalar subquery).
+
+    Scale shape: region supplier ids broadcast once; the part scan
+    explodes to the derived partsupp with cost*qty computed inline; ONE
+    hash-bucket grouped sum; the region total is a distributed Sum over
+    the materialized grouped result; the threshold compare is exact
+    integer cross-multiplication (val*DENOM > total), mirrored in SQL."""
+    from ray.data.aggregate import Sum
+
+    s = _supplier_count(sf_dir)
+    offsets = _ps_offsets(s)
+    eligible = _region_suppliers(sf_dir, Q11_REGION)["s_suppkey"].to_numpy(np.int64)
+    elig_ref = ray.put(eligible)
+
+    part = _read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        pk = np.repeat(
+            t.column("p_partkey").to_numpy(zero_copy_only=False), len(offsets)
+        )
+        sk = (pk + np.tile(offsets, t.num_rows)) % s
+        keep = np.isin(sk, ray.get(elig_ref))
+        pk, sk = pk[keep], sk[keep]
+        return pa.table(
+            {"ps_partkey": pk,
+             "val_c": _ps_cost_c(pk, sk) * _ps_availqty(pk, sk)}
+        )
+
+    grouped = hash_bucket_sum(
+        part.map_batches(explode, batch_format="pyarrow"),
+        ["ps_partkey"], ["val_c"], n_buckets=32,
+    ).drop_columns(["n"]).materialize()
+    total = int(
+        grouped.aggregate(Sum("val_c", alias_name="t"))["t"]
+    )
+    out = grouped.to_pandas()
+    out = out[out["val_c"].astype(np.int64) * Q11_FRACTION_DENOM > total]
+    out["value"] = out["val_c"].astype(np.int64) / 100.0
+    return (
+        out[["ps_partkey", "value"]]
+        .sort_values(["value", "ps_partkey"], ascending=[False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+Q12_MODES, Q12_FROM, Q12_TO = ("MAIL", "SHIP"), "1997-01-01", "1998-01-01"
+_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+def q12_shipmode_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape: late-shipment counts by ship mode split into
+    high/low order priority.
+
+    Scale shape: the derived mode/commit/receipt columns are vectorized
+    modular arithmetic inside the lineitem scan task (nothing extra read
+    or shuffled); survivors join orders for priority via the orderkey
+    bucket join; each joined batch collapses to <= |modes| partial rows
+    before the final tiny grouped sum."""
+    from .joins import bucket_hash_join
+
+    li = _read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+    lo, hi = pd.Timestamp(Q12_FROM), pd.Timestamp(Q12_TO)
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        ln = df["l_linenumber"].to_numpy(np.int64)
+        mode = MODES[_shipmode_idx(ok, ln)]
+        commit, receipt = _commit_receipt(df["l_shipdate"], ok, ln)
+        keep = (
+            np.isin(mode, Q12_MODES)
+            & (commit < receipt).to_numpy()
+            & (df["l_shipdate"] < commit).to_numpy()
+            & (receipt >= lo).to_numpy()
+            & (receipt < hi).to_numpy()
+        )
+        return pd.DataFrame(
+            {"l_orderkey": ok[keep], "l_shipmode": mode[keep]}
+        )
+
+    orders = _read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    joined = bucket_hash_join(
+        li.map_batches(l_side, batch_format="pandas"), orders, on="l_orderkey"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(_HIGH_PRIO).astype(np.int64)
+        g = pd.DataFrame({"l_shipmode": df["l_shipmode"], "h": high})
+        g = g.groupby("l_shipmode", as_index=False).agg(
+            high_line_count=("h", "sum"), low_line_count=("h", "size")
+        )
+        g["low_line_count"] = g["low_line_count"] - g["high_line_count"]
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("l_shipmode")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()
+    )
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return out.sort_values("l_shipmode").reset_index(drop=True)
+
+
+Q16_BAD_BRAND, Q16_BAD_TYPE = "Brand#4", "MEDIUM"
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 50)
+
+
+def q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for parts outside an excluded brand/type, minus a NOT-IN supplier
+    set (negative-balance suppliers stand in for the complaints filter).
+
+    Scale shape: the part scan is predicate-pushed; the excluded
+    supplier set broadcasts (tiny); distinct-count happens in ONE
+    (brand,type,size)-bucket shuffle with an in-bucket vectorized
+    drop_duplicates + nunique."""
+    import pyarrow.dataset as pads
+
+    s = _supplier_count(sf_dir)
+    offsets = _ps_offsets(s)
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    ).to_pandas()
+    bad = supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64)
+    bad_ref = ray.put(bad)
+
+    part = _read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pads.field("p_brand") != Q16_BAD_BRAND)
+        & (pads.field("p_type") != Q16_BAD_TYPE)
+        & (pads.field("p_size").isin(list(Q16_SIZES))),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        k = len(offsets)
+        pk = np.repeat(t.column("p_partkey").to_numpy(zero_copy_only=False), k)
+        sk = (pk + np.tile(offsets, t.num_rows)) % s
+        keep = ~np.isin(sk, ray.get(bad_ref))
+        df = pd.DataFrame(
+            {"p_brand": np.repeat(
+                t.column("p_brand").to_numpy(zero_copy_only=False), k),
+             "p_type": np.repeat(
+                t.column("p_type").to_numpy(zero_copy_only=False), k),
+             "p_size": np.repeat(
+                t.column("p_size").to_numpy(zero_copy_only=False), k
+             ).astype(np.int32),
+             "ps_suppkey": sk}
+        )[keep]
+        return from_pandas(df)
+
+    bucketed = part.map_batches(explode, batch_format="pyarrow").map_batches(
+        lambda t: add_hash_bucket(t, ["p_brand", "p_type", "p_size"], 32),
+        batch_format="pyarrow",
+    )
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=["bucket"]).drop_duplicates()
+        return d.groupby(
+            ["p_brand", "p_type", "p_size"], as_index=False
+        ).agg(supplier_cnt=("ps_suppkey", "nunique"))
+
+    norm = pin_schema(
+        {"p_brand": "object", "p_type": "object", "p_size": "int32",
+         "supplier_cnt": "int64"}
+    )
+    out = (
+        bucketed.groupby("bucket")
+        .map_groups(count_distinct, batch_format="pandas")
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True], kind="mergesort",
+        ).reset_index(drop=True)
+    )
+
+
+# (brand number, container codes, qty lo..hi, size lo..hi) per OR branch;
+# container code = (p_partkey*19) % 8 index into CONTAINERS
+Q19_BRANCHES = (
+    (1, (0, 1), 1, 20, 1, 20),    # Brand#1, SM CASE / SM BOX
+    (2, (2, 3), 10, 30, 1, 30),   # Brand#2, MED BAG / MED BOX
+    (3, (4, 5), 20, 40, 1, 40),   # Brand#3, LG CASE / LG BOX
+)
+
+
+def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: one revenue scalar from an OR of three
+    brand/container/quantity/size conjunctions on air-shipped lines.
+
+    Scale shape: part attributes ship as two dense arrays indexed by
+    partkey (keys 0..P-1; brand as its int suffix) via ray.put — O(1)
+    row lookups, no join; the container is the closed-form partkey
+    formula; each block emits ONE partial revenue row."""
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).to_pandas().sort_values("p_partkey")
+    if not (part["p_partkey"].to_numpy() == np.arange(len(part))).all():
+        raise ValueError("q19 expects dense part keys 0..P-1")
+    brand_num = part["p_brand"].str.slice(6).astype(np.int64).to_numpy()
+    sizes = part["p_size"].to_numpy(np.int64)
+    brand_ref, size_ref = ray.put(brand_num), ray.put(sizes)
+
+    li = _read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        ln = df["l_linenumber"].to_numpy(np.int64)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        qty = df["l_quantity"].to_numpy(np.int64)
+        bnum = ray.get(brand_ref)[pk]
+        psize = ray.get(size_ref)[pk]
+        ccode = (pk * 19) % 8
+        air = np.isin(_shipmode_idx(ok, ln), (0, 4))  # AIR / REG AIR
+        keep = np.zeros(len(df), dtype=bool)
+        for b, codes, qlo, qhi, slo, shi in Q19_BRANCHES:
+            keep |= (
+                (bnum == b) & np.isin(ccode, codes)
+                & (qty >= qlo) & (qty <= qhi)
+                & (psize >= slo) & (psize <= shi)
+            )
+        keep &= air
+        price_c = _cents_np(df["l_extendedprice"].to_numpy()[keep])
+        disc_c = _cents_np(df["l_discount"].to_numpy()[keep])
+        return pd.DataFrame(
+            {"rev_c4": [int((price_c * (100 - disc_c)).sum())]}
+        )
+
+    from ray.data.aggregate import Sum
+
+    total = li.map_batches(partial, batch_format="pandas").aggregate(
+        Sum("rev_c4", alias_name="rev_c4")
+    )["rev_c4"]
+    return pd.DataFrame({"revenue": [int(total) / 10000.0]})
+
+
+Q20_PREFIX, Q20_FROM, Q20_TO = "small", "1997-01-01", "1998-01-01"
+Q20_REGION = "EUROPE"
+
+
+def q20_potential_promotion(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape: region suppliers holding excess stock
+    (ps_availqty > half the year's shipped quantity) of prefix-named
+    parts — nested aggregate + double semi-join.
+
+    Scale shape: the part prefix filter broadcasts an id-set; the year
+    window is predicate-pushed into the lineitem scan; the shipped-qty
+    aggregate is ONE (partkey,suppkey) hash-bucket grouped sum; partsupp
+    membership/availqty are inline formulas on the grouped rows; the
+    final supplier list is dimension-sized."""
+    import pyarrow.dataset as pads
+
+    s = _supplier_count(sf_dir)
+    offsets = _ps_offsets(s)
+    dim = _region_suppliers(sf_dir, Q20_REGION)
+    elig_ref = ray.put(dim["s_suppkey"].to_numpy(np.int64))
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    keys = part.loc[
+        part["p_name"].str.startswith(Q20_PREFIX), "p_partkey"
+    ].to_numpy(np.int64)
+    keys_ref = ray.put(keys)
+
+    li = _read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= pd.Timestamp(Q20_FROM))
+        & (pads.field("l_shipdate") < pd.Timestamp(Q20_TO)),
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, ray.get(keys_ref))
+        return pa.table(
+            {"l_partkey": pk[keep],
+             "l_suppkey": t.column("l_suppkey").to_numpy(
+                 zero_copy_only=False)[keep],
+             "qty": t.column("l_quantity").to_numpy(
+                 zero_copy_only=False).astype(np.int64)[keep]}
+        )
+
+    agg = hash_bucket_sum(
+        li.map_batches(widen, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], ["qty"], n_buckets=32,
+    ).drop_columns(["n"])
+
+    def final_filter(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        keep = (
+            np.isin((sk - pk) % s, offsets)            # pair in partsupp
+            & np.isin(sk, ray.get(elig_ref))           # region supplier
+            & (2 * _ps_availqty(pk, sk) > df["qty"].to_numpy(np.int64))
+        )
+        return pd.DataFrame({"s_suppkey": np.unique(sk[keep])})
+
+    sup = agg.map_batches(final_filter, batch_format="pandas").to_pandas()
+    winners = np.unique(sup["s_suppkey"].to_numpy(np.int64))
+    lut = dim.set_index("s_suppkey")
+    out = pd.DataFrame(
+        {"s_name": lut.loc[winners, "s_name"].to_numpy(),
+         "s_acctbal": lut.loc[winners, "s_acctbal"].to_numpy()}
+    )
+    return out.sort_values("s_name").reset_index(drop=True)
+
+
+Q21_REGION = "AMERICA"
+
+
+def q21_waiting_suppliers(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
+    finished multi-supplier orders (EXISTS other supplier / NOT EXISTS
+    other late supplier), counted and ranked.
+
+    Scale shape: the F-order keys stay a Dataset through the adaptive
+    semi join; late flags are inline modular-date arithmetic in the scan
+    task; the per-order ALL-suppliers analysis is ONE orderkey
+    hash-bucket shuffle with vectorized in-bucket dedup + filtered
+    groupbys; the per-supplier count is dimension-sized."""
+    import pyarrow.dataset as pads
+
+    from .joins import semi_anti_join
+
+    dim = _region_suppliers(sf_dir, Q21_REGION)
+    name_lut = dict(zip(dim["s_suppkey"], dim["s_name"]))
+
+    orders_f = _read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"],
+        filter=(pads.field("o_orderstatus") == "F"),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow"
+    )
+
+    li = _read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate"],
+    )
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        ln = df["l_linenumber"].to_numpy(np.int64)
+        commit, receipt = _commit_receipt(df["l_shipdate"], ok, ln)
+        return pd.DataFrame(
+            {"l_orderkey": ok,
+             "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+             "late": (receipt > commit).to_numpy()}
+        )
+
+    lines = semi_anti_join(
+        li.map_batches(derive, batch_format="pandas"),
+        orders_f, on="l_orderkey", assume_distinct=True,
+    ).map_batches(
+        lambda t: add_hash_bucket(t, ["l_orderkey"], 64), batch_format="pyarrow"
+    )
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[["l_orderkey", "l_suppkey"]].drop_duplicates()
+        ns = pairs.groupby("l_orderkey")["l_suppkey"].size()
+        late = df.loc[df["late"], ["l_orderkey", "l_suppkey"]].drop_duplicates()
+        nl = late.groupby("l_orderkey")["l_suppkey"].size()
+        ok = ns.index[(ns > 1)].intersection(nl.index[nl == 1])
+        win = late[late["l_orderkey"].isin(ok)]
+        return win.groupby("l_suppkey", as_index=False).size().rename(
+            columns={"size": "numwait"}
+        )
+
+    norm = pin_schema({"l_suppkey": "int64", "numwait": "int64"})
+    per_supp = (
+        lines.groupby("bucket")
+        .map_groups(
+            lambda df: winners(df.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+        .map_batches(norm, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_suppkey", as_index=False)["numwait"].sum()
+    )
+    per_supp = per_supp[per_supp["l_suppkey"].isin(name_lut)]
+    per_supp["s_name"] = per_supp["l_suppkey"].map(name_lut)
+    return (
+        per_supp[["s_name", "numwait"]]
+        .sort_values(["numwait", "s_name"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -46,6 +46,27 @@ logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
 )
 
 
+class _DropEmptySizeSampleWarning(logging.Filter):
+    """Ray 2.49's pandas size estimator (pandas_block.py:507) warns once
+    per EMPTY pandas block with an object column — np.vectorize rejects
+    size-0 samples. Empty blocks are routine here (empty sort partitions
+    normalized by pin_schema / join norm_out), the estimator's fallback
+    is correct, and only the size-0 variant is dropped — a genuine size
+    failure on a non-empty block still logs."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not (
+            "Error calculating size for column" in msg
+            and "size 0 inputs" in msg
+        )
+
+
+logging.getLogger("ray.data._internal.pandas_block").addFilter(
+    _DropEmptySizeSampleWarning()
+)
+
+
 def read_parquet(paths, *, columns=None, **kwargs) -> rd.Dataset:
     """``ray.data.read_parquet`` with per-block schema-metadata strip.
 
