@@ -1014,11 +1014,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_source": R.docs_jsonl_source,
         "events_csv_source": R.events_csv_source,
         "events_pruned_scan": R.events_pruned_scan,
-        # text analysis (SQL twins where exact)
-        "doc_token_stats": _q_token_stats,
         # ---- oracle-backed overflow (driver-green in CORRECTNESS_r02 or
         # ---- verified via tools/check_queries.py; past the driver's
         # ---- 50-entry graded window by design) ----
+        # (doc_token_stats sat ABOVE this marker as entry 51 through r2/r3
+        # — silently ungraded; the accounting is now exact: 50 above)
+        "doc_token_stats": _q_token_stats,
         "docs_curated": _q_docs_curated,
         "docs_decontaminated": _q_docs_decontaminated,
         "events_rolling_sum": S.rolling_user_sum,

@@ -54,7 +54,15 @@ def _ensure_cols(cols: dict[str, str]):
     every block to exactly ``cols`` (name -> pandas dtype)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        if not all(c in df.columns for c in cols):
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            if len(df):
+                # same contract as pin_schema: a NON-empty block missing
+                # columns is an upstream schema bug — fail, don't drop rows
+                raise ValueError(
+                    f"_ensure_cols: non-empty block missing columns "
+                    f"{missing}; got {list(df.columns)}"
+                )
             return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
         # dtype-pin non-empty blocks too: empty-side pandas concat in the
         # shuffle promotes int64 -> float64 (round-3 doc_rare_terms lesson)

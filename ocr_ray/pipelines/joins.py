@@ -155,6 +155,29 @@ def cogroup_bucket_join(
     ).map_batches(norm_out, batch_format="pandas")
 
 
+def _schema_pandas_dtypes(*schemas) -> dict:
+    """Column -> pandas dtype map from Dataset schemas, robust to BOTH
+    block kinds: an Arrow-block schema yields pa.DataType entries
+    (mapped via to_pandas_dtype), a pandas-block schema yields numpy
+    dtypes or the Python ``object``/``str`` class directly (pa.array
+    would reject those — the empty-block rebuild must not assume Arrow)."""
+    out: dict = {}
+    for sch in schemas:
+        for n, t in zip(sch.names, sch.types):
+            if n in out:
+                continue
+            if isinstance(t, pa.DataType):
+                try:
+                    out[n] = t.to_pandas_dtype()
+                except NotImplementedError:
+                    out[n] = object
+            elif isinstance(t, type):  # pandas-block object/str columns
+                out[n] = object
+            else:
+                out[n] = t  # already a numpy dtype
+    return out
+
+
 def bucket_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -171,10 +194,7 @@ def bucket_hash_join(
     lschema, rschema = left.schema(), right.schema()
     lcols = [c for c in lschema.names if c != on]
     rcols = [c for c in rschema.names if c != on]
-    arrow_types: dict = {}
-    for sch in (lschema, rschema):
-        for n, t in zip(sch.names, sch.types):
-            arrow_types.setdefault(n, t)
+    col_dtypes = _schema_pandas_dtypes(lschema, rschema)
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -210,9 +230,9 @@ def bucket_hash_join(
                 f"bucket_hash_join: non-empty block missing output columns; "
                 f"got {list(df.columns)}"
             )
-        return pa.table(
-            {c: pa.array([], type=arrow_types[c]) for c in out_cols}
-        ).to_pandas()
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=col_dtypes[c]) for c in out_cols}
+        )
 
     return both.groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"
@@ -1292,10 +1312,7 @@ def salted_bucket_join(
     lschema, rschema = left.schema(), right.schema()
     lcols = [c for c in lschema.names if c != on]
     rcols = [c for c in rschema.names if c != on]
-    arrow_types: dict = {}
-    for sch in (lschema, rschema):
-        for n, t in zip(sch.names, sch.types):
-            arrow_types.setdefault(n, t)
+    col_dtypes = _schema_pandas_dtypes(lschema, rschema)
     hot_ref = ray.put(np.asarray(list(hot_keys)))
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -1342,9 +1359,9 @@ def salted_bucket_join(
                 f"salted_bucket_join: non-empty block missing output "
                 f"columns; got {list(df.columns)}"
             )
-        return pa.table(
-            {c: pa.array([], type=arrow_types[c]) for c in out_cols}
-        ).to_pandas()
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=col_dtypes[c]) for c in out_cols}
+        )
 
     return both.groupby(["bucket", "__salt"]).map_groups(
         join_bucket, batch_format="pandas"

@@ -165,10 +165,9 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 100) -> pd.DataFrame:
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
     dim = _region_suppliers(sf_dir, Q2_REGION)
-    dim_ref = ray.put(
-        {int(r.s_suppkey): (r.s_name, float(r.s_acctbal), r.n_name)
-         for r in dim.itertuples()}
-    )
+    # broadcast only what the scan tasks read: the eligible id ARRAY
+    # (names/balances stay driver-side for the tiny final attach)
+    elig_ref = ray.put(dim["s_suppkey"].to_numpy(np.int64))
 
     part = _read_parquet(
         os.path.join(sf_dir, "part.parquet"),
@@ -182,8 +181,7 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 100) -> pd.DataFrame:
             t.column("p_partkey").to_numpy(zero_copy_only=False), len(offsets)
         )
         sk = (pk + np.tile(offsets, t.num_rows)) % s
-        eligible = ray.get(dim_ref)
-        keep = np.isin(sk, np.fromiter(eligible, dtype=np.int64, count=len(eligible)))
+        keep = np.isin(sk, ray.get(elig_ref))
         pk, sk = pk[keep], sk[keep]
         return pa.table(
             {"ps_partkey": pk, "ps_suppkey": sk,
@@ -369,9 +367,13 @@ def q11_important_stock(sf_dir: str) -> pd.DataFrame:
         part.map_batches(explode, batch_format="pyarrow"),
         ["ps_partkey"], ["val_c"], n_buckets=32,
     ).drop_columns(["n"]).materialize()
-    total = int(
-        grouped.aggregate(Sum("val_c", alias_name="t"))["t"]
-    )
+    total = grouped.aggregate(Sum("val_c", alias_name="t"))["t"]
+    if total is None:  # no region supplier / empty part table
+        return pd.DataFrame(
+            {"ps_partkey": pd.Series([], dtype=np.int64),
+             "value": pd.Series([], dtype=np.float64)}
+        )
+    total = int(total)
     out = grouped.to_pandas()
     out = out[out["val_c"].astype(np.int64) * Q11_FRACTION_DENOM > total]
     out["value"] = out["val_c"].astype(np.int64) / 100.0
@@ -596,7 +598,11 @@ def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
     total = li.map_batches(partial, batch_format="pandas").aggregate(
         Sum("rev_c4", alias_name="rev_c4")
     )["rev_c4"]
-    return pd.DataFrame({"revenue": [int(total) / 10000.0]})
+    # mirror SQL sum() over zero rows: one row, NULL revenue
+    return pd.DataFrame(
+        {"revenue": [None if total is None else int(total) / 10000.0]},
+        dtype=np.float64,
+    )
 
 
 Q20_PREFIX, Q20_FROM, Q20_TO = "small", "1997-01-01", "1998-01-01"

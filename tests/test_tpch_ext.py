@@ -71,3 +71,31 @@ def test_q21_winners_replay():
     win = late[late["l_orderkey"].isin(ok)]
     got = win.groupby("l_suppkey")["l_orderkey"].size().to_dict()
     assert got == exp and exp  # non-vacuous
+
+
+def test_no_direct_from_pandas_producers():
+    """Convention guard (schema-hash regression): every pandas->Arrow
+    producer must go through partial_agg.from_pandas, which strips the
+    unhashable b'pandas' schema metadata. A direct pa.Table.from_pandas
+    call silently re-breaks Ray's block-schema dedup — and the pqread
+    logging filter would hide the warning."""
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "ocr_ray")
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, root)
+            if rel == os.path.join("stages", "partial_agg.py"):
+                continue  # the one sanctioned wrapper
+            src = open(path).read()
+            if re.search(r"pa\.Table\.from_pandas|pyarrow\.Table\.from_pandas", src):
+                offenders.append(rel)
+    assert not offenders, (
+        f"direct pa.Table.from_pandas in {offenders}; use "
+        "ocr_ray.stages.partial_agg.from_pandas instead"
+    )
