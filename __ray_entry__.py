@@ -918,6 +918,88 @@ def _q_docs_chunks(sf_dir: str):
     )
 
 
+def _train_turns(sf_dir: str):
+    """Training-replay input: the entity-free documents slice riding the
+    fixed html wrap template (the same payload the driver-green
+    extract_*_html chain reads), so every block offset is closed-form for
+    the SQL twins."""
+    return _wrapped_docs_as_turns(
+        sf_dir, _HTML_WRAP_PREFIX, _HTML_WRAP_SUFFIX, "<&"
+    )
+
+
+def _q_train_lr_schedule(sf_dir: str):
+    """T7: the WarmUpLR table (reference Module/WarmupLR.py:16-26 with
+    train.py:77 constants), exact including the dead mid branch."""
+    from ocr_ray.pipelines.training import lr_schedule
+
+    return lr_schedule(801)
+
+
+def _q_train_gt_labels(sf_dir: str):
+    """T4: generate_rbox analog (reference DataPreprocess/DataGen.py:
+    231-292) over the wrapped documents — per-block shrunk score area,
+    training-mask rule (min-size + ignore tag), closed-form per-pixel
+    edge-distance sums. Integer geometry, exact SQL twin."""
+    from ocr_ray.pipelines.training import gt_label_blocks
+
+    return gt_label_blocks(_train_turns(sf_dir))
+
+
+def _q_train_loss_curve(sf_dir: str):
+    """T5/T6/T8 inner loop: per-training-batch detect loss (dice + masked
+    -log IoU + angle, Module/DetectLoss.py:4-52), THETA-scaled
+    recognition NLL (Module/RecognitionLoss.py:14-30 analog), batch order
+    from the deterministic splitmix64 epoch shuffle (O5)."""
+    from ocr_ray.pipelines.training import train_loss_curve
+
+    return train_loss_curve(_train_turns(sf_dir))
+
+
+def _q_train_checkpoints(sf_dir: str):
+    """T8 bookkeeping: LOSS_STEP=20 eval averages + best-loss checkpoint
+    flags (reference train.py:127-135, BEST_LOSS init 1000)."""
+    from ocr_ray.pipelines.training import train_checkpoints, train_loss_curve
+
+    return train_checkpoints(train_loss_curve(_train_turns(sf_dir)))
+
+
+def _q_train_build_examples(sf_dir: str):
+    """T1/T3/O4/O6 data-build chain (DataGen.generator, SURVEY §3.3) over
+    the transcript corpus: seeded scale pick -> position-preserving augment
+    -> crop-keeping-whole-blocks -> INPUT_SIZE cap -> per-box labels.
+    Rows-only (hash-chain randomness is not SQL-expressible at this depth);
+    determinism and invariants are pytest-pinned (test_training.py)."""
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.pipelines.training import build_training_examples
+
+    turns = _read_parquet(ensure_transcripts(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    # driver hashing of nested columns is undefined; project the flat parts
+    return build_training_examples(turns).select_columns(
+        ["conv_id", "turn_idx", "scale", "orig_len", "crop_start",
+         "crop_len", "n_px", "n_blocks", "n_boxes"]
+    )
+
+
+def _q_train_build_batches(sf_dir: str):
+    """Batch assembly with the max_box_num=64 cap and the F13 sparse-label
+    COO analog (DataGen.py:369-379,498-527), batch_size=4 to exercise the
+    multi-image grouping. Rows-only; flat summary columns projected."""
+    from ocr_ray.corpus import ensure_transcripts
+    from ocr_ray.pipelines.training import (assemble_batches,
+                                            build_training_examples)
+
+    turns = _read_parquet(ensure_transcripts(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    return assemble_batches(
+        build_training_examples(turns), batch_size=4
+    ).select_columns(
+        ["batch_id", "n_images", "n_boxes", "n_boxes_capped",
+         "dense_shape_0", "dense_shape_1"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines import joins as J
     from ocr_ray.pipelines import relational as R
@@ -948,6 +1030,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_rolling_sum / events_user_first_last /
     # users_click_no_purchase / doc_bigram_topk (driver-green r3,
     # kernel-redundant with in-window siblings) moved to overflow head.
+    # Round-4 second swap: the training-side replay (train_lr_schedule /
+    # train_gt_labels / train_loss_curve / train_checkpoints — the T1-T8
+    # surface VERDICT r3 flagged as the one unreplayed reference entry
+    # point) promoted into the window; events_moving_avg /
+    # events_lag_delta / events_user_median / events_user_mode
+    # (driver-green r3, kernel-redundant with in-window rolling_range /
+    # top_per_user) moved to overflow head.
     return {
         # extraction family — doc-path queries with exact SQL twins
         "extract_docs": _q_extract_docs,
@@ -982,13 +1071,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "kmeans_clusters": _q_kmeans,
+        # training-side replay (reference train.py / DataGen.py: T4-T8)
+        "train_lr_schedule": _q_train_lr_schedule,
+        "train_gt_labels": _q_train_gt_labels,
+        "train_loss_curve": _q_train_loss_curve,
+        "train_checkpoints": _q_train_checkpoints,
         # stream-shaped operators over the events log
         "events_rolling_range": S.rolling_range_sum,
-        "events_moving_avg": S.moving_avg,
         "events_top_per_user": S.top_events_per_user,
-        "events_lag_delta": S.lag_delta,
-        "events_user_median": S.user_value_median,
-        "events_user_mode": S.user_mode_type,
         "events_user_type_count": R.events_user_type_count,
         "doc_redact": _q_redact,
         "doc_repetition": _q_repetition,
@@ -1020,6 +1110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (doc_token_stats sat ABOVE this marker as entry 51 through r2/r3
         # — silently ungraded; the accounting is now exact: 50 above)
         "doc_token_stats": _q_token_stats,
+        "events_moving_avg": S.moving_avg,
+        "events_lag_delta": S.lag_delta,
+        "events_user_median": S.user_value_median,
+        "events_user_mode": S.user_mode_type,
         "docs_curated": _q_docs_curated,
         "docs_decontaminated": _q_docs_decontaminated,
         "events_rolling_sum": S.rolling_user_sum,
@@ -1126,6 +1220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_assistant": _q_extract_assistant,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "train_build_examples": _q_train_build_examples,
+        "train_build_batches": _q_train_build_batches,
     }
 
 
@@ -1623,8 +1719,219 @@ def _winsor_sql() -> str:
     """
 
 
+def _mix64_sql_chain(prefix: str, src: str, keycols: str) -> tuple[str, str]:
+    """CTE chain replaying ocr_ray.pipelines.training._mix64 (the splitmix64
+    finalizer) with HUGEINT arithmetic — 64-bit multiplies via the 32-bit
+    split so no intermediate exceeds HUGEINT range. ``src`` must expose
+    (keycols..., x) with x in [0, 2^64). Returns (ctes, final_name)."""
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    G = 0x9E3779B97F4A7C15
+    M64 = 1 << 64
+
+    def xs(k: int) -> str:
+        return (f"CAST(xor(CAST(x AS UBIGINT), "
+                f"CAST(x AS UBIGINT) >> {k}) AS HUGEINT)")
+
+    def mm(c: int) -> str:  # (x * c) mod 2^64, HUGEINT-safe
+        return (f"((((x) // 4294967296 * {c}) % 4294967296) * 4294967296"
+                f" + ((x) % 4294967296) * {c}) % {M64}")
+
+    ops = [f"((x + {G}) % {M64})", xs(30), mm(C1), xs(27), mm(C2), xs(31)]
+    ctes = []
+    cur = src
+    for i, op in enumerate(ops):
+        name = f"{prefix}{i + 1}"
+        ctes.append(f"{name} AS (SELECT {keycols}, {op} AS x FROM {cur})")
+        cur = name
+    return ",\n            ".join(ctes), cur
+
+
+def _train_curve_ctes() -> str:
+    """Shared CTE body computing the per-training-batch loss curve over
+    the wrapped documents — the bit-exact twin of
+    ocr_ray.pipelines.training.train_loss_curve on the html template
+    (block offsets closed-form: nav [17,26), p [35,35+n), a [51+n,60+n);
+    label maps downsampled by LABEL_STRIDE=4). Ends with a CTE named
+    ``curve`` (batch_id, det_loss, reg_loss, total_loss, n_boxes)."""
+    sh_ctes, sh_last = _mix64_sql_chain("sh", "sh0", "doc_id")
+    jt_ctes, jt_last = _mix64_sql_chain("jm", "jm0", "doc_id")
+    return f"""
+            d AS (
+              SELECT doc_id, text, length(text) AS n,
+                     (length(regexp_replace(text, '[^0-9a-zA-Z ]', '', 'g'))
+                      / CAST(length(text) AS DOUBLE)) AS dens,
+                     (text = '*' OR text LIKE '###%') AS ign
+              FROM documents
+              WHERE length(text) > 0
+                AND text NOT LIKE '%<%' AND text NOT LIKE '%&%'
+            ),
+            sh0 AS (SELECT doc_id,
+                           CAST(CAST(doc_id AS UBIGINT) AS HUGEINT) AS x
+                    FROM d),
+            {sh_ctes},
+            rk AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY x, doc_id) - 1
+                               AS BIGINT) AS batch_id
+                   FROM {sh_last}),
+            jm0 AS (SELECT doc_id,
+                           CAST(CAST(doc_id * 65536 + 1 AS UBIGINT)
+                                AS HUGEINT) AS x
+                    FROM d),
+            {jt_ctes},
+            jit AS (SELECT doc_id,
+                           CAST(CAST(x AS UBIGINT) % 4 AS BIGINT) AS j1,
+                           CAST((CAST(x AS UBIGINT) >> 2) % 4 AS BIGINT) AS j2,
+                           CAST((CAST(x AS UBIGINT) >> 4) % 7 AS BIGINT) AS jt
+                    FROM {jt_last}),
+            feat AS (
+              SELECT d.doc_id, n, ign,
+                     CASE WHEN ign THEN 0.0
+                          ELSE least(1.0, greatest(0.0, 1.0 * (0.5 + 0.5 * dens)))
+                     END AS s,
+                     (n >= 10 AND NOT ign) AS trainable,
+                     (3 * n) // 10 AS dd, j1, j2, jt
+              FROM d JOIN jit ON d.doc_id = jit.doc_id
+            ),
+            geom AS (
+              SELECT doc_id, n, ign, s, trainable, j1, j2, jt,
+                     ((35 + n - dd + 3) // 4) - ((35 + dd + 3) // 4) AS area4,
+                     ((35 + n + 3) // 4) - 9 AS len4,
+                     (81 + n) // 4 AS n_px4
+              FROM feat
+            ),
+            img AS (
+              SELECT doc_id, n, ign, s, n_px4,
+                     CASE WHEN trainable THEN
+                       (-ln((CAST(n AS DOUBLE) + 1.0)
+                            / ((CAST(n AS DOUBLE) + CAST(j1 + j2 AS DOUBLE)) + 1.0)
+                            + 1e-10)
+                        + 20.0 * (1.0 - cos(CAST(jt AS DOUBLE) * 0.1 - 0.3)))
+                       * CAST(area4 AS DOUBLE)
+                     ELSE 0.0 END AS lg_sum,
+                     CASE WHEN trainable THEN s * CAST(area4 AS DOUBLE)
+                          ELSE 0.0 END AS inter,
+                     CASE WHEN trainable THEN area4 ELSE 0 END AS u1,
+                     CASE WHEN trainable THEN s * CAST(len4 AS DOUBLE)
+                          ELSE 0.0 END AS u2
+              FROM geom
+            ),
+            regbox AS (
+              SELECT doc_id,
+                     -ln(greatest(((0.15 * (0.5 + 0.5 * 1.0)) * 9.0) / 9.0,
+                                  1e-10)) AS r_nav,
+                     -ln(greatest((s * CAST(n AS DOUBLE)) / CAST(n AS DOUBLE),
+                                  1e-10)) AS r_p,
+                     -ln(greatest((least(1.0, greatest(0.0,
+                                     0.9 * (0.5 + 0.5 * 1.0) - 1.0))
+                                   * 9.0) / 9.0, 1e-10)) AS r_a,
+                     (NOT ign AND n <= 384) AS p_in
+              FROM img
+            ),
+            loss AS (
+              SELECT i.doc_id,
+                     ((i.lg_sum / CAST(i.n_px4 AS DOUBLE))
+                      + (1.0 - (2.0 * i.inter
+                                / ((CAST(i.u1 AS DOUBLE) + i.u2) + 0.00001)))
+                        * 0.01) AS det_loss,
+                     0.01 * (CASE WHEN r.p_in
+                                  THEN ((r.r_nav + r.r_p) + r.r_a) / 3.0
+                                  ELSE (r.r_nav + r.r_a) / 2.0 END) AS reg_loss,
+                     CASE WHEN r.p_in THEN CAST(3 AS BIGINT)
+                          ELSE CAST(2 AS BIGINT) END AS n_boxes
+              FROM img i JOIN regbox r ON i.doc_id = r.doc_id
+            ),
+            curve AS (
+              SELECT rk.batch_id, l.det_loss, l.reg_loss,
+                     l.det_loss + l.reg_loss AS total_loss, l.n_boxes
+              FROM loss l JOIN rk ON l.doc_id = rk.doc_id
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_ray.pipelines.tpch_ext import PARTSUPP_CTE as _PS
+    from ocr_ray.pipelines.training import LR_RSQRT_D, LR_WARM_FACTOR
+
+    _curve = _train_curve_ctes()
+    train_loss_curve_sql = (
+        "WITH " + _curve + """
+            SELECT batch_id, det_loss, reg_loss, total_loss, n_boxes
+            FROM curve ORDER BY batch_id"""
+    )
+    train_checkpoints_sql = (
+        "WITH " + _curve + """,
+            win AS (
+              SELECT batch_id // 20 AS eval_idx, count(*) AS cnt,
+                     sum(det_loss ORDER BY batch_id) / 20.0 AS now_det,
+                     sum(reg_loss ORDER BY batch_id) / 20.0 AS now_reg,
+                     sum(total_loss ORDER BY batch_id) / 20.0 AS now_total
+              FROM curve GROUP BY 1
+            ), fullw AS (SELECT * FROM win WHERE cnt = 20)
+            SELECT CAST(eval_idx AS BIGINT) AS eval_idx,
+                   now_det, now_reg, now_total,
+                   CAST(now_total < least(1000.0, coalesce(
+                          min(now_total) OVER (
+                            ORDER BY eval_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          1000.0)) AS BIGINT) AS is_best
+            FROM fullw ORDER BY eval_idx"""
+    )
+    # T7: WarmUpLR(final_LR=1e-4, d_model=128, warmup=800, warm_time=3)
+    # incl. tf rsqrt(0)=inf -> min(inf,0)=0 at step 0 and the dead
+    # (step < final_LR - 20) mid branch (WarmupLR.py:17-26, train.py:77)
+    train_lr_sql = f"""
+        SELECT CAST(step AS BIGINT) AS step,
+               CASE WHEN step < 3 THEN
+                      CASE WHEN step = 0 THEN {LR_RSQRT_D!r} * 0.0
+                           ELSE {LR_RSQRT_D!r} * least(
+                                  1.0 / sqrt(CAST(step AS DOUBLE)),
+                                  CAST(step AS DOUBLE) * {LR_WARM_FACTOR!r})
+                      END
+                    WHEN CAST(step AS DOUBLE) < (0.0001 - 20.0) THEN 0.0001
+                    ELSE 0.0001 * 0.1
+               END AS lr
+        FROM range(801) t(step) ORDER BY step"""
+    # T4: generate_rbox closed forms on the wrap template — shrink
+    # d = (3*extent)//10 per side, mask = extent >= 10 AND NOT ignore,
+    # per-pixel edge-distance sums in integers
+    train_gt_sql = """
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n
+          FROM documents
+          WHERE length(text) > 0
+            AND text NOT LIKE '%<%' AND text NOT LIKE '%&%'
+        )
+        SELECT * FROM (
+          SELECT doc_id, CAST(0 AS BIGINT) AS block_idx,
+                 CAST(17 AS BIGINT) AS block_start,
+                 CAST(26 AS BIGINT) AS block_end,
+                 CAST(19 AS BIGINT) AS shrunk_start,
+                 CAST(24 AS BIGINT) AS shrunk_end,
+                 CAST(5 AS BIGINT) AS score_area,
+                 CAST(0 AS BIGINT) AS trainable,
+                 CAST(20 AS BIGINT) AS geo_left_sum,
+                 CAST(25 AS BIGINT) AS geo_right_sum
+          FROM d
+          UNION ALL
+          SELECT doc_id, CAST(1 AS BIGINT), CAST(35 AS BIGINT),
+                 CAST(35 + n AS BIGINT),
+                 CAST(35 + (3 * n) // 10 AS BIGINT),
+                 CAST(35 + n - (3 * n) // 10 AS BIGINT),
+                 CAST(n - 2 * ((3 * n) // 10) AS BIGINT),
+                 CAST(CASE WHEN n >= 10
+                            AND NOT (text = '*' OR text LIKE '###%')
+                           THEN 1 ELSE 0 END AS BIGINT),
+                 CAST((n - 1) * (n - 2 * ((3 * n) // 10)) // 2 AS BIGINT),
+                 CAST(n * (n - 2 * ((3 * n) // 10))
+                      - (n - 1) * (n - 2 * ((3 * n) // 10)) // 2 AS BIGINT)
+          FROM d
+          UNION ALL
+          SELECT doc_id, CAST(2 AS BIGINT), CAST(51 + n AS BIGINT),
+                 CAST(60 + n AS BIGINT), CAST(53 + n AS BIGINT),
+                 CAST(58 + n AS BIGINT), CAST(5 AS BIGINT),
+                 CAST(0 AS BIGINT), CAST(20 AS BIGINT), CAST(25 AS BIGINT)
+          FROM d
+        ) ORDER BY doc_id, block_idx"""
 
     mh = _minhash_pairs_cte()
     dedup_minhash_sql = (
@@ -2178,6 +2485,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, n_chars
             HAVING n_chars >= 10
         """,
+        "train_lr_schedule": train_lr_sql,
+        "train_gt_labels": train_gt_sql,
+        "train_loss_curve": train_loss_curve_sql,
+        "train_checkpoints": train_checkpoints_sql,
         "dedup_simhash": """
             -- exact replay of the 64-bit SimHash: per-word md5 little-endian
             -- low-64 bits, count-weighted +/-1 per bit position, 4x16-bit
