@@ -178,6 +178,28 @@ def _schema_pandas_dtypes(*schemas) -> dict:
     return out
 
 
+def _pin_join_output(name: str, out_cols: list, col_dtypes: dict):
+    """Post-map_groups normalizer shared by the bucket joins: an empty
+    sort partition passes through with its INPUT schema (bucket/__side +
+    one side's columns) — pin it to the join's output schema so consumers
+    can index any output column. No astype on the non-empty path: a left
+    join legitimately promotes missing right-side ints to float."""
+
+    def norm_out(df: pd.DataFrame) -> pd.DataFrame:
+        if all(c in df.columns for c in out_cols):
+            return df[out_cols]
+        if len(df):
+            raise ValueError(
+                f"{name}: non-empty block missing output columns; "
+                f"got {list(df.columns)}"
+            )
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=col_dtypes[c]) for c in out_cols}
+        )
+
+    return norm_out
+
+
 def bucket_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -215,25 +237,9 @@ def bucket_hash_join(
         r = df[df["__side"] == "R"].reindex(columns=[on, *rcols])
         return l.merge(r, on=on, how=how)
 
-    out_cols = [on, *lcols, *rcols]
-
-    def norm_out(df: pd.DataFrame) -> pd.DataFrame:
-        # an empty sort partition passes through map_groups with its INPUT
-        # schema (bucket/__side + one side's columns); pin it to the join's
-        # output schema so consumers can index any output column. No astype
-        # on the non-empty path: a left join legitimately promotes missing
-        # right-side ints to float.
-        if all(c in df.columns for c in out_cols):
-            return df[out_cols]
-        if len(df):
-            raise ValueError(
-                f"bucket_hash_join: non-empty block missing output columns; "
-                f"got {list(df.columns)}"
-            )
-        return pd.DataFrame(
-            {c: pd.Series([], dtype=col_dtypes[c]) for c in out_cols}
-        )
-
+    norm_out = _pin_join_output(
+        "bucket_hash_join", [on, *lcols, *rcols], col_dtypes
+    )
     return both.groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"
     ).map_batches(norm_out, batch_format="pandas")
@@ -1348,21 +1354,9 @@ def salted_bucket_join(
         r = df[df["__side"] == "R"].reindex(columns=[on, *rcols])
         return l.merge(r, on=on, how="inner")
 
-    out_cols = [on, *lcols, *rcols]
-
-    def norm_out(df: pd.DataFrame) -> pd.DataFrame:
-        # same empty-sort-partition pass-through guard as bucket_hash_join
-        if all(c in df.columns for c in out_cols):
-            return df[out_cols]
-        if len(df):
-            raise ValueError(
-                f"salted_bucket_join: non-empty block missing output "
-                f"columns; got {list(df.columns)}"
-            )
-        return pd.DataFrame(
-            {c: pd.Series([], dtype=col_dtypes[c]) for c in out_cols}
-        )
-
+    norm_out = _pin_join_output(
+        "salted_bucket_join", [on, *lcols, *rcols], col_dtypes
+    )
     return both.groupby(["bucket", "__salt"]).map_groups(
         join_bucket, batch_format="pandas"
     ).map_batches(norm_out, batch_format="pandas")

@@ -366,6 +366,69 @@ def image_loss_partials(turns: rd.Dataset) -> rd.Dataset:
                              concurrency=(1, 8))
 
 
+# --- shared sorted-block driver-carry scan --------------------------------------
+
+
+def _sorted_carry_scan(
+    ds: rd.Dataset,
+    keys: list[str],
+    block_stat,
+    init,
+    fold,
+    apply_fn,
+    nblocks: int | None = None,
+) -> rd.Dataset:
+    """The reconcile-sorted pattern (extract.py:308) as one shared kernel:
+    materialize -> repartition(nblocks) -> sort(keys); each sorted block
+    emits ONE summary row (its first-row key tuple + ``block_stat(t)``);
+    the driver folds stats sequentially in key order, recording
+    ``carry_in[block] = state BEFORE the block``; a second per-block pass
+    applies ``apply_fn(block, carry_in)`` (``carry=None`` for empty
+    blocks). O(blocks) driver state at any corpus size. Block-first key
+    tuples are unique because callers' key sets are unique per row and the
+    range partitioner keeps equal keys together."""
+    if nblocks is None:
+        nblocks = (
+            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        )
+    sorted_ds = ds.materialize().repartition(nblocks).sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(
+                {**{k: pd.Series([], dtype="int64") for k in keys},
+                 "stat": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {**{k: [int(t.column(k)[0].as_py())] for k in keys},
+             "stat": pd.Series([block_stat(t)], dtype=object)}
+        )
+
+    summ = (
+        sorted_ds.map_batches(summarize, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(keys, kind="mergesort")
+    )
+    state = init
+    carry_in: dict[tuple, object] = {}
+    stats = summ["stat"].to_numpy()
+    keycols = [summ[k].to_numpy(np.int64) for k in keys]
+    for i in range(len(summ)):
+        kt = tuple(int(c[i]) for c in keycols)
+        carry_in[kt] = state
+        state = fold(state, stats[i])
+    cref = ray.put(carry_in)
+
+    def apply_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return apply_fn(t, None)
+        kt = tuple(int(t.column(k)[0].as_py()) for k in keys)
+        return apply_fn(t, ray.get(cref)[kt])
+
+    return sorted_ds.map_batches(apply_block, batch_size=None,
+                                 batch_format="pyarrow")
+
+
 # --- O5 shuffle + global batch rank -------------------------------------------
 
 
@@ -374,12 +437,9 @@ def _with_rank(ds: rd.Dataset, nblocks: int | None = None) -> rd.Dataset:
     epoch shuffle (DataGen.py:408-409) made deterministic and replayable
     (SQL: row_number() OVER (ORDER BY mix64(doc_id), doc_id)).
 
-    ONE sort of the small per-image rows, then the reconcile_sorted
-    boundary-offset walk (extract.py:308): O(blocks) driver state."""
-    if nblocks is None:
-        nblocks = (
-            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        )
+    ONE sort of the small per-image rows, then the shared
+    :func:`_sorted_carry_scan` boundary-offset walk (carry = running row
+    count before the block)."""
 
     def add_h(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -389,55 +449,28 @@ def _with_rank(ds: rd.Dataset, nblocks: int | None = None) -> rd.Dataset:
         h_ord = (h ^ np.uint64(1 << 63)).view(np.int64)
         return t.append_column("h_ord", pa.array(h_ord, pa.int64()))
 
-    sorted_ds = (
-        ds.map_batches(add_h, batch_format="pyarrow")
-        .materialize()
-        .repartition(nblocks)
-        .sort(["h_ord", "doc_id"])
-        .materialize()
-    )
-
-    _SUM = pa.schema([("k_h", pa.int64()), ("k_doc", pa.int64()),
-                      ("n", pa.int64())])
-
-    def summarize(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _SUM.empty_table()
-        return pa.Table.from_pydict(
-            {"k_h": [t.column("h_ord")[0].as_py()],
-             "k_doc": [t.column("doc_id")[0].as_py()],
-             "n": [t.num_rows]},
-            schema=_SUM,
-        )
-
-    summ = (
-        sorted_ds.map_batches(summarize, batch_size=None, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["k_h", "k_doc"], kind="mergesort")
-    )
-    counts = summ["n"].to_numpy(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else counts
-    omap = ray.put(
-        {(int(h), int(d)): int(o)
-         for h, d, o in zip(summ["k_h"], summ["k_doc"], offsets)}
-    )
-
-    def rank_block(t: pa.Table) -> pa.Table:
+    def apply_rank(t: pa.Table, off) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("rank", pa.array([], pa.int64()))
-        off = ray.get(omap)[
-            (int(t.column("h_ord")[0].as_py()), int(t.column("doc_id")[0].as_py()))
-        ]
-        r = off + np.arange(t.num_rows, dtype=np.int64)
+        r = int(off) + np.arange(t.num_rows, dtype=np.int64)
         return t.append_column("rank", pa.array(r, pa.int64()))
 
-    return sorted_ds.map_batches(rank_block, batch_size=None,
-                                 batch_format="pyarrow")
+    return _sorted_carry_scan(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        ["h_ord", "doc_id"],
+        block_stat=lambda t: t.num_rows,
+        init=0,
+        fold=lambda s, n: s + int(n),
+        apply_fn=apply_rank,
+        nblocks=nblocks,
+    )
 
 
 # --- T8: per-batch loss curve --------------------------------------------------
 
-_CURVE_COLS = ["batch_id", "det_loss", "reg_loss", "total_loss", "n_boxes"]
+_CURVE_DTYPES = {"batch_id": "int64", "det_loss": "float64",
+                 "reg_loss": "float64", "total_loss": "float64",
+                 "n_boxes": "int64"}
 
 
 def _batch_losses_from_partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -528,10 +561,14 @@ def train_loss_curve(
         bid = t.column("rank").to_numpy(zero_copy_only=False) // batch_size
         return t.append_column("batch_id", pa.array(bid, pa.int64()))
 
+    from ..stages.partial_agg import pin_schema
+
     return (
         ranked.map_batches(assign, batch_format="pyarrow")
         .groupby("batch_id")
         .map_groups(_batch_losses_from_partials, batch_format="pandas")
+        # pin: empty sort partitions pass through with their INPUT schema
+        .map_batches(pin_schema(_CURVE_DTYPES), batch_format="pandas")
     )
 
 
@@ -563,17 +600,19 @@ def _eval_window(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_EVAL_DTYPES = {"eval_idx": "int64", "now_det": "float64",
+                "now_reg": "float64", "now_total": "float64"}
+
+
 def train_checkpoints(curve: rd.Dataset,
                       nblocks: int | None = None) -> rd.Dataset:
     """Every-LOSS_STEP evaluation rows plus the best-loss checkpoint flag
     (train.py:127-135): is_best = now_total < running min of all previous
     now_totals (init BEST_LOSS=1000). The running min crosses sorted
-    blocks via an O(blocks) driver carry; min is order-insensitive so the
+    blocks via the shared :func:`_sorted_carry_scan` (carry = min of all
+    previous blocks' now_totals); min is order-insensitive so the
     distributed scan is exact."""
-    if nblocks is None:
-        nblocks = (
-            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        )
+    from ..stages.partial_agg import pin_schema
 
     def win(t: pa.Table) -> pa.Table:
         b = t.column("batch_id").to_numpy(zero_copy_only=False)
@@ -583,46 +622,31 @@ def train_checkpoints(curve: rd.Dataset,
         curve.map_batches(win, batch_format="pyarrow")
         .groupby("eval_idx")
         .map_groups(_eval_window, batch_format="pandas")
+        # empty sort partitions pass through map_groups with their INPUT
+        # schema (Ray Data 2.49) — pin before the next shuffle
+        .map_batches(pin_schema(_EVAL_DTYPES), batch_format="pandas")
     )
 
-    sorted_ev = (
-        evals.materialize().repartition(nblocks).sort("eval_idx").materialize()
-    )
-
-    _SUM = pa.schema([("k", pa.int64()), ("mn", pa.float64())])
-
-    def summarize(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _SUM.empty_table()
-        v = t.column("now_total").to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict(
-            {"k": [t.column("eval_idx")[0].as_py()], "mn": [float(v.min())]},
-            schema=_SUM,
-        )
-
-    summ = (
-        sorted_ev.map_batches(summarize, batch_size=None, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("k", kind="mergesort")
-    )
-    carry = BEST_LOSS_INIT
-    carry_in: dict[int, float] = {}
-    for row in summ.itertuples(index=False):
-        carry_in[int(row.k)] = carry
-        carry = min(carry, float(row.mn))
-    cref = ray.put(carry_in)
-
-    def flag(t: pa.Table) -> pa.Table:
+    def apply_flag(t: pa.Table, best_in) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("is_best", pa.array([], pa.int64()))
         v = t.column("now_total").to_numpy(zero_copy_only=False)
-        best_in = ray.get(cref)[int(t.column("eval_idx")[0].as_py())]
         prefix = np.minimum.accumulate(np.concatenate([[best_in], v]))[:-1]
         return t.append_column(
             "is_best", pa.array((v < prefix).astype(np.int64), pa.int64())
         )
 
-    return sorted_ev.map_batches(flag, batch_size=None, batch_format="pyarrow")
+    return _sorted_carry_scan(
+        evals,
+        ["eval_idx"],
+        block_stat=lambda t: float(
+            t.column("now_total").to_numpy(zero_copy_only=False).min()
+        ),
+        init=BEST_LOSS_INIT,
+        fold=lambda s, mn: min(s, float(mn)),
+        apply_fn=apply_flag,
+        nblocks=nblocks,
+    )
 
 
 # --- T1/T3/O4/O6/F13: the data-build chain (DataGen.generator) -----------------
@@ -664,7 +688,14 @@ def augment_payload(text: str, draw) -> str:
     blur -> lowercase fold; additive noise -> cyclic letter shift;
     channel shuffle -> vowel rotation; JPEG recompress(quality q) ->
     every (q+1)-th char degraded to '~'; Distort -> adjacent in-word char
-    swaps; invert(255 - img) -> swapcase."""
+    swaps; invert(255 - img) -> swapcase.
+
+    Gating replays the reference EXACTLY, including its nested-threshold
+    shape: ONE draw drives the first four stages (``if ratio<0.1`` /
+    ``if <0.2`` / ``if <0.3`` / ``elif <0.4`` — small ratios CO-FIRE
+    blur+noise+shuffle, and JPEG is mutually exclusive with channel
+    shuffle only; DataGen.py:134-158), then Distort and invert each
+    consume an independent fresh draw (DataGen.py:160-169)."""
     ratio = (draw() % 10000) / 10000.0
     if ratio < 0.1:
         text = text.translate(_LOWER)
@@ -899,17 +930,21 @@ def assemble_batches(
     labels. Only complete batches emit (DataGen.py:498)."""
 
     def key(t: pa.Table) -> pa.Table:
-        # string conv keys -> stable int64 for the shuffle hash
-        import hashlib
+        # string conv keys -> stable int64 for the shuffle hash: ONE C
+        # pass (pd.util.hash_array, process-stable — the add_hash_bucket
+        # pattern) over the joined "conv\x00idx" key instead of a per-row
+        # hashlib loop
+        import pyarrow.compute as pc
 
-        ids = [
-            int.from_bytes(
-                hashlib.blake2b(f"{c}\x00{x}".encode(), digest_size=8).digest(),
-                "big", signed=False,
-            ) >> 1
-            for c, x in zip(t.column("conv_id").to_pylist(),
-                            t.column("turn_idx").to_pylist())
-        ]
+        joined = pc.binary_join_element_wise(
+            t.column("conv_id").cast(pa.string()),
+            t.column("turn_idx").cast(pa.string()),
+            "\x00",
+        )
+        h = pd.util.hash_array(
+            joined.to_numpy(zero_copy_only=False), categorize=False
+        )
+        ids = (h >> np.uint64(1)).astype(np.int64)
         return t.append_column("doc_id", pa.array(ids, pa.int64()))
 
     ranked = _with_rank(examples.map_batches(key, batch_format="pyarrow"))
@@ -922,9 +957,13 @@ def assemble_batches(
         bid = t.column("rank").to_numpy(zero_copy_only=False) // batch_size
         return t.append_column("batch_id", pa.array(bid, pa.int64()))
 
+    from ..stages.partial_agg import pin_schema
+
     return (
         ranked.map_batches(assign, batch_format="pyarrow")
         .groupby("batch_id")
         .map_groups(lambda df: _assemble_group(df, batch_size),
                     batch_format="pandas")
+        # pin: empty sort partitions pass through with their INPUT schema
+        .map_batches(pin_schema(_ASSEMBLE_DTYPES), batch_format="pandas")
     )
