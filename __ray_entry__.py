@@ -964,6 +964,25 @@ def _q_train_checkpoints(sf_dir: str):
     return train_checkpoints(train_loss_curve(_train_turns(sf_dir)))
 
 
+def _q_graph_pagerank(sf_dir: str):
+    """Iterative graph analytics: exact integer-fixed-point PageRank on
+    the derived customer<->supplier trade graph after PR_ITERS
+    synchronous power iterations (pipelines/graph.py; the SQL twin
+    unrolls the same recurrence as CTEs)."""
+    from ocr_ray.pipelines.graph import pagerank_trade
+
+    return pagerank_trade(sf_dir)
+
+
+def _q_graph_triangles(sf_dir: str):
+    """Multi-way self-join kernel: triangle count of the derived co-part
+    supplier graph via the oriented-wedge plan (each triangle generated
+    once from its minimum vertex, closed by the adaptive semi join)."""
+    from ocr_ray.pipelines.graph import triangle_count_copart
+
+    return triangle_count_copart(sf_dir)
+
+
 def _q_train_build_examples(sf_dir: str):
     """T1/T3/O4/O6 data-build chain (DataGen.generator, SURVEY §3.3) over
     the transcript corpus: seeded scale pick -> position-preserving augment
@@ -1037,6 +1056,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_lag_delta / events_user_median / events_user_mode
     # (driver-green r3, kernel-redundant with in-window rolling_range /
     # top_per_user) moved to overflow head.
+    # Round-4 third swap: graph_pagerank / graph_triangles (the new
+    # iterative-graph-analytics family) promoted into the window;
+    # events_value_decile / events_value_quantiles_cont (driver-green
+    # r3, quantile-kernel-redundant with in-window events_hdr_quantiles)
+    # moved to overflow head.
     return {
         # extraction family — doc-path queries with exact SQL twins
         "extract_docs": _q_extract_docs,
@@ -1097,8 +1121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": R.lineitem_rollup,
         "events_corr_stats": R.events_corr_stats,
         "events_value_tiers": R.events_value_tiers,
-        "events_value_decile": R.events_value_decile,
-        "events_value_quantiles_cont": R.events_value_quantiles_cont,
+        # graph analytics over derived graphs (iterative integer
+        # PageRank + oriented-wedge triangle count; exact SQL twins)
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
         # multi-format source parity (S-ops: parquet -> JSONL round trip)
         # + predicate-pushdown scan
         "docs_jsonl_source": R.docs_jsonl_source,
@@ -1109,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- 50-entry graded window by design) ----
         # (doc_token_stats sat ABOVE this marker as entry 51 through r2/r3
         # — silently ungraded; the accounting is now exact: 50 above)
+        "events_value_decile": R.events_value_decile,
+        "events_value_quantiles_cont": R.events_value_quantiles_cont,
         "doc_token_stats": _q_token_stats,
         "events_moving_avg": S.moving_avg,
         "events_lag_delta": S.lag_delta,
@@ -1849,8 +1877,40 @@ def _train_curve_ctes() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.pipelines.graph import PR_ITERS, PR_SCALE, SUPP_OFFSET
     from ocr_ray.pipelines.tpch_ext import PARTSUPP_CTE as _PS
     from ocr_ray.pipelines.training import LR_RSQRT_D, LR_WARM_FACTOR
+
+    # exact integer-fixed-point PageRank: the engine's recurrence
+    # (graph.py) unrolled as one CTE per iteration; every arithmetic op
+    # is BIGINT floor division, so the twin is bit-exact (sums CAST back
+    # from DuckDB's HUGEINT before the division)
+    _pr = [f"""
+        pairs AS (
+          SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ), edges AS (
+          SELECT cust AS src, supp + {SUPP_OFFSET} AS dst FROM pairs
+          UNION ALL
+          SELECT supp + {SUPP_OFFSET} AS src, cust AS dst FROM pairs
+        ), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        r0 AS (SELECT src AS node, ({PR_SCALE} // n) AS pr FROM deg, nn)"""]
+    for _k in range(1, PR_ITERS + 1):
+        _pr.append(f""",
+        r{_k} AS (
+          SELECT e.dst AS node,
+                 CAST((15 * ({PR_SCALE} // (SELECT n FROM nn))) // 100
+                      + (85 * CAST(sum(r.pr // d.d) AS BIGINT)) // 100
+                      AS BIGINT) AS pr
+          FROM edges e JOIN r{_k - 1} r ON r.node = e.src
+                       JOIN deg d ON d.src = e.src
+          GROUP BY e.dst
+        )""")
+    graph_pagerank_sql = (
+        "WITH" + "".join(_pr)
+        + f"\n        SELECT node, pr FROM r{PR_ITERS} ORDER BY node"
+    )
 
     _curve = _train_curve_ctes()
     train_loss_curve_sql = (
@@ -3371,6 +3431,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON r.r_regionkey = n.n_regionkey
             WHERE r.r_name = 'AMERICA'
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+        """,
+        "graph_pagerank": graph_pagerank_sql,
+        "graph_triangles": """
+            WITH ps AS (
+              SELECT DISTINCT p_partkey AS p,
+                     (p_partkey + i * ((SELECT count(*) FROM supplier)
+                                       // 4 + 1))
+                       % (SELECT count(*) FROM supplier) AS s
+              FROM part, range(4) t(i)
+            ), e AS (
+              SELECT DISTINCT x.s AS lo, y.s AS hi
+              FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+            ), w AS (
+              SELECT e1.hi AS b, e2.hi AS c
+              FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM w JOIN e ON e.lo = w.b AND e.hi = w.c
         """,
         "q8_market_share": """
             SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

@@ -1,0 +1,255 @@
+"""Distributed graph analytics over DERIVED graphs — the iterative-
+algorithm operator family (PageRank) plus a multi-way self-join kernel
+(triangle counting).
+
+Two deterministic graphs are derived from the corpus so every query keeps
+an exact value-level DuckDB oracle:
+
+- the TRADE graph: an undirected customer<->supplier graph with an edge
+  wherever a customer's order contains a lineitem from that supplier
+  (orders |><| lineitem on orderkey, distinct pairs, both directions;
+  supplier nodes offset by ``SUPP_OFFSET`` into their own id namespace);
+- the CO-PART graph: supplier—supplier edges wherever two suppliers
+  supply the same part, over the derived partsupp relation
+  (tpch_ext.py: 4 suppliers per part at modular offsets).
+
+PageRank runs in EXACT integer fixed-point (rank scaled by ``PR_SCALE``,
+floor division everywhere) so the unrolled-CTE SQL twin replays it
+bit-for-bit — no float summation-order hazard. Per iteration:
+
+    r_{k+1}(v) = BASE + (85 * sum_{(u,v) in E} (r_k(u) // deg(u))) // 100
+    BASE       = (15 * (PR_SCALE // N)) // 100,  r_0 = PR_SCALE // N
+
+Scale shape: the graph never leaves the cluster. Each iteration is one
+partitioned bucket_hash_join (edges |><| rank state on src — edges is the
+fact side), one hash-bucketed grouped sum of contributions by dst, and
+one node-sized join to re-attach degrees; the state materialized between
+iterations is ONE ROW PER NODE. Skewed (celebrity) nodes spread their
+INCOMING contribution sum across hash buckets; their outgoing fan-out is
+data parallelism, not a hot key. Triangle counting orients every edge
+low->high so each triangle is generated exactly once from its minimum
+vertex, and closes wedges with the engine's adaptive semi join — wedge
+generation is the documented partitioning assumption (a skew-safe
+production variant would orient by degree instead of id; id orientation
+is exact and sufficient for the derived co-part graph whose degrees are
+near-uniform by construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..pqread import read_parquet as _read_parquet
+from ..stages.partial_agg import hash_bucket_sum
+
+__all__ = [
+    "trade_edges",
+    "pagerank_trade",
+    "copart_edges",
+    "triangle_count_copart",
+    "SUPP_OFFSET",
+    "PR_SCALE",
+    "PR_ITERS",
+]
+
+# supplier node ids live at SUPP_OFFSET + s_suppkey — the offset must
+# exceed the max customer key at any target scale (custkeys are dense,
+# 150k at SF1; 1e9 clears 100-TB-scale corpora with int64 headroom)
+SUPP_OFFSET = 1_000_000_000
+PR_SCALE = 10**12
+PR_ITERS = 3
+_DAMP_NUM, _DAMP_DEN = 85, 100  # 0.85 damping as an exact rational
+
+
+def _trade_pairs(sf_dir: str) -> rd.Dataset:
+    """Distinct (cust, supp) trade pairs: orders |><| lineitem on
+    orderkey (partitioned bucket join — both sides fact-scaled), then a
+    hash-bucketed distinct."""
+    from .joins import bucket_hash_join
+
+    orders = _read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["k", "cust"]), batch_format="pyarrow"
+    )
+    li = _read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["k", "supp"]), batch_format="pyarrow"
+    )
+    j = bucket_hash_join(orders, li, on="k")
+    pairs = j.map_batches(
+        lambda df: df[["cust", "supp"]], batch_format="pandas"
+    )
+    return hash_bucket_sum(pairs, ["cust", "supp"], []).map_batches(
+        lambda df: df[["cust", "supp"]].astype("int64"), batch_format="pandas"
+    )
+
+
+def trade_edges(sf_dir: str) -> rd.Dataset:
+    """The undirected trade graph as a DIRECTED edge list with both
+    orientations (src, dst) — the layout every per-node aggregate
+    (degree, incoming contribution) shuffles on."""
+
+    def both(t: pa.Table) -> pa.Table:
+        cust = t.column("cust").to_numpy(zero_copy_only=False)
+        supp = t.column("supp").to_numpy(zero_copy_only=False) + SUPP_OFFSET
+        return pa.table(
+            {"src": pa.array(np.concatenate([cust, supp]), pa.int64()),
+             "dst": pa.array(np.concatenate([supp, cust]), pa.int64())}
+        )
+
+    return _trade_pairs(sf_dir).map_batches(both, batch_format="pyarrow")
+
+
+def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
+    """Exact integer-fixed-point PageRank on the trade graph after
+    ``iters`` synchronous power iterations (see module docstring for the
+    recurrence). Every node has inbound edges (the graph is symmetric),
+    so the per-iteration grouped sum covers the full node set and no
+    outer join is needed. Returns (node, pr) — pr in PR_SCALE units."""
+    from .joins import bucket_hash_join
+
+    edges = trade_edges(sf_dir).materialize()
+    deg = (
+        hash_bucket_sum(edges.select_columns(["src"]), ["src"], [],
+                        count_alias="d")
+        .map_batches(lambda df: df[["src", "d"]].astype("int64"),
+                     batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = deg.count()
+    r0 = PR_SCALE // n_nodes
+    base = (_DAMP_DEN - _DAMP_NUM) * r0 // _DAMP_DEN
+
+    def init(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pr", pa.array(np.full(t.num_rows, r0, dtype=np.int64), pa.int64())
+        )
+
+    # state: one row per node — (src, d, pr)
+    state = deg.map_batches(init, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        contrib = bucket_hash_join(edges, state, on="src").map_batches(
+            lambda df: pd.DataFrame(
+                {"dst": df["dst"].to_numpy(np.int64),
+                 "c": df["pr"].to_numpy(np.int64)
+                      // df["d"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        new_pr = hash_bucket_sum(contrib, ["dst"], ["c"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"src": df["dst"].to_numpy(np.int64),
+                 "pr": base
+                       + _DAMP_NUM * df["c"].to_numpy(np.int64) // _DAMP_DEN}
+            ),
+            batch_format="pandas",
+        )
+        state = (
+            bucket_hash_join(deg, new_pr, on="src")
+            .map_batches(
+                lambda df: df[["src", "d", "pr"]].astype("int64"),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+
+    out = state.select_columns(["src", "pr"]).to_pandas()
+    out = out.rename(columns={"src": "node"}).astype(
+        {"node": "int64", "pr": "int64"}
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def copart_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct supplier—supplier edges (lo < hi) of the co-part graph:
+    the derived partsupp's 4 suppliers per part yield 6 pairs per part,
+    generated INLINE from p_partkey (no partsupp materialization — the
+    same O(1) modular-offset plan as tpch_ext), then one hash-bucketed
+    distinct."""
+    n_supp = pq.ParquetFile(
+        os.path.join(sf_dir, "supplier.parquet")
+    ).metadata.num_rows
+    step = n_supp // 4 + 1
+
+    def pairs(t: pa.Table) -> pa.Table:
+        p = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        sup = [(p + i * step) % n_supp for i in range(4)]
+        los, his = [], []
+        for i in range(4):
+            for j in range(i + 1, 4):
+                lo = np.minimum(sup[i], sup[j])
+                hi = np.maximum(sup[i], sup[j])
+                m = lo != hi  # (j-i)*step can wrap to 0 mod n_supp
+                los.append(lo[m])
+                his.append(hi[m])
+        return pa.table(
+            {"lo": pa.array(np.concatenate(los), pa.int64()),
+             "hi": pa.array(np.concatenate(his), pa.int64())}
+        )
+
+    part = _read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+    )
+    return hash_bucket_sum(
+        part.map_batches(pairs, batch_format="pyarrow"), ["lo", "hi"], []
+    ).map_batches(
+        lambda df: df[["lo", "hi"]].astype("int64"), batch_format="pandas"
+    )
+
+
+# pair-encoding base for the wedge-closing semi join: suppkeys are dense
+# and far below 2^31, so lo * 2^32 + hi is collision-free int64
+_PAIR_BASE = np.int64(1) << np.int64(32)
+
+
+def triangle_count_copart(sf_dir: str) -> pd.DataFrame:
+    """Triangle count of the co-part graph via the oriented wedge plan:
+    every edge is stored (lo < hi); wedges (a<b<c) come from ONE
+    self-join of the edge list on its minimum vertex (e1=(a,b), e2=(a,c),
+    b<c), so each triangle is generated exactly once from its minimum
+    vertex; a wedge closes iff (b,c) is an edge — decided by the adaptive
+    semi join on the collision-free packed pair key."""
+    from .joins import bucket_hash_join, semi_anti_join
+
+    edges = copart_edges(sf_dir).materialize()
+
+    e1 = edges.map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+    )
+    e2 = edges.map_batches(
+        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
+    )
+
+    def close_key(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["b"].to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        m = b < c
+        return pd.DataFrame({"pk": b[m] * _PAIR_BASE + c[m]})
+
+    wedges = bucket_hash_join(e1, e2, on="a").map_batches(
+        close_key, batch_format="pandas"
+    )
+    ekeys = edges.map_batches(
+        lambda t: pa.table(
+            {"pk": pa.array(
+                t.column("lo").to_numpy(zero_copy_only=False) * _PAIR_BASE
+                + t.column("hi").to_numpy(zero_copy_only=False),
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    n = semi_anti_join(wedges, ekeys, on="pk", assume_distinct=True).count()
+    return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})

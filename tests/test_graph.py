@@ -1,0 +1,88 @@
+"""Graph analytics (pipelines/graph.py) vs brute-force pandas/numpy on
+sf0.001: exact integer-fixed-point PageRank on the trade graph and the
+oriented-wedge triangle count on the co-part graph."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tbl(name: str) -> pd.DataFrame:
+    return pq.read_table(os.path.join(SF, f"{name}.parquet")).to_pandas()
+
+
+def _trade_edges_pd() -> pd.DataFrame:
+    from ocr_ray.pipelines.graph import SUPP_OFFSET
+
+    o = _tbl("orders")[["o_orderkey", "o_custkey"]]
+    li = _tbl("lineitem")[["l_orderkey", "l_suppkey"]]
+    pairs = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+        .astype("int64")
+    )
+    cust = pairs["o_custkey"].to_numpy()
+    supp = pairs["l_suppkey"].to_numpy() + SUPP_OFFSET
+    return pd.DataFrame(
+        {"src": np.concatenate([cust, supp]),
+         "dst": np.concatenate([supp, cust])}
+    )
+
+
+def test_pagerank_trade_exact(ray_session):
+    from ocr_ray.pipelines.graph import PR_ITERS, PR_SCALE, pagerank_trade
+
+    got = pagerank_trade(SF)
+    edges = _trade_edges_pd()
+    deg = edges.groupby("src").size()
+    n = len(deg)
+    r0 = PR_SCALE // n
+    base = 15 * r0 // 100
+    pr = pd.Series(r0, index=deg.index, dtype="int64")
+    for _ in range(PR_ITERS):
+        contrib = (pr // deg).reindex(edges["src"]).to_numpy()
+        s = pd.Series(contrib, index=edges["dst"]).groupby(level=0).sum()
+        pr = (base + 85 * s // 100).astype("int64")
+    exp = (
+        pr.rename_axis("node")
+        .rename("pr")
+        .reset_index()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # ranks are probabilities scaled by PR_SCALE: the total mass stays
+    # within integer-floor slack of PR_SCALE (each floor loses < 1 unit)
+    assert 0 < got["pr"].sum() <= PR_SCALE
+    # symmetric graph: every node must appear (all have inbound edges)
+    assert len(got) == n
+
+
+def test_triangle_count_copart(ray_session):
+    from ocr_ray.pipelines.graph import copart_edges, triangle_count_copart
+
+    got = triangle_count_copart(SF)
+    e = copart_edges(SF).to_pandas().astype("int64")
+    # brute force: adjacency set, count wedges (a<b<c) closed by (b,c)
+    eset = set(zip(e["lo"], e["hi"]))
+    by_lo = {}
+    for lo, hi in eset:
+        by_lo.setdefault(lo, []).append(hi)
+    n_tri = 0
+    for a, nbrs in by_lo.items():
+        nbrs.sort()
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                if (nbrs[i], nbrs[j]) in eset:
+                    n_tri += 1
+    assert got.shape == (1, 1)
+    assert got["n_triangles"].dtype == np.int64
+    assert int(got["n_triangles"].iloc[0]) == n_tri
+    # every stored edge is strictly oriented lo < hi
+    assert (e["lo"] < e["hi"]).all()
