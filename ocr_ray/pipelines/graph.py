@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..pqread import read_parquet as _read_parquet
-from ..stages.partial_agg import hash_bucket_sum
+from ..stages.partial_agg import hash_bucket_sum, pin_schema
 
 __all__ = [
     "trade_edges",
@@ -91,7 +91,7 @@ def _trade_pairs(sf_dir: str) -> rd.Dataset:
         lambda df: df[["cust", "supp"]], batch_format="pandas"
     )
     return hash_bucket_sum(pairs, ["cust", "supp"], []).map_batches(
-        lambda df: df[["cust", "supp"]].astype("int64"), batch_format="pandas"
+        pin_schema({"cust": "int64", "supp": "int64"}), batch_format="pandas"
     )
 
 
@@ -120,10 +120,12 @@ def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
     from .joins import bucket_hash_join
 
     edges = trade_edges(sf_dir).materialize()
+    # pin_schema, not a bare column-select: an empty sort partition passes
+    # through the grouped sum with its INPUT schema (src, bucket) — no "d"
     deg = (
         hash_bucket_sum(edges.select_columns(["src"]), ["src"], [],
                         count_alias="d")
-        .map_batches(lambda df: df[["src", "d"]].astype("int64"),
+        .map_batches(pin_schema({"src": "int64", "d": "int64"}),
                      batch_format="pandas")
         .materialize()
     )
@@ -205,7 +207,7 @@ def copart_edges(sf_dir: str) -> rd.Dataset:
     return hash_bucket_sum(
         part.map_batches(pairs, batch_format="pyarrow"), ["lo", "hi"], []
     ).map_batches(
-        lambda df: df[["lo", "hi"]].astype("int64"), batch_format="pandas"
+        pin_schema({"lo": "int64", "hi": "int64"}), batch_format="pandas"
     )
 
 
