@@ -1877,7 +1877,7 @@ def _train_curve_ctes() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_ray.pipelines.graph import PR_ITERS, PR_SCALE, SUPP_OFFSET
+    from ocr_ray.pipelines.graph import PR_ITERS, PR_SCALE
     from ocr_ray.pipelines.tpch_ext import PARTSUPP_CTE as _PS
     from ocr_ray.pipelines.training import LR_RSQRT_D, LR_WARM_FACTOR
 
@@ -1890,9 +1890,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         ), edges AS (
-          SELECT cust AS src, supp + {SUPP_OFFSET} AS dst FROM pairs
+          -- supplier nodes in the negative namespace: -(key+1), never
+          -- colliding with customer keys at any scale (matches graph.py)
+          SELECT cust AS src, -(supp + 1) AS dst FROM pairs
           UNION ALL
-          SELECT supp + {SUPP_OFFSET} AS src, cust AS dst FROM pairs
+          SELECT -(supp + 1) AS src, cust AS dst FROM pairs
         ), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
         nn AS (SELECT count(*) AS n FROM deg),
         r0 AS (SELECT src AS node, ({PR_SCALE} // n) AS pr FROM deg, nn)"""]

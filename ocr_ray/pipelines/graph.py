@@ -8,7 +8,8 @@ an exact value-level DuckDB oracle:
 - the TRADE graph: an undirected customer<->supplier graph with an edge
   wherever a customer's order contains a lineitem from that supplier
   (orders |><| lineitem on orderkey, distinct pairs, both directions;
-  supplier nodes offset by ``SUPP_OFFSET`` into their own id namespace);
+  supplier nodes mapped into the NEGATIVE id namespace, node = -(key+1),
+  collision-free with customer keys at any scale);
 - the CO-PART graph: supplier—supplier edges wherever two suppliers
   supply the same part, over the derived partsupp relation
   (tpch_ext.py: 4 suppliers per part at modular offsets).
@@ -22,11 +23,14 @@ bit-for-bit — no float summation-order hazard. Per iteration:
 
 Scale shape: the graph never leaves the cluster. Each iteration is one
 partitioned bucket_hash_join (edges |><| rank state on src — edges is the
-fact side), one hash-bucketed grouped sum of contributions by dst, and
-one node-sized join to re-attach degrees; the state materialized between
-iterations is ONE ROW PER NODE. Skewed (celebrity) nodes spread their
-INCOMING contribution sum across hash buckets; their outgoing fan-out is
-data parallelism, not a hot key. Triangle counting orients every edge
+fact side), a PER-BLOCK partial combine of contributions by dst (so a
+celebrity node's incoming rows shrink to at most one per block BEFORE
+the shuffle — the grouped sum partitions by hash(dst), which would
+otherwise land every one of a hot node's in-edges in a single bucket),
+one hash-bucketed grouped sum of those partials, and one node-sized join
+to re-attach degrees; the state materialized between iterations is ONE
+ROW PER NODE. A hot node's outgoing fan-out is data parallelism, not a
+hot key (its rank/degree ships per edge partition). Triangle counting orients every edge
 low->high so each triangle is generated exactly once from its minimum
 vertex, and closes wedges with the engine's adaptive semi join — wedge
 generation is the documented partitioning assumption (a skew-safe
@@ -54,15 +58,17 @@ __all__ = [
     "pagerank_trade",
     "copart_edges",
     "triangle_count_copart",
-    "SUPP_OFFSET",
+    "SUPP_NODE_NEG_BASE",
     "PR_SCALE",
     "PR_ITERS",
 ]
 
-# supplier node ids live at SUPP_OFFSET + s_suppkey — the offset must
-# exceed the max customer key at any target scale (custkeys are dense,
-# 150k at SF1; 1e9 clears 100-TB-scale corpora with int64 headroom)
-SUPP_OFFSET = 1_000_000_000
+# supplier node ids live in the negative namespace: node = -(s_suppkey+1)
+# (suppkey 0 -> -1). Customer keys are non-negative, so the two key
+# spaces can NEVER collide, at any corpus scale — a fixed positive offset
+# would silently merge customer and supplier nodes once custkeys outgrow
+# it (at TPC-H scaling, custkey 1e9 is reached near SF 6,667)
+SUPP_NODE_NEG_BASE = -1
 PR_SCALE = 10**12
 PR_ITERS = 3
 _DAMP_NUM, _DAMP_DEN = 85, 100  # 0.85 damping as an exact rational
@@ -102,7 +108,7 @@ def trade_edges(sf_dir: str) -> rd.Dataset:
 
     def both(t: pa.Table) -> pa.Table:
         cust = t.column("cust").to_numpy(zero_copy_only=False)
-        supp = t.column("supp").to_numpy(zero_copy_only=False) + SUPP_OFFSET
+        supp = -(t.column("supp").to_numpy(zero_copy_only=False) + 1)
         return pa.table(
             {"src": pa.array(np.concatenate([cust, supp]), pa.int64()),
              "dst": pa.array(np.concatenate([supp, cust]), pa.int64())}
@@ -141,14 +147,18 @@ def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
     # state: one row per node — (src, d, pr)
     state = deg.map_batches(init, batch_format="pyarrow").materialize()
 
+    def partial_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block pre-combine: caps a celebrity node's shuffled
+        # contribution rows at one per block (int64 sums — exact)
+        out = pd.DataFrame(
+            {"dst": df["dst"].to_numpy(np.int64),
+             "c": df["pr"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)}
+        )
+        return out.groupby("dst", as_index=False, sort=False)["c"].sum()
+
     for _ in range(iters):
         contrib = bucket_hash_join(edges, state, on="src").map_batches(
-            lambda df: pd.DataFrame(
-                {"dst": df["dst"].to_numpy(np.int64),
-                 "c": df["pr"].to_numpy(np.int64)
-                      // df["d"].to_numpy(np.int64)}
-            ),
-            batch_format="pandas",
+            partial_contrib, batch_format="pandas"
         )
         new_pr = hash_bucket_sum(contrib, ["dst"], ["c"]).map_batches(
             lambda df: pd.DataFrame(

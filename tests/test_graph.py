@@ -16,8 +16,6 @@ def _tbl(name: str) -> pd.DataFrame:
 
 
 def _trade_edges_pd() -> pd.DataFrame:
-    from ocr_ray.pipelines.graph import SUPP_OFFSET
-
     o = _tbl("orders")[["o_orderkey", "o_custkey"]]
     li = _tbl("lineitem")[["l_orderkey", "l_suppkey"]]
     pairs = (
@@ -28,7 +26,7 @@ def _trade_edges_pd() -> pd.DataFrame:
         .astype("int64")
     )
     cust = pairs["o_custkey"].to_numpy()
-    supp = pairs["l_suppkey"].to_numpy() + SUPP_OFFSET
+    supp = -(pairs["l_suppkey"].to_numpy() + 1)
     return pd.DataFrame(
         {"src": np.concatenate([cust, supp]),
          "dst": np.concatenate([supp, cust])}
