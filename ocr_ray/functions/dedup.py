@@ -399,7 +399,10 @@ def minhash_pairs(
     # before widening): per-bucket task overhead dominates tiny verifies;
     # 100 TB candidate sets still clamp to 256-wide joins
     nb = min(256, max(8, n_cand // 20_000))
-    with_a = cogroup_bucket_join(cand, sh_a, "doc_a", n_buckets=nb)
+    # materialize between the chained cogroups: the second join's schema
+    # probe would otherwise re-execute the first join's whole shuffle
+    # (see bucket_hash_join's CALLER NOTE in pipelines/joins.py)
+    with_a = cogroup_bucket_join(cand, sh_a, "doc_a", n_buckets=nb).materialize()
     with_ab = cogroup_bucket_join(with_a, sh_b, "doc_b", n_buckets=nb)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -1125,7 +1128,8 @@ def _embedding_near_dup_rows(
     u_a = embs.map_batches(unit_blob(["doc_a", "ua"]), batch_format="pyarrow")
     u_b = embs.map_batches(unit_blob(["doc_b", "ub"]), batch_format="pyarrow")
     nb = min(256, max(8, n_cand // 20_000))
-    j = cogroup_bucket_join(cand, u_a, "doc_a", n_buckets=nb)
+    # materialized between the chained cogroups (schema-probe re-execution)
+    j = cogroup_bucket_join(cand, u_a, "doc_a", n_buckets=nb).materialize()
     j = cogroup_bucket_join(j, u_b, "doc_b", n_buckets=nb)
 
     def cos_pairs(df: pd.DataFrame) -> pd.DataFrame:

@@ -321,8 +321,11 @@ def rare_terms(docs, n: int = 3):
     # materialized: both the df count and the join read pairs; without
     # this the tokenization pass re-executes for each branch
     pairs = docs.map_batches(pairs_of, batch_format="pyarrow").materialize()
+    # materialized: bucket_hash_join probes dfs.schema(), which would
+    # execute the grouped-sum shuffle once for the probe and again for
+    # the real run (see the join's CALLER NOTE)
     dfs = hash_bucket_sum(pairs.select_columns(["tok"]), ["tok"], [],
-                          count_alias="df")
+                          count_alias="df").materialize()
     joined = bucket_hash_join(pairs, dfs, on="tok")
     return grouped_topn(
         joined, "doc_id", ["df", "tok"], [True, True], n,

@@ -62,10 +62,12 @@ def curate_documents(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     # 2. exact dedup: min doc_id per canonical text; keeper ids joined back
     #    Dataset-side (no driver key set)
     hashed = survivors.map_batches(add_content_hash, batch_format="pyarrow")
+    # materialized: the join's schema probe would re-run the grouped min
     keepers = (
         hashed.groupby("content_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
+        .materialize()
     )
     exact_survivors = cogroup_bucket_join(
         survivors, keepers, "doc_id", n_buckets=32

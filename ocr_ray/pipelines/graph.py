@@ -21,16 +21,18 @@ bit-for-bit — no float summation-order hazard. Per iteration:
     r_{k+1}(v) = BASE + (85 * sum_{(u,v) in E} (r_k(u) // deg(u))) // 100
     BASE       = (15 * (PR_SCALE // N)) // 100,  r_0 = PR_SCALE // N
 
-Scale shape: the graph never leaves the cluster. Each iteration is one
-partitioned bucket_hash_join (edges |><| rank state on src — edges is the
-fact side), a PER-BLOCK partial combine of contributions by dst (so a
-celebrity node's incoming rows shrink to at most one per block BEFORE
-the shuffle — the grouped sum partitions by hash(dst), which would
-otherwise land every one of a hot node's in-edges in a single bucket),
-one hash-bucketed grouped sum of those partials, and one node-sized join
-to re-attach degrees; the state materialized between iterations is ONE
-ROW PER NODE. A hot node's outgoing fan-out is data parallelism, not a
-hot key (its rank/degree ships per edge partition). Triangle counting orients every edge
+Scale shape: the graph never leaves the cluster. Each iteration is
+exactly one partitioned bucket_hash_join (degree-annotated edges |><|
+rank state on src — edges is the fact side) and one grouped sum: a
+PER-BLOCK partial combine of contributions by (dst, dd) shrinks a
+celebrity node's incoming rows to at most one per block BEFORE the
+shuffle (the grouped sum partitions by hash(dst), which would otherwise
+land every one of a hot node's in-edges in a single bucket), then the
+hash-bucketed grouped sum finishes the recurrence — the destination
+degree rides the edge table, so no per-iteration node join re-attaches
+it. The state materialized between iterations is ONE ROW PER NODE. A hot
+node's outgoing fan-out is data parallelism, not a hot key (its
+rank/degree ships per edge partition). Triangle counting orients every edge
 low->high so each triangle is generated exactly once from its minimum
 vertex, and closes wedges with the engine's adaptive semi join — wedge
 generation is the documented partitioning assumption (a skew-safe
@@ -122,7 +124,15 @@ def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
     ``iters`` synchronous power iterations (see module docstring for the
     recurrence). Every node has inbound edges (the graph is symmetric),
     so the per-iteration grouped sum covers the full node set and no
-    outer join is needed. Returns (node, pr) — pr in PR_SCALE units."""
+    outer join is needed. Returns (node, pr) — pr in PR_SCALE units.
+
+    The destination degree rides the EDGE table (``dd``, attached by one
+    setup join): grouping contributions by (dst, dd) makes each iteration
+    exactly one partitioned join + one grouped sum — no per-iteration
+    node join to re-attach degrees, and no LAZY dataset ever feeds a join
+    (a lazy side's schema() probe re-executes its whole upstream shuffle;
+    measured 8 s extra per iteration at sf0.1 before this layout).
+    +8 bytes/edge is the documented cost."""
     from .joins import bucket_hash_join
 
     edges = trade_edges(sf_dir).materialize()
@@ -139,6 +149,19 @@ def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
     r0 = PR_SCALE // n_nodes
     base = (_DAMP_DEN - _DAMP_NUM) * r0 // _DAMP_DEN
 
+    deg_dst = deg.map_batches(
+        lambda t: t.rename_columns(["dst", "dd"]), batch_format="pyarrow"
+    )
+    # edges2: (src, dst, dd) — dd = degree of dst, constant per dst
+    edges2 = (
+        bucket_hash_join(edges, deg_dst, on="dst")
+        .map_batches(
+            pin_schema({"src": "int64", "dst": "int64", "dd": "int64"}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
     def init(t: pa.Table) -> pa.Table:
         return t.append_column(
             "pr", pa.array(np.full(t.num_rows, r0, dtype=np.int64), pa.int64())
@@ -149,31 +172,32 @@ def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
 
     def partial_contrib(df: pd.DataFrame) -> pd.DataFrame:
         # per-block pre-combine: caps a celebrity node's shuffled
-        # contribution rows at one per block (int64 sums — exact)
+        # contribution rows at one per block (int64 sums — exact); dd is
+        # functionally dependent on dst, so keying the groupby on
+        # (dst, dd) carries the destination degree through the shuffle
+        # for free
         out = pd.DataFrame(
             {"dst": df["dst"].to_numpy(np.int64),
+             "dd": df["dd"].to_numpy(np.int64),
              "c": df["pr"].to_numpy(np.int64) // df["d"].to_numpy(np.int64)}
         )
-        return out.groupby("dst", as_index=False, sort=False)["c"].sum()
+        return out.groupby(["dst", "dd"], as_index=False, sort=False)["c"].sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["dst"].to_numpy(np.int64),
+             "d": df["dd"].to_numpy(np.int64),
+             "pr": base
+                   + _DAMP_NUM * df["c"].to_numpy(np.int64) // _DAMP_DEN}
+        )
 
     for _ in range(iters):
-        contrib = bucket_hash_join(edges, state, on="src").map_batches(
+        contrib = bucket_hash_join(edges2, state, on="src").map_batches(
             partial_contrib, batch_format="pandas"
         )
-        new_pr = hash_bucket_sum(contrib, ["dst"], ["c"]).map_batches(
-            lambda df: pd.DataFrame(
-                {"src": df["dst"].to_numpy(np.int64),
-                 "pr": base
-                       + _DAMP_NUM * df["c"].to_numpy(np.int64) // _DAMP_DEN}
-            ),
-            batch_format="pandas",
-        )
         state = (
-            bucket_hash_join(deg, new_pr, on="src")
-            .map_batches(
-                lambda df: df[["src", "d", "pr"]].astype("int64"),
-                batch_format="pandas",
-            )
+            hash_bucket_sum(contrib, ["dst", "dd"], ["c"])
+            .map_batches(finish, batch_format="pandas")
             .materialize()
         )
 
@@ -250,9 +274,12 @@ def triangle_count_copart(sf_dir: str) -> pd.DataFrame:
         m = b < c
         return pd.DataFrame({"pk": b[m] * _PAIR_BASE + c[m]})
 
+    # materialized: above the key gate the semi join's cogroup path probes
+    # wedges.schema(), which would re-execute the wedge join; the
+    # materialized table is one int64 per wedge
     wedges = bucket_hash_join(e1, e2, on="a").map_batches(
         close_key, batch_format="pandas"
-    )
+    ).materialize()
     ekeys = edges.map_batches(
         lambda t: pa.table(
             {"pk": pa.array(

@@ -210,7 +210,14 @@ def bucket_hash_join(
     """Generic partitioned hash join of two Datasets on one key column.
 
     Shuffle cost: one groupby over (left ∪ right) tagged rows. Column sets
-    of the two sides must be disjoint apart from ``on``."""
+    of the two sides must be disjoint apart from ``on``.
+
+    CALLER NOTE: this probes ``left.schema()`` / ``right.schema()``. On a
+    LAZY input whose plan contains an all-to-all (groupby/sort), that
+    probe executes the whole upstream shuffle — and the result is NOT
+    reused by the real execution, so the shuffle runs twice. Materialize
+    shuffle-bearing inputs first (see graph.pagerank_trade, which paid
+    8 s/iteration to this before restructuring)."""
     from ..stages.partial_agg import add_hash_bucket
 
     lschema, rschema = left.schema(), right.schema()
@@ -228,6 +235,12 @@ def bucket_hash_join(
     both = left.map_batches(tag("L"), batch_format="pyarrow").union(
         right.map_batches(tag("R"), batch_format="pyarrow")
     )
+    # blocks = buckets before the sort exchange, mirroring
+    # cogroup_bucket_join: the grouped stage has at most n_buckets groups,
+    # and sort cost grows superlinearly with input block count — without
+    # this, iterating joins (graph.pagerank_trade) compounded block counts
+    # 128 -> 384 -> 640 across iterations, tripling each round's wall time
+    both = both.repartition(n_buckets)
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # reindex, not select: a bucket whose rows all came from one side
@@ -506,9 +519,11 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
             [t["l_orderkey"].combine_chunks(), rev], names=["l_orderkey", "rev_c4"]
         )
 
+    # materialized: the join's schema probe would re-execute the grouped
+    # sum's shuffle (CALLER NOTE on bucket_hash_join)
     li_agg = hash_bucket_sum(
         li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
-    ).drop_columns(["n"])
+    ).drop_columns(["n"]).materialize()
 
     orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderstatus"]
@@ -676,7 +691,7 @@ def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
                                for c in ("o_custkey", "sum_c", "n")})
         ),
         batch_format="pandas",
-    )
+    ).materialize()  # the join's schema probe would re-run the shuffle
 
     joined = bucket_hash_join(wide, per_cust, on="o_custkey")
 
@@ -717,7 +732,8 @@ def cust_order_counts(sf_dir: str) -> pd.DataFrame:
     ).map_batches(
         lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
     )
-    per_cust = hash_bucket_sum(orders, ["c_custkey"], [])
+    # materialized: the join's schema probe would re-run the shuffle
+    per_cust = hash_bucket_sum(orders, ["c_custkey"], []).materialize()
 
     joined = bucket_hash_join(cust, per_cust, on="c_custkey", how="left")
 
@@ -859,7 +875,7 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
         li_agg = hash_bucket_sum(
             li_f.map_batches(widen, batch_format="pyarrow"),
             ["l_orderkey"], ["rev_c4"],
-        ).drop_columns(["n"])
+        ).drop_columns(["n"]).materialize()  # schema-probe re-execution
         joined = bucket_hash_join(li_agg, orders_f, on="l_orderkey")
         part = joined.map_batches(topk, batch_format="pandas").to_pandas()
 
@@ -1438,9 +1454,10 @@ def q4_late_shipments(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_shipdate"],
     )
+    # materialized: the join's schema probe would re-run the grouped max
     ship = li.groupby("l_orderkey").aggregate(
         Max("l_shipdate", alias_name="ship_end")
-    )
+    ).materialize()
 
     orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),

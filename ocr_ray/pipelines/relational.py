@@ -1872,9 +1872,11 @@ def orders_open_per_day(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
+    # materialized: the join's schema probe would re-run the grouped max
     ship = (
         li.groupby("l_orderkey")
         .aggregate(Max("l_shipdate", alias_name="ship_end"))
+        .materialize()
     )
     from .joins import bucket_hash_join
 
