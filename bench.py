@@ -158,6 +158,7 @@ def run_bench(ncpu: int) -> dict:
         "docs_inverted_index",
         "events_window_join",
         "events_hdr_quantiles",
+        "graph_triangles",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver

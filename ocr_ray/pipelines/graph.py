@@ -58,6 +58,7 @@ from ..stages.partial_agg import hash_bucket_sum, pin_schema
 __all__ = [
     "trade_edges",
     "pagerank_trade",
+    "pagerank_edges",
     "copart_edges",
     "triangle_count_copart",
     "SUPP_NODE_NEG_BASE",
@@ -120,11 +121,19 @@ def trade_edges(sf_dir: str) -> rd.Dataset:
 
 
 def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
-    """Exact integer-fixed-point PageRank on the trade graph after
-    ``iters`` synchronous power iterations (see module docstring for the
-    recurrence). Every node has inbound edges (the graph is symmetric),
-    so the per-iteration grouped sum covers the full node set and no
-    outer join is needed. Returns (node, pr) — pr in PR_SCALE units.
+    """Exact integer-fixed-point PageRank on the trade graph (see
+    :func:`pagerank_edges` for the engine; this binds it to the derived
+    corpus graph)."""
+    return pagerank_edges(trade_edges(sf_dir), iters=iters)
+
+
+def pagerank_edges(edge_ds: rd.Dataset, iters: int = PR_ITERS) -> pd.DataFrame:
+    """Exact integer-fixed-point PageRank over an arbitrary directed
+    (src, dst) edge Dataset after ``iters`` synchronous power iterations
+    (see module docstring for the recurrence). Every node must have BOTH
+    out- and in-edges (symmetric graphs qualify), so the per-iteration
+    grouped sum covers the full node set and no outer join is needed.
+    Returns (node, pr) — pr in PR_SCALE units.
 
     The destination degree rides the EDGE table (``dd``, attached by one
     setup join): grouping contributions by (dst, dd) makes each iteration
@@ -135,7 +144,7 @@ def pagerank_trade(sf_dir: str, iters: int = PR_ITERS) -> pd.DataFrame:
     +8 bytes/edge is the documented cost."""
     from .joins import bucket_hash_join
 
-    edges = trade_edges(sf_dir).materialize()
+    edges = edge_ds.materialize()
     # pin_schema, not a bare column-select: an empty sort partition passes
     # through the grouped sum with its INPUT schema (src, bucket) — no "d"
     deg = (
