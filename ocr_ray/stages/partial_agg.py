@@ -63,9 +63,19 @@ def add_hash_bucket(t: pa.Table, keys: list[str], n_buckets: int) -> pa.Table:
     """Append a deterministic ``bucket`` column = hash(keys) % n_buckets.
 
     Uses pd.util.hash_array (process-independent) — builtin hash() is
-    salted per worker and would scatter one key across buckets."""
+    salted per worker and would scatter one key across buckets.
+
+    Also strips schema metadata: Ray's pandas->Arrow block conversion
+    (feeding a ``batch_format="pyarrow"`` stage from a pandas-block
+    producer like map_groups) re-attaches the ``b'pandas'`` metadata
+    dict, which makes the schema unhashable and defeats Ray's
+    block-schema dedup in the downstream sort's reduce tasks. Every
+    bucketed shuffle funnels through here, so this is the one choke
+    point that keeps exchange blocks hashable."""
     import numpy as np
 
+    if t.schema.metadata:
+        t = t.replace_schema_metadata(None)
     h = np.zeros(t.num_rows, dtype=np.uint64)
     for k in keys:
         v = pd.util.hash_array(
