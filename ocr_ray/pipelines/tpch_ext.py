@@ -35,6 +35,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -233,24 +234,29 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q9 shape: profit (revenue minus supply cost) by supplier
     nation and order year for parts whose name contains a substring.
 
-    Scale shape: the part filter ships as a partkey id-set via ray.put;
-    partsupp membership is the O(1) offset test and ps_supplycost_c is
-    computed INLINE (pure function of the join key — no partsupp join,
-    no broadcast of a fact-sized table); supplier->nation ships as one
-    int map; the only shuffle is the orderkey bucket join to fetch the
-    order year, identical to Q7's plan."""
-    from .joins import bucket_hash_join
+    Scale shape: the name-filtered part keys stay a DATASET (filtered in
+    the scan task, never pulled to the driver — part scales with the
+    corpus) and lineitem membership goes through semi_anti_join's
+    adaptive gate (broadcast below _BROADCAST_KEY_LIMIT, partitioned
+    cogroup above); partsupp membership is the O(1) offset test and
+    ps_supplycost_c is computed INLINE (pure function of the join key —
+    no partsupp join, no broadcast of a fact-sized table);
+    supplier->nation ships as one int map (the canonical tiny side); the
+    only other shuffle is the orderkey bucket join to fetch the order
+    year, identical to Q7's plan."""
+    from .joins import bucket_hash_join, semi_anti_join
 
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
 
-    part = pq.read_table(
+    pkeys = _read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
-    ).to_pandas()
-    keys = part.loc[
-        part["p_name"].str.contains(Q9_NAME_SUBSTR), "p_partkey"
-    ].to_numpy(np.int64)
-    keys_ref = ray.put(keys)
+    ).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], Q9_NAME_SUBSTR)
+        ).select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
     supp = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"],
@@ -263,16 +269,19 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
         ).to_pandas().to_dict("list").values())
     )
 
-    li = _read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-                 "l_extendedprice", "l_discount"],
+    li = semi_anti_join(
+        _read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        ),
+        pkeys, on="l_partkey", assume_distinct=True,
     )
 
     def l_side(df: pd.DataFrame) -> pd.DataFrame:
         pk = df["l_partkey"].to_numpy(np.int64)
         sk = df["l_suppkey"].to_numpy(np.int64)
-        keep = np.isin(pk, ray.get(keys_ref)) & np.isin((sk - pk) % s, offsets)
+        keep = np.isin((sk - pk) % s, offsets)
         df = df[keep]
         pk, sk = pk[keep], sk[keep]
         price_c = _cents_np(df["l_extendedprice"].to_numpy())
@@ -614,42 +623,48 @@ def q20_potential_promotion(sf_dir: str) -> pd.DataFrame:
     (ps_availqty > half the year's shipped quantity) of prefix-named
     parts — nested aggregate + double semi-join.
 
-    Scale shape: the part prefix filter broadcasts an id-set; the year
-    window is predicate-pushed into the lineitem scan; the shipped-qty
-    aggregate is ONE (partkey,suppkey) hash-bucket grouped sum; partsupp
-    membership/availqty are inline formulas on the grouped rows; the
-    final supplier list is dimension-sized."""
+    Scale shape: the prefix-named part keys stay a DATASET (filtered in
+    the scan task) and lineitem membership goes through semi_anti_join's
+    adaptive gate — part scales with the corpus, so no unconditional
+    id-set broadcast; the year window is predicate-pushed into the
+    lineitem scan; the shipped-qty aggregate is ONE (partkey,suppkey)
+    hash-bucket grouped sum; partsupp membership/availqty are inline
+    formulas on the grouped rows; the final supplier list is
+    dimension-sized."""
     import pyarrow.dataset as pads
+
+    from .joins import semi_anti_join
 
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
     dim = _region_suppliers(sf_dir, Q20_REGION)
     elig_ref = ray.put(dim["s_suppkey"].to_numpy(np.int64))
 
-    part = pq.read_table(
+    pkeys = _read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
-    ).to_pandas()
-    keys = part.loc[
-        part["p_name"].str.startswith(Q20_PREFIX), "p_partkey"
-    ].to_numpy(np.int64)
-    keys_ref = ray.put(keys)
+    ).map_batches(
+        lambda t: t.filter(
+            pc.starts_with(t["p_name"], Q20_PREFIX)
+        ).select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
 
-    li = _read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_suppkey", "l_quantity"],
-        filter=(pads.field("l_shipdate") >= pd.Timestamp(Q20_FROM))
-        & (pads.field("l_shipdate") < pd.Timestamp(Q20_TO)),
+    li = semi_anti_join(
+        _read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+            filter=(pads.field("l_shipdate") >= pd.Timestamp(Q20_FROM))
+            & (pads.field("l_shipdate") < pd.Timestamp(Q20_TO)),
+        ),
+        pkeys, on="l_partkey", assume_distinct=True,
     )
 
     def widen(t: pa.Table) -> pa.Table:
-        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        keep = np.isin(pk, ray.get(keys_ref))
         return pa.table(
-            {"l_partkey": pk[keep],
-             "l_suppkey": t.column("l_suppkey").to_numpy(
-                 zero_copy_only=False)[keep],
+            {"l_partkey": t.column("l_partkey").to_numpy(zero_copy_only=False),
+             "l_suppkey": t.column("l_suppkey").to_numpy(zero_copy_only=False),
              "qty": t.column("l_quantity").to_numpy(
-                 zero_copy_only=False).astype(np.int64)[keep]}
+                 zero_copy_only=False).astype(np.int64)}
         )
 
     agg = hash_bucket_sum(
