@@ -237,6 +237,14 @@ def _q_events_kmv_users(sf_dir: str):
     return kmv_distinct_by_key(ds, "event_type", "user_id")
 
 
+def _q_events_cms_counts(sf_dir: str):
+    from ocr_ray.functions.sketch import cms_point_counts
+
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    return cms_point_counts(ds, "user_id")
+
+
 def _q_kmeans(sf_dir: str):
     import ray.data as rd
 
@@ -1209,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch": S.first_touch_attribution,
         "q14_promo_effect": J.q14_promo_effect,
         "events_kmv_users": _q_events_kmv_users,
+        "events_cms_counts": _q_events_cms_counts,
         "q22_dormant_customers": J.q22_dormant_customers,
         "events_spearman": R.events_spearman,
         "events_type_islands": S.type_islands,
@@ -1558,33 +1567,54 @@ def _kmeans_sql(sf_dir: str | None = None) -> str | None:
     """
 
 
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+_SM_G = 0x9E3779B97F4A7C15
+_SM_M64 = 1 << 64
+
+
+def _sm_xs(col: str, k: int) -> str:
+    return (f"CAST(xor(CAST({col} AS UBIGINT), "
+            f"CAST({col} AS UBIGINT) >> {k}) AS HUGEINT)")
+
+
+def _sm_mm(col: str, c: int) -> str:  # (col * c) mod 2^64, HUGEINT-safe
+    return (f"(((({col}) // 4294967296 * {c}) % 4294967296) * 4294967296"
+            f" + (({col}) % 4294967296) * {c}) % {_SM_M64}")
+
+
+def _sm_finalizer_ops() -> list[str]:
+    """The 5-op splitmix64 finalizer on column ``x`` (= pandas
+    hash_array's int64 path); sketch._mix64 is ``(x+G) % 2^64`` followed
+    by this same finalizer."""
+    return [_sm_xs("x", 30), _sm_mm("x", _SM_C1), _sm_xs("x", 27),
+            _sm_mm("x", _SM_C2), _sm_xs("x", 31)]
+
+
+def _sm_apply_ops(ctes: list[str], ops: list[str], carry: str,
+                  src: str, prefix: str) -> str:
+    """Append one CTE per op (each rewriting column ``x``, carrying the
+    ``carry`` columns); returns the last CTE's name."""
+    cur = src
+    for i, op in enumerate(ops):
+        ctes.append(f"{prefix}{i} AS (SELECT {carry}, {op} AS x FROM {cur})")
+        cur = f"{prefix}{i}"
+    return cur
+
+
 def _hash_chain_ctes() -> tuple[list[str], str]:
     """CTE chain replaying the engine's 64-bit hash of user_id (pandas
     int64 hash = splitmix64 finalizer, then sketch._mix64) with HUGEINT
     arithmetic — 64-bit multiplies via a 32-bit split so no intermediate
     exceeds HUGEINT range, xor/shift on UBIGINT. Returns (ctes, final)
     where ``final`` selects DISTINCT (event_type, x) hashed rows."""
-    C1 = 0xBF58476D1CE4E5B9
-    C2 = 0x94D049BB133111EB
-    G = 0x9E3779B97F4A7C15
-    M64 = 1 << 64
-
-    def xs(col: str, k: int) -> str:
-        return (f"CAST(xor(CAST({col} AS UBIGINT), "
-                f"CAST({col} AS UBIGINT) >> {k}) AS HUGEINT)")
-
-    def mm(col: str, c: int) -> str:  # (col * c) mod 2^64, HUGEINT-safe
-        return (f"(((({col}) // 4294967296 * {c}) % 4294967296) * 4294967296"
-                f" + (({col}) % 4294967296) * {c}) % {M64}")
-
-    ops = [xs("x", 30), mm("x", C1), xs("x", 27), mm("x", C2), xs("x", 31),
-           f"((x + {G}) % {M64})",
-           xs("x", 30), mm("x", C1), xs("x", 27), mm("x", C2), xs("x", 31)]
+    ops = (_sm_finalizer_ops()
+           + [f"((x + {_SM_G}) % {_SM_M64})"]
+           + _sm_finalizer_ops())
     ctes = ["p0 AS (SELECT DISTINCT event_type, "
             "CAST(CAST(user_id AS UBIGINT) AS HUGEINT) AS x FROM events)"]
-    for i, op in enumerate(ops):
-        ctes.append(f"p{i+1} AS (SELECT event_type, {op} AS x FROM p{i})")
-    return ctes, f"p{len(ops)}"
+    final = _sm_apply_ops(ctes, ops, "event_type", "p0", "p_")
+    return ctes, final
 
 
 def _hll_sql() -> str:
@@ -1658,6 +1688,38 @@ def _kmv_sql(k: int = 256) -> str:
                                / CAST(kth AS DOUBLE) END + 0.5)
                     AS BIGINT) AS approx_distinct
         FROM sel ORDER BY event_type
+    """
+
+
+def _cms_sql(d: int = 4, w: int = 256) -> str:
+    """Bit-level SQL replay of the Count-Min sketch (sketch.py
+    cms_point_counts): every event row's user_id goes through the shared
+    splitmix chain (hash_array then _mix64), row j's column is
+    _mix64(base + j) % w, the sketch is one (j, col) grouped count, and
+    each DISTINCT user's estimate is the min of its d counters — the
+    identical integer op-chain, so estimates (including collision
+    overcounts) match the engine exactly."""
+    base_ops = (_sm_finalizer_ops()
+                + [f"((x + {_SM_G}) % {_SM_M64})"]
+                + _sm_finalizer_ops())
+    ctes = ["c0 AS (SELECT user_id, "
+            "CAST(CAST(user_id AS UBIGINT) AS HUGEINT) AS x FROM events)"]
+    base = _sm_apply_ops(ctes, base_ops, "user_id", "c0", "c_")
+    # per-row seed: x <- _mix64(x + j) = ((x + j) + G then finalizer)
+    ctes.append(
+        f"s0 AS (SELECT user_id, j, (x + j + {_SM_G}) % {_SM_M64} AS x "
+        f"FROM {base} CROSS JOIN range({d}) t(j))"
+    )
+    final = _sm_apply_ops(ctes, _sm_finalizer_ops(), "user_id, j", "s0", "s_")
+    return f"""
+        WITH {",".join(ctes)},
+        hc AS (SELECT user_id, j, CAST(x % {w} AS BIGINT) AS col
+               FROM {final}),
+        cms AS (SELECT j, col, count(*) AS n FROM hc GROUP BY j, col),
+        uc AS (SELECT DISTINCT user_id, j, col FROM hc)
+        SELECT uc.user_id, min(cms.n) AS approx_n
+        FROM uc JOIN cms ON uc.j = cms.j AND uc.col = cms.col
+        GROUP BY uc.user_id ORDER BY uc.user_id
     """
 
 
@@ -4146,5 +4208,6 @@ def oracle_sql() -> dict[str, str]:
     out["events_sessions_incremental"] = out["events_sessions"]
     out["events_hll_users"] = _hll_sql()
     out["events_kmv_users"] = _kmv_sql()
+    out["events_cms_counts"] = _cms_sql()
     out["events_winsorized_stats"] = _winsor_sql()
     return out

@@ -366,3 +366,100 @@ def kmv_distinct_by_key(
         out_k.append(kk)
         out_n.append(int(np.floor(est + 0.5)))  # half-away (est > 0)
     return pd.DataFrame({key: out_k, "approx_distinct": pd.array(out_n, dtype="int64")})
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------------
+# d independent hash rows x w counters; point estimate = min over rows of
+# the counter at (j, h_j(x)). Counters only ever ADD, so the sketch is
+# mergeable by elementwise sum — per-block partials ride the shuffle as at
+# most d*w (j, col, n) rows regardless of block size. Always OVERestimates
+# (error <= 2*total/w with probability 1 - 2^-d). Every hash is integer
+# splitmix64 arithmetic, so the SQL twin replays the sketch bit-for-bit.
+
+CMS_D = 4
+CMS_W = 256  # small enough that collisions actually fire at test SF
+
+
+def _cms_cols(values: np.ndarray, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, n) int64 column indices: row j hashes with
+    _mix64(_mix64(hash64(x)) + j) % w — the per-row seed is the +j before
+    the second finalizer, replayed verbatim by the SQL twin."""
+    base = _mix64(pd.util.hash_array(np.asarray(values), categorize=False))
+    cols = np.empty((d, len(base)), dtype=np.int64)
+    for j in range(d):
+        cols[j] = (_mix64(base + np.uint64(j)) % np.uint64(w)).astype(np.int64)
+    return cols
+
+
+def cms_sketch(
+    ds: rd.Dataset, value: str, d: int = CMS_D, w: int = CMS_W
+) -> np.ndarray:
+    """Build the (d, w) int64 Count-Min matrix of a column's occurrence
+    counts. Per block: vectorized hash + ONE groupby into at most d*w
+    partial rows; the merge is a coarse hash-bucketed grouped sum over
+    the (j, col) key space (<= d*w rows total ride the final exchange)."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        cols = _cms_cols(v, d, w)
+        df = pd.DataFrame(
+            {"j": np.repeat(np.arange(d, dtype=np.int64), len(v)),
+             "col": cols.ravel()}
+        )
+        g = df.groupby(["j", "col"], as_index=False).size()
+        g["n"] = g.pop("size").astype(np.int64)
+        return _from_pandas(g)
+
+    # count_alias must NOT collide with the summed partial column "n"
+    # (hash_bucket_sum writes the block count under count_alias)
+    rows = hash_bucket_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["j", "col"], ["n"], count_alias="nb", n_buckets=16,
+    ).drop_columns(["nb"])
+    m = np.zeros((d, w), dtype=np.int64)
+    got = rows.to_pandas()  # <= d*w rows by construction
+    m[got["j"].to_numpy(np.int64), got["col"].to_numpy(np.int64)] = (
+        got["n"].to_numpy(np.int64)
+    )
+    return m
+
+
+def cms_point_counts(
+    ds: rd.Dataset, value: str, d: int = CMS_D, w: int = CMS_W
+) -> pd.DataFrame:
+    """(value, approx_n) for every DISTINCT value of the column, estimated
+    from the Count-Min sketch: approx_n = min_j M[j, h_j(value)] — always
+    >= the exact count, equal when the value collides with nothing in at
+    least one row.
+
+    Scale shape: the sketch matrix broadcasts once via ray.put (d*w int64
+    — 8 KiB at the defaults); the distinct-value table comes from ONE
+    hash-bucketed grouped count and the estimate map touches only those
+    rows. Driver state is the sketch, never the stream."""
+    import ray
+
+    from ..stages.partial_agg import hash_bucket_sum, pin_schema
+
+    m_ref = ray.put(cms_sketch(ds, value, d, w))
+
+    keys = hash_bucket_sum(
+        ds.select_columns([value]), [value], [], n_buckets=16
+    ).map_batches(
+        pin_schema({value: "int64", "n": "int64"}), batch_format="pandas"
+    )
+
+    def est(t: pa.Table) -> pa.Table:
+        v = t.column(value).to_numpy(zero_copy_only=False)
+        cols = _cms_cols(v, d, w)
+        mat = ray.get(m_ref)
+        ests = mat[0, cols[0]]
+        for j in range(1, d):
+            ests = np.minimum(ests, mat[j, cols[j]])
+        return pa.table(
+            {value: pa.array(v.astype(np.int64), pa.int64()),
+             "approx_n": pa.array(ests.astype(np.int64), pa.int64())}
+        )
+
+    out = keys.map_batches(est, batch_format="pyarrow").to_pandas()
+    return out.sort_values(value).reset_index(drop=True)

@@ -223,3 +223,45 @@ def test_hdr_bucket_sql_parity():
     got = con.execute(sql).df()
     exp = hdr_bucket(got["v"].to_numpy(np.int64))
     assert np.array_equal(got["bucket"].to_numpy(np.int64), exp)
+
+
+def test_cms_overestimates_and_merge_invariance(ray_session):
+    """Count-Min estimates are >= exact counts, exact for values whose
+    counters collide with nothing, and invariant to block partitioning
+    (counter merge is elementwise sum)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import cms_point_counts
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: a few heavy ids + a long tail, enough distinct values
+    # (vs CMS_W=256) that some collisions actually fire
+    v = np.concatenate([
+        np.repeat([1, 2, 3], [4000, 2000, 1000]),
+        rng.integers(10, 2000, 10_000),
+    ]).astype(np.int64)
+    df = pd.DataFrame({"v": v})
+
+    got1 = cms_point_counts(rd.from_pandas(df).repartition(1), "v")
+    got16 = cms_point_counts(rd.from_pandas(df).repartition(16), "v")
+    pd.testing.assert_frame_equal(got1, got16)
+
+    exact = df.groupby("v").size()
+    est = dict(zip(got1["v"], got1["approx_n"]))
+    assert set(est) == set(exact.index)
+    overs = 0
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+        overs += est[k] > n
+    # heavy hitters: overcount is only colliding tail mass, tiny in
+    # relative terms (exactness is not guaranteed — all d rows can collide)
+    for k in (1, 2, 3):
+        assert est[k] - exact[k] <= 0.05 * exact[k], (k, est[k], exact[k])
+    # error bound: eps = 2/w of total mass, prob 1 - 2^-d (loose check)
+    total = len(v)
+    bad = sum(1 for k, n in exact.items() if est[k] - n > 2 * total / 256)
+    assert bad == 0, bad
+    # the width was chosen so collisions actually exercise the min-path
+    assert overs > 0
