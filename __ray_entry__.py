@@ -245,6 +245,14 @@ def _q_events_cms_counts(sf_dir: str):
     return cms_point_counts(ds, "user_id")
 
 
+def _q_events_kmv_overlap(sf_dir: str):
+    from ocr_ray.functions.sketch import kmv_overlap
+
+    ds = _read_parquet(os.path.join(sf_dir, "events.parquet"),
+                       columns=["event_type", "user_id"])
+    return kmv_overlap(ds, "event_type", "user_id", "purchase", "error")
+
+
 def _q_kmeans(sf_dir: str):
     import ray.data as rd
 
@@ -1218,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_effect": J.q14_promo_effect,
         "events_kmv_users": _q_events_kmv_users,
         "events_cms_counts": _q_events_cms_counts,
+        "events_kmv_overlap": _q_events_kmv_overlap,
         "q22_dormant_customers": J.q22_dormant_customers,
         "events_spearman": R.events_spearman,
         "events_type_islands": S.type_islands,
@@ -1688,6 +1697,68 @@ def _kmv_sql(k: int = 256) -> str:
                                / CAST(kth AS DOUBLE) END + 0.5)
                     AS BIGINT) AS approx_distinct
         FROM sel ORDER BY event_type
+    """
+
+
+def _kmv_overlap_sql(
+    type_a: str = "purchase", type_b: str = "error", k: int = 64
+) -> str:
+    """Exact SQL replay of the KMV set-operation sketch (sketch.py
+    kmv_overlap): the shared hash chain, each side cut to its k smallest
+    distinct hashes, tau = the k-th smallest of the sketch union, the
+    intersection sample count over union members below tau present
+    in BOTH side sketches, and the identical double op-chains for all
+    four estimates — the exact small-set branches (side kept everything;
+    union below k) replayed too."""
+    ctes, final = _hash_chain_ctes()
+    pow64 = float(2**64)  # exactly representable
+
+    def side_est(t: str) -> str:
+        return (
+            f"COALESCE((SELECT CASE WHEN nd < {k} THEN CAST(nd AS DOUBLE) "
+            f"ELSE {k - 1} * {pow64!r} / CAST(kth AS DOUBLE) END "
+            f"FROM se WHERE event_type = '{t}'), 0.0)"
+        )
+
+    return f"""
+        WITH {",".join(ctes)},
+        hs AS (SELECT DISTINCT event_type, x FROM {final}
+               WHERE event_type IN ('{type_a}', '{type_b}')),
+        sr AS (SELECT event_type, x,
+                      row_number() OVER (
+                        PARTITION BY event_type ORDER BY x) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS nd
+               FROM hs),
+        sk AS (SELECT event_type, x FROM sr WHERE rn <= {k}),
+        se AS (SELECT event_type, max(nd) AS nd,
+                      max(CASE WHEN rn = {k} THEN x END) AS kth
+               FROM sr GROUP BY event_type),
+        u AS (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                     count(*) OVER () AS nu
+              FROM (SELECT DISTINCT x FROM sk)),
+        ut AS (SELECT max(CASE WHEN rn = {k} THEN x END) AS tau,
+                      max(nu) AS nu FROM u),
+        cc AS (SELECT count(*) AS c FROM u, ut
+               WHERE (ut.nu < {k} OR u.rn <= {k - 1})
+                 AND u.x IN (SELECT x FROM sk
+                             WHERE event_type = '{type_a}')
+                 AND u.x IN (SELECT x FROM sk
+                             WHERE event_type = '{type_b}')),
+        est AS (SELECT
+          {side_est(type_a)} AS ea,
+          {side_est(type_b)} AS eb,
+          (SELECT CASE WHEN ut.nu < {k} THEN CAST(ut.nu AS DOUBLE)
+                  ELSE {k - 1} * {pow64!r} / CAST(ut.tau AS DOUBLE) END
+           FROM ut) AS eu,
+          (SELECT CASE WHEN ut.nu < {k} THEN CAST(cc.c AS DOUBLE)
+                  ELSE CAST(cc.c AS DOUBLE) * {pow64!r}
+                       / CAST(ut.tau AS DOUBLE) END
+           FROM ut, cc) AS ei)
+        SELECT CAST(floor(ea + 0.5) AS BIGINT) AS approx_a,
+               CAST(floor(eb + 0.5) AS BIGINT) AS approx_b,
+               CAST(floor(eu + 0.5) AS BIGINT) AS approx_union,
+               CAST(floor(ei + 0.5) AS BIGINT) AS approx_inter
+        FROM est
     """
 
 
@@ -4209,5 +4280,6 @@ def oracle_sql() -> dict[str, str]:
     out["events_hll_users"] = _hll_sql()
     out["events_kmv_users"] = _kmv_sql()
     out["events_cms_counts"] = _cms_sql()
+    out["events_kmv_overlap"] = _kmv_overlap_sql()
     out["events_winsorized_stats"] = _winsor_sql()
     return out

@@ -22,6 +22,7 @@ __all__ = [
     "exact_distinct_by_key",
     "misra_gries_block",
     "heavy_hitters",
+    "kmv_overlap",
 ]
 
 
@@ -463,3 +464,87 @@ def cms_point_counts(
 
     out = keys.map_batches(est, batch_format="pyarrow").to_pandas()
     return out.sort_values(value).reset_index(drop=True)
+
+
+# ---- KMV set-operation sketch (theta-sketch style) -------------------------
+# Two bottom-k (KMV) sketches over the same hash space support set algebra
+# (Dasgupta et al., "Theta-Sketch Framework"): union them, re-cut to the k
+# smallest, and the k-th smallest hash tau is a sampling threshold shared
+# by BOTH sides (tau <= each side's own threshold, since the union is a
+# superset) — so counting union samples below tau that appear in both side
+# sketches estimates the intersection without bias. Everything below is
+# deterministic integer/double arithmetic on the shared splitmix chain, so
+# the SQL twin replays estimates (including the exact small-set branch)
+# bit-for-bit.
+
+KMV_OVERLAP_K = 64  # small enough that the estimator path fires at test SF
+
+
+def kmv_overlap(
+    ds: rd.Dataset,
+    key: str,
+    value: str,
+    type_a: str,
+    type_b: str,
+    k: int = KMV_OVERLAP_K,
+) -> pd.DataFrame:
+    """Approximate |A|, |B|, |A ∪ B| and |A ∩ B| of two value-sets keyed
+    by ``key`` (e.g. users who purchase vs users who error), one row out.
+
+    Scale shape: each block ships at most k uint64 hashes per side (the
+    per-block bottom-k cut inside map_batches); the driver merge touches
+    O(2 * blocks * k) values and the estimate is O(k) — no driver-side
+    value set, no shuffle. If the merged union holds < k hashes both
+    sides were complete and every figure comes back exact; the SQL twin
+    replays both branches."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value]).to_pandas()
+        df = df[df[key].isin([type_a, type_b])]
+        rows_k, rows_b = [], []
+        for kk, g in df.groupby(key, sort=False):
+            h = _mix64(pd.util.hash_array(g[value].to_numpy(), categorize=False))
+            rows_k.append(kk)
+            rows_b.append(np.unique(h)[:k].tobytes())
+        return pa.Table.from_pydict(
+            {key: pa.array(rows_k, pa.string()), "mins": pa.array(rows_b, pa.binary())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sk: dict[str, np.ndarray] = {}
+    for kk, g in parts.groupby(key, sort=True):
+        h = np.unique(
+            np.concatenate([np.frombuffer(b, dtype=np.uint64) for b in g["mins"]])
+        )
+        sk[kk] = h[:k]  # the side sketch IS the k smallest distinct hashes
+    empty = np.array([], dtype=np.uint64)
+    sa, sb = sk.get(type_a, empty), sk.get(type_b, empty)
+
+    def est_side(h: np.ndarray) -> float:
+        if len(h) < k:
+            return float(len(h))  # sketch kept everything: exact
+        return (k - 1) * 2.0**64 / float(h[k - 1])
+
+    u = np.unique(np.concatenate([sa, sb]))
+    if len(u) < k:
+        # both sides complete -> union and intersection are exact
+        n_union = float(len(u))
+        n_inter = float(len(np.intersect1d(sa, sb)))
+    else:
+        tau = u[k - 1]
+        samp = u[: k - 1]  # exactly the union samples strictly below tau
+        c = int((np.isin(samp, sa) & np.isin(samp, sb)).sum())
+        n_union = (k - 1) * 2.0**64 / float(tau)
+        n_inter = float(c) * 2.0**64 / float(tau)
+
+    def r(est: float) -> int:
+        return int(np.floor(est + 0.5))  # half-away (est >= 0)
+
+    return pd.DataFrame(
+        {
+            "approx_a": pd.array([r(est_side(sa))], dtype="int64"),
+            "approx_b": pd.array([r(est_side(sb))], dtype="int64"),
+            "approx_union": pd.array([r(n_union)], dtype="int64"),
+            "approx_inter": pd.array([r(n_inter)], dtype="int64"),
+        }
+    )

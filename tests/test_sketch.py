@@ -265,3 +265,50 @@ def test_cms_overestimates_and_merge_invariance(ray_session):
     assert bad == 0, bad
     # the width was chosen so collisions actually exercise the min-path
     assert overs > 0
+
+
+def test_kmv_overlap_accuracy_and_partition_invariance(ray_session):
+    """The KMV set-operation sketch estimates |A|, |B|, |A u B|, |A n B|
+    within theta-sketch error at k=64, is invariant to block
+    partitioning, and returns exact figures when both sides fit in k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import kmv_overlap
+
+    rng = np.random.default_rng(11)
+    a = rng.choice(100_000, 3000, replace=False)
+    # ~1/3 of B overlaps A
+    b = np.concatenate([a[:1000], 200_000 + rng.choice(50_000, 2000, replace=False)])
+    df = pd.DataFrame({
+        "event_type": ["purchase"] * len(a) + ["error"] * len(b),
+        "user_id": np.concatenate([a, b]).astype(np.int64),
+    })
+    # duplicate rows must not matter (sets, not bags)
+    df = pd.concat([df, df.sample(2000, random_state=0)], ignore_index=True)
+
+    got1 = kmv_overlap(rd.from_pandas(df).repartition(1),
+                       "event_type", "user_id", "purchase", "error")
+    got16 = kmv_overlap(rd.from_pandas(df).repartition(16),
+                        "event_type", "user_id", "purchase", "error")
+    pd.testing.assert_frame_equal(got1, got16)
+
+    r = got1.iloc[0]
+    # k=64 -> RSE ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+    assert abs(r["approx_a"] - 3000) <= 0.51 * 3000
+    assert abs(r["approx_b"] - 3000) <= 0.51 * 3000
+    assert abs(r["approx_union"] - 5000) <= 0.51 * 5000
+    # intersection RSE is higher (small sample of the union); loose bound
+    assert 0 <= r["approx_inter"] <= 3 * 1000
+    assert r["approx_inter"] >= 100
+
+    # exact branch: both sides below k
+    small = pd.DataFrame({
+        "event_type": ["purchase"] * 20 + ["error"] * 25,
+        "user_id": np.concatenate([np.arange(20), np.arange(10, 35)]).astype(np.int64),
+    })
+    ex = kmv_overlap(rd.from_pandas(small), "event_type", "user_id",
+                     "purchase", "error").iloc[0]
+    assert ex["approx_a"] == 20 and ex["approx_b"] == 25
+    assert ex["approx_union"] == 35 and ex["approx_inter"] == 10
