@@ -253,6 +253,12 @@ def _q_events_kmv_overlap(sf_dir: str):
     return kmv_overlap(ds, "event_type", "user_id", "purchase", "error")
 
 
+def _q_events_profile(sf_dir: str):
+    from ocr_ray.functions.profile import profile_parquet
+
+    return profile_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def _q_kmeans(sf_dir: str):
     import ray.data as rd
 
@@ -1227,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_users": _q_events_kmv_users,
         "events_cms_counts": _q_events_cms_counts,
         "events_kmv_overlap": _q_events_kmv_overlap,
+        "events_profile": _q_events_profile,
         "q22_dormant_customers": J.q22_dormant_customers,
         "events_spearman": R.events_spearman,
         "events_type_islands": S.type_islands,
@@ -1698,6 +1705,33 @@ def _kmv_sql(k: int = 256) -> str:
                     AS BIGINT) AS approx_distinct
         FROM sel ORDER BY event_type
     """
+
+
+def _profile_sql() -> str:
+    """SQL twin of the events-table profiler (functions/profile.py):
+    per-column n / n_null / exact distinct / numeric range, with the
+    profiler's documented numeric views — timestamps as epoch
+    microseconds, strings as UTF-8 length (a width statistic, not a
+    collation-dependent ordering)."""
+
+    def one(col: str, minmax: str) -> str:
+        return (
+            f"SELECT '{col}' AS col, count(*) AS n, "
+            f"count(*) - count({col}) AS n_null, "
+            f"count(DISTINCT {col}) AS n_distinct, "
+            f"CAST(min({minmax}) AS DOUBLE) AS min_num, "
+            f"CAST(max({minmax}) AS DOUBLE) AS max_num FROM events"
+        )
+
+    parts = [
+        one("event_id", "event_id"),
+        one("ts", "epoch_us(ts)"),
+        one("user_id", "user_id"),
+        one("event_type", "length(event_type)"),
+        one("value", "value"),
+        one("props", "length(props)"),
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col"
 
 
 def _kmv_overlap_sql(
@@ -4281,5 +4315,6 @@ def oracle_sql() -> dict[str, str]:
     out["events_kmv_users"] = _kmv_sql()
     out["events_cms_counts"] = _cms_sql()
     out["events_kmv_overlap"] = _kmv_overlap_sql()
+    out["events_profile"] = _profile_sql()
     out["events_winsorized_stats"] = _winsor_sql()
     return out

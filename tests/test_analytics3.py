@@ -828,3 +828,40 @@ def test_null_profile(ray_session):
         for _, r in sub.iterrows():
             assert r["n_rows"] == len(df)
             assert r["n_nulls"] == df[r["column_name"]].isna().sum()
+
+
+def test_profile_parquet_nulls_and_types(ray_session, tmp_path):
+    """Profiler: exact n/n_null/n_distinct per column, numeric views for
+    timestamp (epoch us) and string (utf8 length), invariant to row-group
+    layout."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.profile import profile_parquet
+
+    df = pd.DataFrame({
+        "i": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+        "s": ["a", "bb", None, "bb", ""],
+        "d": [1.5, -2.0, 1.5, 0.0, 3.25],
+        "t": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-02", "2024-01-03", None]
+        ),
+    })
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p,
+                   row_group_size=2)
+
+    got = profile_parquet(str(p)).set_index("col")
+    assert got.loc["i", "n"] == 5 and got.loc["i", "n_null"] == 1
+    assert got.loc["i", "n_distinct"] == 3
+    assert got.loc["i", "min_num"] == 1.0 and got.loc["i", "max_num"] == 5.0
+    assert got.loc["s", "n_null"] == 1 and got.loc["s", "n_distinct"] == 3
+    assert got.loc["s", "min_num"] == 0.0 and got.loc["s", "max_num"] == 2.0
+    assert got.loc["d", "n_distinct"] == 4
+    assert got.loc["d", "min_num"] == -2.0 and got.loc["d", "max_num"] == 3.25
+    assert got.loc["t", "n_null"] == 1 and got.loc["t", "n_distinct"] == 3
+    # epoch micros
+    assert got.loc["t", "min_num"] == pd.Timestamp("2024-01-01").value / 1000
+    assert (got[["n", "n_null", "n_distinct"]].dtypes == "int64").all()
