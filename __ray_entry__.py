@@ -1781,13 +1781,15 @@ def _kmv_overlap_sql(
         est AS (SELECT
           {side_est(type_a)} AS ea,
           {side_est(type_b)} AS eb,
-          (SELECT CASE WHEN ut.nu < {k} THEN CAST(ut.nu AS DOUBLE)
+          -- COALESCE: an empty union (neither type present) is the
+          -- engine's exact-zero branch, not NULL
+          COALESCE((SELECT CASE WHEN ut.nu < {k} THEN CAST(ut.nu AS DOUBLE)
                   ELSE {k - 1} * {pow64!r} / CAST(ut.tau AS DOUBLE) END
-           FROM ut) AS eu,
-          (SELECT CASE WHEN ut.nu < {k} THEN CAST(cc.c AS DOUBLE)
+           FROM ut), 0.0) AS eu,
+          COALESCE((SELECT CASE WHEN ut.nu < {k} THEN CAST(cc.c AS DOUBLE)
                   ELSE CAST(cc.c AS DOUBLE) * {pow64!r}
                        / CAST(ut.tau AS DOUBLE) END
-           FROM ut, cc) AS ei)
+           FROM ut, cc), 0.0) AS ei)
         SELECT CAST(floor(ea + 0.5) AS BIGINT) AS approx_a,
                CAST(floor(eb + 0.5) AS BIGINT) AS approx_b,
                CAST(floor(eu + 0.5) AS BIGINT) AS approx_union,

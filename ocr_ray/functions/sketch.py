@@ -512,6 +512,11 @@ def kmv_overlap(
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     sk: dict[str, np.ndarray] = {}
+    if parts.empty:
+        # no rows of either type anywhere: to_pandas() over all-empty
+        # blocks yields a column-less frame — fall through to the exact
+        # zero branch with empty sketches
+        parts = pd.DataFrame({key: [], "mins": []})
     for kk, g in parts.groupby(key, sort=True):
         h = np.unique(
             np.concatenate([np.frombuffer(b, dtype=np.uint64) for b in g["mins"]])

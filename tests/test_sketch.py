@@ -312,3 +312,25 @@ def test_kmv_overlap_accuracy_and_partition_invariance(ray_session):
                      "purchase", "error").iloc[0]
     assert ex["approx_a"] == 20 and ex["approx_b"] == 25
     assert ex["approx_union"] == 35 and ex["approx_inter"] == 10
+
+
+def test_kmv_overlap_degenerate_sides(ray_session):
+    """Missing sides: neither type present (column-less to_pandas frame)
+    and one-sided input both fall through to the exact zero branches."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import kmv_overlap
+
+    none = pd.DataFrame({"event_type": ["view"] * 5,
+                         "user_id": np.arange(5, dtype=np.int64)})
+    r = kmv_overlap(rd.from_pandas(none), "event_type", "user_id",
+                    "purchase", "error").iloc[0]
+    assert list(r) == [0, 0, 0, 0]
+
+    one = pd.DataFrame({"event_type": ["purchase"] * 7,
+                        "user_id": np.arange(7, dtype=np.int64)})
+    r = kmv_overlap(rd.from_pandas(one), "event_type", "user_id",
+                    "purchase", "error").iloc[0]
+    assert list(r) == [7, 0, 7, 0]
