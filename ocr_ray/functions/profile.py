@@ -65,13 +65,24 @@ def profile_parquet(path: str, n_buckets: int = 16) -> pd.DataFrame:
             )
         return from_pandas(pd.DataFrame(rows))
 
-    scalars = (
+    parts = (
         _read_parquet(path)
         .map_batches(scalar_partial, batch_format="pyarrow")
         .to_pandas()  # O(blocks * columns) tiny rows
-        .groupby("col", as_index=False)
-        .agg(n=("n", "sum"), n_null=("n_null", "sum"),
-             min_num=("min_num", "min"), max_num=("max_num", "max"))
+    )
+    if parts.empty:
+        # a 0-row table yields zero blocks (the partial never runs, and
+        # to_pandas returns a column-less frame): every column profiles
+        # as 0 rows with an empty (NaN) range — no distinct pass needed
+        return pd.DataFrame(
+            {"col": sorted(names),
+             "n": np.int64(0), "n_null": np.int64(0),
+             "n_distinct": np.int64(0),
+             "min_num": np.nan, "max_num": np.nan}
+        ).reset_index(drop=True)
+    scalars = parts.groupby("col", as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"),
+        min_num=("min_num", "min"), max_num=("max_num", "max")
     )
 
     def distinct_count(c: str) -> int:

@@ -865,3 +865,22 @@ def test_profile_parquet_nulls_and_types(ray_session, tmp_path):
     # epoch micros
     assert got.loc["t", "min_num"] == pd.Timestamp("2024-01-01").value / 1000
     assert (got[["n", "n_null", "n_distinct"]].dtypes == "int64").all()
+
+
+def test_profile_parquet_empty_table(ray_session, tmp_path):
+    """A 0-row table (zero read blocks) profiles as all-zero counts with
+    empty NaN ranges instead of crashing on a column-less frame."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.functions.profile import profile_parquet
+
+    t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.string())})
+    p = tmp_path / "empty.parquet"
+    pq.write_table(t, p)
+    got = profile_parquet(str(p))
+    assert list(got["col"]) == ["a", "b"]
+    assert (got[["n", "n_null", "n_distinct"]] == 0).all().all()
+    assert got["min_num"].isna().all() and got["max_num"].isna().all()
+    assert (got[["n", "n_null", "n_distinct"]].dtypes == "int64").all()
