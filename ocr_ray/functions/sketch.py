@@ -15,6 +15,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..stages.partial_agg import from_pandas as _from_pandas
+from ..stages.partial_agg import to_pandas_typed as _to_pandas_typed
 
 __all__ = [
     "HyperLogLog",
@@ -94,7 +95,10 @@ def hll_distinct_by_key(
             rows_r.append(h.registers.tobytes())
         return pa.Table.from_pydict({key: rows_k, "registers": rows_r})
 
-    parts = ds.map_batches(sketch_block, batch_format="pyarrow").to_pandas()
+    parts = _to_pandas_typed(
+        ds.map_batches(sketch_block, batch_format="pyarrow"),
+        {key: "object", "registers": "object"},
+    )
     out_k, out_n = [], []
     for k, g in parts.groupby(key, sort=False):
         h = HyperLogLog(p)
@@ -138,8 +142,8 @@ def exact_distinct_by_key(ds: rd.Dataset, key: str, value: str) -> pd.DataFrame:
         pairs.map_batches(count_partial, batch_format="pyarrow")
         .groupby(key)
         .aggregate(Sum("n", alias_name="n_distinct"))
-        .to_pandas()
     )
+    out = _to_pandas_typed(out, {key: "object", "n_distinct": "int64"})
     return out.sort_values(key).reset_index(drop=True)
 
 
@@ -294,7 +298,9 @@ def hdr_quantiles_by_key(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([key, "bucket"])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # O(keys * buckets), calendar-of-value bounded
+    )
+    counts = (
+        _to_pandas_typed(counts, {key: "object", "bucket": "int64", "cnt": "int64"})
         .sort_values([key, "bucket"], kind="mergesort")
     )
 
@@ -352,7 +358,10 @@ def kmv_distinct_by_key(
             rows_b.append(np.unique(h)[:k].tobytes())
         return pa.Table.from_pydict({key: rows_k, mins_col: rows_b})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = _to_pandas_typed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {key: "object", mins_col: "object"},
+    )
     out_k, out_n = [], []
     for kk, g in parts.groupby(key, sort=True):
         h = np.unique(
@@ -419,7 +428,9 @@ def cms_sketch(
         ["j", "col"], ["n"], count_alias="nb", n_buckets=16,
     ).drop_columns(["nb"])
     m = np.zeros((d, w), dtype=np.int64)
-    got = rows.to_pandas()  # <= d*w rows by construction
+    got = _to_pandas_typed(  # <= d*w rows by construction
+        rows, {"j": "int64", "col": "int64", "n": "int64"}
+    )
     m[got["j"].to_numpy(np.int64), got["col"].to_numpy(np.int64)] = (
         got["n"].to_numpy(np.int64)
     )
@@ -462,7 +473,10 @@ def cms_point_counts(
              "approx_n": pa.array(ests.astype(np.int64), pa.int64())}
         )
 
-    out = keys.map_batches(est, batch_format="pyarrow").to_pandas()
+    out = _to_pandas_typed(
+        keys.map_batches(est, batch_format="pyarrow"),
+        {value: "int64", "approx_n": "int64"},
+    )
     return out.sort_values(value).reset_index(drop=True)
 
 
@@ -510,13 +524,11 @@ def kmv_overlap(
             {key: pa.array(rows_k, pa.string()), "mins": pa.array(rows_b, pa.binary())}
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = _to_pandas_typed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        {key: "object", "mins": "object"},
+    )
     sk: dict[str, np.ndarray] = {}
-    if parts.empty:
-        # no rows of either type anywhere: to_pandas() over all-empty
-        # blocks yields a column-less frame — fall through to the exact
-        # zero branch with empty sketches
-        parts = pd.DataFrame({key: [], "mins": []})
     for kk, g in parts.groupby(key, sort=True):
         h = np.unique(
             np.concatenate([np.frombuffer(b, dtype=np.uint64) for b in g["mins"]])

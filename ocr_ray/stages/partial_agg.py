@@ -16,7 +16,22 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 __all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket",
-           "grouped_topn", "pin_schema", "from_pandas"]
+           "grouped_topn", "pin_schema", "from_pandas", "to_pandas_typed"]
+
+
+def to_pandas_typed(ds: "rd.Dataset", cols: dict) -> pd.DataFrame:
+    """``ds.to_pandas()`` that survives an all-empty Dataset.
+
+    Ray 2.49's ``to_pandas()`` returns a COLUMN-LESS frame whenever the
+    dataset holds zero rows — even when every (empty) block carries a
+    schema — so driver merges that index columns crash on legitimately
+    empty results (no duplicate pairs, no matches, 0-row source). This
+    pins the empty case to a typed frame (``cols``: name -> pandas
+    dtype) and leaves non-empty results untouched."""
+    df = ds.to_pandas()
+    if df.empty and not all(c in df.columns for c in cols):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    return df
 
 
 def from_pandas(df: pd.DataFrame) -> pa.Table:
