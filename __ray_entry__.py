@@ -1141,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_purchase_and_error": R.users_purchase_and_error,
         # relational operator surface (exact SQL twins)
         "lineitem_rollup": R.lineitem_rollup,
+        "lineitem_cube": R.lineitem_cube,
         "events_corr_stats": R.events_corr_stats,
         "events_value_tiers": R.events_value_tiers,
         # graph analytics over derived graphs (iterative integer
@@ -2322,6 +2323,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY 1, 2
+        """,
+        "lineitem_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY 1, 2
         """,
         "events_corr_stats": """

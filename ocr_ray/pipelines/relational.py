@@ -881,6 +881,56 @@ def lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """Full GROUPING SETS lattice (GROUP BY CUBE shape): quantity sum +
+    row count at (returnflag, linestatus), per returnflag, per
+    linestatus, and grand total, rolled-up columns labelled 'ALL'.
+
+    Scale shape: identical to :func:`lineitem_rollup` — ONE distributed
+    partial-agg pass at the finest grouping; every coarser lattice level
+    re-aggregates that O(groups)-row result on the driver, never the
+    input. CUBE adds only the (ALL, linestatus) level to ROLLUP's chain."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["l_returnflag"].combine_chunks(), t["l_linestatus"].combine_chunks(),
+             _cents(t["l_quantity"])],
+            names=["l_returnflag", "l_linestatus", "qty_c"],
+        )
+
+    from ..stages.partial_agg import partial_sum_count
+
+    fine = partial_sum_count(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], ["qty_c"],
+    ).to_pandas()
+
+    def coarsen(by: list[str]) -> pd.DataFrame:
+        if not by:
+            g = pd.DataFrame(
+                {"qty_c": [int(fine["qty_c"].sum())], "n": [int(fine["n"].sum())]}
+            )
+        else:
+            g = fine.groupby(by, as_index=False).agg(
+                qty_c=("qty_c", "sum"), n=("n", "sum")
+            )
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in by:
+                g[c] = "ALL"
+        return g
+
+    allr = pd.concat(
+        [fine, coarsen(["l_returnflag"]), coarsen(["l_linestatus"]), coarsen([])],
+        ignore_index=True,
+    )
+    allr["sum_qty"] = allr["qty_c"] / 100.0
+    allr["n"] = allr["n"].astype(np.int64)
+    return allr[["l_returnflag", "l_linestatus", "sum_qty", "n"]].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
 def events_corr_stats(sf_dir: str) -> pd.DataFrame:
     """Pearson correlation per event type between the value column and the
     integer 'k' field of the JSON props — computed from EXACT integer
