@@ -206,24 +206,35 @@ def bucket_hash_join(
     on: str,
     n_buckets: int = 64,
     how: str = "inner",
+    left_dtypes: dict | None = None,
+    right_dtypes: dict | None = None,
 ) -> rd.Dataset:
     """Generic partitioned hash join of two Datasets on one key column.
 
     Shuffle cost: one groupby over (left ∪ right) tagged rows. Column sets
     of the two sides must be disjoint apart from ``on``.
 
-    CALLER NOTE: this probes ``left.schema()`` / ``right.schema()``. On a
-    LAZY input whose plan contains an all-to-all (groupby/sort), that
-    probe executes the whole upstream shuffle — and the result is NOT
-    reused by the real execution, so the shuffle runs twice. Materialize
-    shuffle-bearing inputs first (see graph.pagerank_trade, which paid
-    8 s/iteration to this before restructuring)."""
+    CALLER NOTE: without explicit dtypes this probes ``left.schema()`` /
+    ``right.schema()``. On a LAZY input whose plan contains an all-to-all
+    (groupby/sort), that probe executes the whole upstream shuffle — and
+    the result is NOT reused by the real execution, so the shuffle runs
+    twice. Either materialize shuffle-bearing inputs first (see
+    graph.pagerank_trade, which paid 8 s/iteration to this before
+    restructuring) or pass ``left_dtypes``/``right_dtypes`` (column ->
+    pandas dtype, INCLUDING ``on``) to skip the probe entirely — the
+    right call when the side should stream, not pin (e.g. a fact-sized
+    semi-join output)."""
     from ..stages.partial_agg import add_hash_bucket
 
-    lschema, rschema = left.schema(), right.schema()
-    lcols = [c for c in lschema.names if c != on]
-    rcols = [c for c in rschema.names if c != on]
-    col_dtypes = _schema_pandas_dtypes(lschema, rschema)
+    if left_dtypes is not None and right_dtypes is not None:
+        lnames, rnames = list(left_dtypes), list(right_dtypes)
+        col_dtypes = {**left_dtypes, **right_dtypes}
+    else:
+        lschema, rschema = left.schema(), right.schema()
+        lnames, rnames = list(lschema.names), list(rschema.names)
+        col_dtypes = _schema_pandas_dtypes(lschema, rschema)
+    lcols = [c for c in lnames if c != on]
+    rcols = [c for c in rnames if c != on]
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -310,6 +310,12 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
         li.map_batches(l_side, batch_format="pandas"),
         orders.map_batches(o_side, batch_format="pandas"),
         on="l_orderkey",
+        # explicit dtypes: at scale the semi join above takes the cogroup
+        # (all-to-all) path, and the join's schema probe would re-execute
+        # that whole shuffle; the left side must STREAM, not materialize
+        left_dtypes={"l_orderkey": "int64", "s_nk": "int64",
+                     "amount_c4": "int64"},
+        right_dtypes={"l_orderkey": "int64", "o_year": "int64"},
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -993,3 +993,29 @@ def test_salted_join_no_hot_keys_degenerates_to_plain(ray_session):
     pd.testing.assert_frame_equal(
         got[["k", "lv", "rv"]], exp[["k", "lv", "rv"]], check_dtype=False
     )
+
+
+def test_bucket_hash_join_explicit_dtypes_skip_probe(ray_session):
+    """Passing left_dtypes/right_dtypes must produce the identical result
+    (columns, dtypes, rows) as the schema-probe path — the probe-free
+    variant exists so shuffle-bearing inputs can stream un-materialized."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import bucket_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": [7, 8, 9, 10, 11]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "b": [10, 20, 30, 40]})
+    probe = (
+        bucket_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on="k", n_buckets=4)
+        .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    )
+    explicit = (
+        bucket_hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=4,
+            left_dtypes={"k": "int64", "a": "int64"},
+            right_dtypes={"k": "int64", "b": "int64"},
+        )
+        .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(probe, explicit)
