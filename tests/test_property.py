@@ -181,3 +181,31 @@ def test_window_bounds_matches_bruteforce(case):
         assert hi[i] - lo[i] == in_win.sum()
         # the [lo, hi) slice is exactly the in-window rows
         assert set(np.flatnonzero(in_win)) == set(range(lo[i], hi[i]))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    a=st.sets(st.integers(0, 1_000_000), max_size=30),
+    b=st.sets(st.integers(0, 1_000_000), max_size=30),
+)
+def test_kmv_overlap_exact_branch(ray_session, a, b):
+    """Below-k sketches ARE the sets: every figure must be exact for any
+    pair of small sets (hypothesis over random id sets, incl. empties)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.functions.sketch import kmv_overlap
+
+    df = pd.DataFrame({
+        "event_type": ["pa"] * len(a) + ["pb"] * len(b),
+        "user_id": np.array(sorted(a) + sorted(b), dtype=np.int64),
+    })
+    r = kmv_overlap(rd.from_pandas(df) if len(df) else
+                    rd.from_pandas(pd.DataFrame(
+                        {"event_type": pd.Series([], dtype=str),
+                         "user_id": pd.Series([], dtype="int64")})),
+                    "event_type", "user_id", "pa", "pb").iloc[0]
+    assert r["approx_a"] == len(a) and r["approx_b"] == len(b)
+    assert r["approx_union"] == len(a | b)
+    assert r["approx_inter"] == len(a & b)
