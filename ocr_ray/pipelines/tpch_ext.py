@@ -565,19 +565,43 @@ def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q19 shape: one revenue scalar from an OR of three
     brand/container/quantity/size conjunctions on air-shipped lines.
 
-    Scale shape: part attributes ship as two dense arrays indexed by
-    partkey (keys 0..P-1; brand as its int suffix) via ray.put — O(1)
-    row lookups, no join; the container is the closed-form partkey
-    formula; each block emits ONE partial revenue row."""
-    part = pq.read_table(
+    Scale shape: the part-side predicates (brand + container + size)
+    reduce in the SCAN TASK to the small qualifying set of (partkey,
+    qty-bounds) rows — part scales with the corpus, so its attributes
+    never ship whole (that was the pre-round-4 plan, the same unbounded
+    broadcast class bd-fixed in Q9/Q20). Below the key gate the
+    qualifying set broadcasts as three sorted arrays (searchsorted
+    membership + bounds lookup, no shuffle); above it the lines meet the
+    qualifying set in a partitioned bucket join with EXPLICIT dtypes, so
+    the fact side streams without a schema-probe re-execution. Each
+    block emits ONE partial revenue row either way; a branch's brands
+    are disjoint, so a part qualifies for at most one bounds pair."""
+    from .joins import _BROADCAST_KEY_LIMIT, bucket_hash_join
+
+    def qualify(t: pa.Table) -> pa.Table:
+        pk = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        bnum = pc.utf8_slice_codeunits(
+            t.column("p_brand"), 6
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        psize = t.column("p_size").to_numpy(zero_copy_only=False)
+        ccode = (pk * 19) % 8
+        pks, qlos, qhis = [], [], []
+        for b, codes, qlo, qhi, slo, shi in Q19_BRANCHES:
+            m = (bnum == b) & np.isin(ccode, codes) & (psize >= slo) & (psize <= shi)
+            pks.append(pk[m])
+            qlos.append(np.full(int(m.sum()), qlo, dtype=np.int64))
+            qhis.append(np.full(int(m.sum()), qhi, dtype=np.int64))
+        return pa.table(
+            {"l_partkey": pa.array(np.concatenate(pks), pa.int64()),
+             "qlo": pa.array(np.concatenate(qlos), pa.int64()),
+             "qhi": pa.array(np.concatenate(qhis), pa.int64())}
+        )
+
+    elig = _read_parquet(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_partkey", "p_brand", "p_size"],
-    ).to_pandas().sort_values("p_partkey")
-    if not (part["p_partkey"].to_numpy() == np.arange(len(part))).all():
-        raise ValueError("q19 expects dense part keys 0..P-1")
-    brand_num = part["p_brand"].str.slice(6).astype(np.int64).to_numpy()
-    sizes = part["p_size"].to_numpy(np.int64)
-    brand_ref, size_ref = ray.put(brand_num), ray.put(sizes)
+    ).map_batches(qualify, batch_format="pyarrow").materialize()
+    n_elig = elig.count()
 
     li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -585,32 +609,56 @@ def q19_discounted_revenue(sf_dir: str) -> pd.DataFrame:
                  "l_extendedprice", "l_discount"],
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        """One partial revenue row from pre-bounded rows (qlo/qhi cols)."""
         ok = df["l_orderkey"].to_numpy(np.int64)
         ln = df["l_linenumber"].to_numpy(np.int64)
-        pk = df["l_partkey"].to_numpy(np.int64)
         qty = df["l_quantity"].to_numpy(np.int64)
-        bnum = ray.get(brand_ref)[pk]
-        psize = ray.get(size_ref)[pk]
-        ccode = (pk * 19) % 8
-        air = np.isin(_shipmode_idx(ok, ln), (0, 4))  # AIR / REG AIR
-        keep = np.zeros(len(df), dtype=bool)
-        for b, codes, qlo, qhi, slo, shi in Q19_BRANCHES:
-            keep |= (
-                (bnum == b) & np.isin(ccode, codes)
-                & (qty >= qlo) & (qty <= qhi)
-                & (psize >= slo) & (psize <= shi)
-            )
-        keep &= air
+        keep = (
+            (qty >= df["qlo"].to_numpy(np.int64))
+            & (qty <= df["qhi"].to_numpy(np.int64))
+            & np.isin(_shipmode_idx(ok, ln), (0, 4))  # AIR / REG AIR
+        )
         price_c = _cents_np(df["l_extendedprice"].to_numpy()[keep])
         disc_c = _cents_np(df["l_discount"].to_numpy()[keep])
         return pd.DataFrame(
             {"rev_c4": [int((price_c * (100 - disc_c)).sum())]}
         )
 
+    if n_elig <= _BROADCAST_KEY_LIMIT:
+        ep = elig.to_pandas().sort_values("l_partkey")  # bounded by the gate
+        refs = ray.put(
+            (ep["l_partkey"].to_numpy(np.int64),
+             ep["qlo"].to_numpy(np.int64), ep["qhi"].to_numpy(np.int64))
+        )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            pks, qlo, qhi = ray.get(refs)
+            pk = df["l_partkey"].to_numpy(np.int64)
+            idx = np.searchsorted(pks, pk)
+            idx[idx == len(pks)] = 0  # clamp; equality check below decides
+            member = len(pks) > 0
+            hit = (pks[idx] == pk) if member else np.zeros(len(pk), bool)
+            out = df[hit].copy()
+            out["qlo"] = qlo[idx[hit]] if member else np.array([], np.int64)
+            out["qhi"] = qhi[idx[hit]] if member else np.array([], np.int64)
+            return out
+
+        bounded = li.map_batches(attach, batch_format="pandas")
+    else:
+        bounded = bucket_hash_join(
+            li, elig, on="l_partkey",
+            left_dtypes={"l_orderkey": "int64", "l_linenumber": "int32",
+                         "l_partkey": "int64", "l_quantity": "float64",
+                         "l_extendedprice": "float64",
+                         "l_discount": "float64"},
+            right_dtypes={"l_partkey": "int64", "qlo": "int64",
+                          "qhi": "int64"},
+        )
+
     from ray.data.aggregate import Sum
 
-    total = li.map_batches(partial, batch_format="pandas").aggregate(
+    total = bounded.map_batches(rev_partial, batch_format="pandas").aggregate(
         Sum("rev_c4", alias_name="rev_c4")
     )["rev_c4"]
     # mirror SQL sum() over zero rows: one row, NULL revenue

@@ -99,3 +99,17 @@ def test_no_direct_from_pandas_producers():
         f"direct pa.Table.from_pandas in {offenders}; use "
         "ocr_ray.stages.partial_agg.from_pandas instead"
     )
+
+
+def test_q19_above_gate_join_path(ray_session, monkeypatch):
+    """Force q19's partitioned-join path (broadcast gate at 0) and pin it
+    to the broadcast path's output — both strategies must produce the
+    identical revenue scalar."""
+    from ocr_ray.pipelines import joins
+    from ocr_ray.pipelines.tpch_ext import q19_discounted_revenue
+
+    sf = "/root/testdata/sf0.001"
+    fast = q19_discounted_revenue(sf)
+    monkeypatch.setattr(joins, "_BROADCAST_KEY_LIMIT", 0)
+    slow = q19_discounted_revenue(sf)
+    pd.testing.assert_frame_equal(fast, slow)
