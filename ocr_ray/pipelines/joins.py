@@ -236,8 +236,21 @@ def bucket_hash_join(
     lcols = [c for c in lnames if c != on]
     rcols = [c for c in rnames if c != on]
 
+    try:
+        _key_pa_type = pa.from_numpy_dtype(np.dtype(col_dtypes[on]))
+    except (TypeError, NotImplementedError, pa.ArrowNotImplementedError):
+        _key_pa_type = None  # object/str keys hash as-is
+
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
+            # pin the key to its DECLARED type before hashing: a block
+            # whose key was float-promoted by an upstream pandas stage
+            # would otherwise hash into different buckets than the other
+            # side's int key (silent row loss, not an error)
+            if _key_pa_type is not None and t[on].type != _key_pa_type:
+                t = t.set_column(
+                    t.column_names.index(on), on, pc.cast(t[on], _key_pa_type)
+                )
             t = add_hash_bucket(t, [on], n_buckets)
             return t.append_column("__side", pa.array([side] * t.num_rows))
 
@@ -259,6 +272,16 @@ def bucket_hash_join(
         # blocks actually present), and an absent side is just empty
         l = df[df["__side"] == "L"].reindex(columns=[on, *lcols])
         r = df[df["__side"] == "R"].reindex(columns=[on, *rcols])
+        # restore declared dtypes: the union/repartition exchange merges
+        # the two sides' schemas, null-filling the OTHER side's columns,
+        # and the pandas conversion promotes int64 -> float64 across the
+        # whole block. Each side's own columns are complete here, so the
+        # cast back is lossless — without it the join emits float keys
+        # that hash into DIFFERENT buckets than int keys downstream
+        # (pd.util.hash_array is dtype-family-sensitive), silently
+        # dropping rows in any follow-on bucketed join.
+        l = l.astype({c: col_dtypes[c] for c in (on, *lcols)})
+        r = r.astype({c: col_dtypes[c] for c in (on, *rcols)})
         return l.merge(r, on=on, how=how)
 
     norm_out = _pin_join_output(
@@ -376,6 +399,64 @@ def semi_anti_join(
         return t.filter(pa.array(~member if anti else member))
 
     return probe.map_batches(flt, batch_format="pyarrow")
+
+
+def attach_key_map(
+    facts: rd.Dataset,
+    dim: rd.Dataset,
+    on: str,
+    value_cols: "str | list[str]",
+    facts_dtypes: dict | None = None,
+) -> rd.Dataset:
+    """Attach dimension attribute(s) to a fact stream by integer key —
+    the adaptive seam every fact->dimension hop goes through.
+
+    ``dim`` is a Dataset of (``on``, *``value_cols``) with distinct
+    keys. Below ``_BROADCAST_KEY_LIMIT`` keys, the (key, values) arrays
+    ship once via ray.put and the attach is a vectorized searchsorted
+    inside map_batches (no shuffle). Above it, the dimension STAYS a
+    Dataset and the hop is the partitioned bucket join — pass
+    ``facts_dtypes`` (column -> pandas dtype) when the fact side's plan
+    holds an all-to-all so the join skips its schema probe. INNER
+    semantics: fact rows with no dimension match are dropped (key
+    integrity is the caller's contract, as with a SQL join). To use the
+    dim as a key FILTER that also decorates, pre-filter the dim side."""
+    import ray
+
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    d = dim.materialize()
+    n = d.count()
+    if n <= _BROADCAST_KEY_LIMIT:
+        dp = d.to_pandas().sort_values(on) if n else pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in (on, *cols)}
+        )
+        ref = ray.put(
+            (dp[on].to_numpy(), {c: dp[c].to_numpy() for c in cols})
+        )
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            ks, vmap = ray.get(ref)
+            col = df[on].to_numpy()
+            if len(ks) == 0:
+                hit = np.zeros(len(col), dtype=bool)
+                idx = hit.astype(np.int64)
+            else:
+                idx = np.searchsorted(ks, col)
+                idx[idx == len(ks)] = 0  # clamp; equality decides
+                hit = ks[idx] == col
+            out = df[hit].copy()
+            for c in cols:
+                out[c] = vmap[c][idx[hit]]
+            return out
+
+        return facts.map_batches(attach, batch_format="pandas")
+    return bucket_hash_join(
+        facts, d, on=on,
+        left_dtypes=facts_dtypes,
+        right_dtypes=(
+            _schema_pandas_dtypes(d.schema()) if facts_dtypes else None
+        ),
+    )
 
 
 def distinct_set_op(
@@ -576,13 +657,15 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
     Scale shape: selective filters are pushed BEFORE the join — orders
     keeps only the date window and ships (orderkey, cust_nation) [two
     ints]; lineitem keeps only region suppliers and ships (orderkey,
-    supp_nation, rev_c4). Dimension maps ship once via ray.put (int->int
-    arrays; above the broadcast gate the same query composes from
-    bucket_hash_join against the dimension instead). Exact integer-cents
-    revenue."""
+    supp_nation, rev_c4). Supplier and customer scale with the corpus,
+    so both nationkey hops go through ``attach_key_map``'s adaptive gate
+    (searchsorted broadcast below _BROADCAST_KEY_LIMIT, partitioned
+    bucket join above) — the supplier dim is pre-filtered to the
+    region's nations so the inner attach doubles as the region filter.
+    Only the constant-size nation table (25 rows) ships as a closure.
+    Exact integer-cents revenue."""
+    import pyarrow.compute as pc_
     import pyarrow.parquet as pq
-
-    import ray
 
     from ..money import cents_np as _cents_np
 
@@ -593,17 +676,25 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
     region_t = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     rk = set(region_t.loc[region_t["r_name"] == region, "r_regionkey"])
     nat = nation[nation["n_regionkey"].isin(rk)]
-    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))  # <= 25 rows
+    region_nk = pa.array(list(nat_names.keys()), type=pa.int64())
 
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
-    nat_ref = ray.put(nat_names)
+    supp_dim = _read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc_.is_in(pc_.cast(t["s_nationkey"], pa.int64()), region_nk)
+        ).rename_columns(["l_suppkey", "s_nk"]),
+        batch_format="pyarrow",
+    )
+    cust_dim = _read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nk"]),
+        batch_format="pyarrow",
+    )
 
     orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -612,11 +703,16 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
 
     def o_side(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["o_orderdate"] >= "1996-01-01") & (df["o_orderdate"] < "1997-01-01")]
-        lut = ray.get(cust_ref)
         return pd.DataFrame(
             {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
-             "c_nk": df["o_custkey"].map(lut).to_numpy(np.int64)}
+             "o_custkey": df["o_custkey"].to_numpy(np.int64)}
         )
+
+    o_stream = attach_key_map(
+        orders.map_batches(o_side, batch_format="pandas"),
+        cust_dim, on="o_custkey", value_cols="c_nk",
+        facts_dtypes={"l_orderkey": np.int64, "o_custkey": np.int64},
+    ).select_columns(["l_orderkey", "c_nk"])
 
     li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -624,29 +720,27 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
     )
 
     def l_side(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(supp_ref)
-        names = ray.get(nat_ref)
-        s_nk = df["l_suppkey"].map(lut)
-        df = df[s_nk.isin(names.keys())]
         price_c = _cents_np(df["l_extendedprice"].to_numpy())
         disc_c = _cents_np(df["l_discount"].to_numpy())
         return pd.DataFrame(
             {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
-             "s_nk": s_nk[df.index].to_numpy(np.int64),
+             "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
              "rev_c4": price_c * (100 - disc_c)}
         )
 
-    joined = bucket_hash_join(
+    l_stream = attach_key_map(
         li.map_batches(l_side, batch_format="pandas"),
-        orders.map_batches(o_side, batch_format="pandas"),
-        on="l_orderkey",
-    )
+        supp_dim, on="l_suppkey", value_cols="s_nk",
+        facts_dtypes={"l_orderkey": np.int64, "l_suppkey": np.int64,
+                      "rev_c4": np.int64},
+    ).select_columns(["l_orderkey", "s_nk", "rev_c4"])
+
+    joined = bucket_hash_join(l_stream, o_stream, on="l_orderkey")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["s_nk"] == df["c_nk"]]
-        names = ray.get(nat_ref)
         out = pd.DataFrame(
-            {"n_name": df["s_nk"].map(names), "rev_c4": df["rev_c4"]}
+            {"n_name": df["s_nk"].map(nat_names), "rev_c4": df["rev_c4"]}
         )
         return out.groupby("n_name", as_index=False).agg(rev_c4=("rev_c4", "sum"))
 
@@ -902,29 +996,38 @@ def q7_nation_flows(sf_dir: str) -> pd.DataFrame:
     ORDERED pair of distinct nations (supplier nation -> customer nation)
     per ship year — the bilateral-trade matrix.
 
-    Scale shape: identical join plan to Q5 — two int->int dimension maps
-    ship once via ray.put, lineitem ships (orderkey, supp_nation, year,
-    rev_c4), orders ships (orderkey, cust_nation), ONE partitioned hash
-    join on orderkey, then per-batch partial aggregation into the tiny
-    (nation x nation x year) result space before the final grouped sum."""
+    Scale shape: identical join plan to Q5 — supplier and customer scale
+    with the corpus, so both nationkey hops go through
+    ``attach_key_map``'s adaptive gate (broadcast arrays below
+    _BROADCAST_KEY_LIMIT, partitioned bucket join above); lineitem ships
+    (orderkey, supp_nation, year, rev_c4), orders ships (orderkey,
+    cust_nation), ONE partitioned hash join on orderkey, then per-batch
+    partial aggregation into the tiny (nation x nation x year) result
+    space before the final grouped sum."""
+    import pyarrow.compute as pc_
     import pyarrow.parquet as pq
-
-    import ray
 
     from ..money import cents_np as _cents_np
 
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    nat_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    nat_names = dict(zip(nation["n_nationkey"], nation["n_name"]))  # 25 rows
+
+    supp_dim = _read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nk"]),
+        batch_format="pyarrow",
+    )
+    cust_dim = _read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nk"]),
+        batch_format="pyarrow",
+    )
 
     li = _read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -933,33 +1036,40 @@ def q7_nation_flows(sf_dir: str) -> pd.DataFrame:
     )
 
     def l_side(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(supp_ref)
         price_c = _cents_np(df["l_extendedprice"].to_numpy())
         disc_c = _cents_np(df["l_discount"].to_numpy())
         return pd.DataFrame(
             {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
-             "s_nk": df["l_suppkey"].map(lut).to_numpy(np.int64),
+             "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
              "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
              "rev_c4": price_c * (100 - disc_c)}
         )
 
+    l_stream = attach_key_map(
+        li.map_batches(l_side, batch_format="pandas"),
+        supp_dim, on="l_suppkey", value_cols="s_nk",
+        facts_dtypes={"l_orderkey": np.int64, "l_suppkey": np.int64,
+                      "l_year": np.int64, "rev_c4": np.int64},
+    ).select_columns(["l_orderkey", "s_nk", "l_year", "rev_c4"])
+
     orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc_.cast(t["o_orderkey"], pa.int64()),
+             pc_.cast(t["o_custkey"], pa.int64())],
+            names=["l_orderkey", "o_custkey"],
+        ),
+        batch_format="pyarrow",
     )
 
-    def o_side(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(cust_ref)
-        return pd.DataFrame(
-            {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
-             "c_nk": df["o_custkey"].map(lut).to_numpy(np.int64)}
-        )
+    o_stream = attach_key_map(
+        orders, cust_dim, on="o_custkey", value_cols="c_nk",
+        facts_dtypes={"l_orderkey": np.int64, "o_custkey": np.int64},
+    ).select_columns(["l_orderkey", "c_nk"])
 
-    joined = bucket_hash_join(
-        li.map_batches(l_side, batch_format="pandas"),
-        orders.map_batches(o_side, batch_format="pandas"),
-        on="l_orderkey",
-    )
+    joined = bucket_hash_join(l_stream, o_stream, on="l_orderkey")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["s_nk"] != df["c_nk"]]
@@ -995,52 +1105,57 @@ def q14_promo_effect(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q14 (promotion effect): percent of one month's revenue from
     parts of PROMO type.
 
-    Scale shape: the part->type dimension ships once via ray.put as an
-    int->bool array lookup; the month window is pushed into the parquet
-    scan; each block emits ONE (promo_c4, total_c4, n) partial row.
-    Exact integer-cents sums; the percent is one double division."""
+    Scale shape: part scales with the corpus, so its type column never
+    ships whole (the pre-round-4 plan broadcast a full partkey->bool
+    dict); the PROMO partkeys reduce in the SCAN task to a key Dataset
+    and the month's lines take the adaptive semi join (broadcast set
+    below the key gate, partitioned cogroup above). The month window is
+    pushed into both lineitem scans; each block emits ONE partial
+    (sum, count) row. Exact integer-cents sums; the percent is one
+    double division."""
+    import pyarrow.compute as pc_
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-
-    import ray
 
     from ..money import cents_np as _cents_np
 
-    part = pq.read_table(
+    pkeys = _read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
-    ).to_pandas()
-    promo_ref = ray.put(
-        dict(zip(part["p_partkey"], part["p_type"].eq("PROMO")))
+    ).map_batches(
+        lambda t: t.filter(pc_.equal(t["p_type"], "PROMO"))
+        .select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
     )
 
-    ds = _read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_extendedprice", "l_discount"],
-        filter=(
-            (pads.field("l_shipdate") >= pd.Timestamp(Q14_FROM))
-            & (pads.field("l_shipdate") < pd.Timestamp(Q14_TO))
-        ),
-    )
+    def window_scan():
+        return _read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            filter=(
+                (pads.field("l_shipdate") >= pd.Timestamp(Q14_FROM))
+                & (pads.field("l_shipdate") < pd.Timestamp(Q14_TO))
+            ),
+        )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(promo_ref)
         rev = _cents_np(df["l_extendedprice"].to_numpy()) * (
             100 - _cents_np(df["l_discount"].to_numpy())
         )
-        promo = df["l_partkey"].map(lut).to_numpy(bool)
-        return pd.DataFrame(
-            {"promo_c4": [rev[promo].sum()], "total_c4": [rev.sum()],
-             "n_items": [len(df)]}
-        )
+        return pd.DataFrame({"rev_c4": [int(rev.sum())], "n_items": [len(df)]})
 
-    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    promo_c4 = int(p["promo_c4"].sum())
-    total_c4 = int(p["total_c4"].sum())
+    def fold(ds_) -> tuple[int, int]:
+        p = ds_.map_batches(partial, batch_format="pandas").to_pandas()
+        return int(p["rev_c4"].sum()), int(p["n_items"].sum())
+
+    total_c4, n_items = fold(window_scan())
+    promo_c4, _ = fold(
+        semi_anti_join(window_scan(), pkeys, on="l_partkey",
+                       assume_distinct=True)
+    )
     return pd.DataFrame(
         {"promo_pct": [100.0 * promo_c4 / total_c4],
          "promo_revenue": [promo_c4 / 10000.0],
          "total_revenue": [total_c4 / 10000.0],
-         "n_items": [np.int64(p["n_items"].sum())]}
+         "n_items": [np.int64(n_items)]}
     )
 
 
@@ -1516,14 +1631,18 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
     supplied by one nation — a ratio of two exact-cents aggregates over
     the same joined stream.
 
-    Scale shape: Q5/Q7's plan — part-type and supplier-nation and
-    customer-region dimension maps broadcast once; lineitem ships only
-    PROMO rows (orderkey, supp-is-target flag, rev_c4), orders ships
-    region-customer (orderkey, year); one partitioned join; per-batch
-    partials into the tiny year space carrying (target_c4, total_c4)."""
+    Scale shape: Q5/Q7's plan with every corpus-scaled dimension kept
+    distributed — the PROMO part keys reduce in the scan task and gate
+    lineitem through the adaptive semi join; supplier-nation and
+    customer-region hops go through ``attach_key_map`` (the customer dim
+    is pre-filtered to the region's nations so the inner attach doubles
+    as the region filter); lineitem ships PROMO rows (orderkey,
+    supp_nation, rev_c4), orders ships region rows (orderkey, year); one
+    partitioned join; per-batch partials into the tiny year space
+    carrying (target_c4, total_c4). Only the 25-row nation table is a
+    driver-side constant."""
+    import pyarrow.compute as pc_
     import pyarrow.parquet as pq
-
-    import ray
 
     from ..money import cents_np as _cents_np
     from ray.data.aggregate import Sum
@@ -1535,49 +1654,63 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "region.parquet")
     ).to_pandas()
     rk = set(region.loc[region["r_name"] == Q8_REGION, "r_regionkey"])
-    region_nations = set(
+    region_nk = pa.array(
         nation.loc[nation["n_regionkey"].isin(rk), "n_nationkey"]
+        .astype(np.int64).tolist(), type=pa.int64(),
     )
     target_nk = set(
         nation.loc[nation["n_name"] == Q8_NATION, "n_nationkey"]
     )
 
-    supp = pq.read_table(
+    promo_keys = _read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: t.filter(pc_.equal(t["p_type"], Q8_TYPE))
+        .select(["p_partkey"]).rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    supp_dim = _read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"],
-    ).to_pandas()
-    cust = pq.read_table(
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nk"]),
+        batch_format="pyarrow",
+    )
+    cust_dim = _read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"],
-    ).to_pandas()
-    part = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
-    ).to_pandas()
-    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
-    promo_ref = ray.put(
-        set(part.loc[part["p_type"] == Q8_TYPE, "p_partkey"])
+    ).map_batches(
+        lambda t: t.filter(
+            pc_.is_in(pc_.cast(t["c_nationkey"], pa.int64()), region_nk)
+        ).rename_columns(["o_custkey", "c_nk"]),
+        batch_format="pyarrow",
     )
 
-    li = _read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_partkey", "l_suppkey",
-                 "l_extendedprice", "l_discount"],
+    li = semi_anti_join(
+        _read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"],
+        ),
+        promo_keys, on="l_partkey", assume_distinct=True,
     )
 
     def l_side(df: pd.DataFrame) -> pd.DataFrame:
-        promo = ray.get(promo_ref)
-        df = df[df["l_partkey"].isin(promo)]
-        lut = ray.get(supp_ref)
-        s_nk = df["l_suppkey"].map(lut)
         rev = _cents_np(df["l_extendedprice"].to_numpy()) * (
             100 - _cents_np(df["l_discount"].to_numpy())
         )
         return pd.DataFrame(
             {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
-             "is_target": s_nk.isin(target_nk).to_numpy(),
+             "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
              "rev_c4": rev}
         )
+
+    l_stream = attach_key_map(
+        li.map_batches(l_side, batch_format="pandas"),
+        supp_dim, on="l_suppkey", value_cols="s_nk",
+        facts_dtypes={"l_orderkey": np.int64, "l_suppkey": np.int64,
+                      "rev_c4": np.int64},
+    ).select_columns(["l_orderkey", "s_nk", "rev_c4"])
 
     orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -1585,24 +1718,25 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
     )
 
     def o_side(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(cust_ref)
-        c_nk = df["o_custkey"].map(lut)
-        df = df[c_nk.isin(region_nations).to_numpy()]
         return pd.DataFrame(
             {"l_orderkey": df["o_orderkey"].to_numpy(np.int64),
+             "o_custkey": df["o_custkey"].to_numpy(np.int64),
              "o_year": pd.to_datetime(df["o_orderdate"]).dt.year.to_numpy(
                  np.int64)}
         )
 
-    joined = bucket_hash_join(
-        li.map_batches(l_side, batch_format="pandas"),
+    o_stream = attach_key_map(
         orders.map_batches(o_side, batch_format="pandas"),
-        on="l_orderkey",
-    )
+        cust_dim, on="o_custkey", value_cols="c_nk",
+        facts_dtypes={"l_orderkey": np.int64, "o_custkey": np.int64,
+                      "o_year": np.int64},
+    ).select_columns(["l_orderkey", "o_year"])
+
+    joined = bucket_hash_join(l_stream, o_stream, on="l_orderkey")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
-            target_c4=np.where(df["is_target"].to_numpy(bool),
+            target_c4=np.where(df["s_nk"].isin(target_nk).to_numpy(bool),
                                df["rev_c4"], 0)
         )
         return df.groupby("o_year", as_index=False).agg(
@@ -1693,19 +1827,20 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     table.
 
     Scale shape: per-part (sum_qty, n) reduces via partials into a
-    part-dimension-sized table broadcast as two int arrays; the
+    part-dimension-sized DATASET — part scales with the corpus, so it
+    goes back onto the fact stream through ``attach_key_map``'s adaptive
+    gate (two broadcast int arrays below _BROADCAST_KEY_LIMIT keys, a
+    partitioned bucket join above) rather than a driver-side dict; the
     threshold predicate is the cross-multiplied integer comparison
-    qty * 5 * n_part < sum_qty (no float average anywhere); one more
-    scan of lineitem emits per-block revenue partials."""
-    import ray
-
-    from ..money import cents_np as _cents_np
+    qty * 5 * n_part < sum_qty (no float average anywhere); the second
+    lineitem scan emits per-block revenue partials."""
     from ..stages.partial_agg import partial_sum_count
 
-    li = _read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_quantity", "l_extendedprice"],
-    )
+    def li_scan():
+        return _read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        )
 
     def widen(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -1715,26 +1850,47 @@ def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     per_part = partial_sum_count(
-        li.map_batches(widen, batch_format="pyarrow"), ["l_partkey"], ["qty"]
-    ).to_pandas()  # part-dimension-sized
-    sum_ref = ray.put(dict(zip(per_part["l_partkey"], per_part["qty"])))
-    n_ref = ray.put(dict(zip(per_part["l_partkey"], per_part["n"])))
+        li_scan().map_batches(widen, batch_format="pyarrow"),
+        ["l_partkey"], ["qty"],
+    ).map_batches(  # part-dimension-sized; stays a Dataset
+        lambda df: (
+            df.rename(columns={"qty": "sum_qty", "n": "n_part"})
+            [["l_partkey", "sum_qty", "n_part"]].astype(np.int64)
+            if all(c in df.columns for c in ("l_partkey", "qty", "n"))
+            else pd.DataFrame({c: pd.Series([], dtype="int64")
+                               for c in ("l_partkey", "sum_qty", "n_part")})
+        ),
+        batch_format="pandas",
+    )
+
+    def fact_prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["l_partkey"], pa.int64()),
+             pc.cast(t["l_quantity"], pa.int64()),
+             _cents(t["l_extendedprice"])],
+            names=["l_partkey", "qty", "price_c"],
+        )
+
+    attached = attach_key_map(
+        li_scan().map_batches(fact_prep, batch_format="pyarrow"),
+        per_part, on="l_partkey", value_cols=["sum_qty", "n_part"],
+        facts_dtypes={"l_partkey": np.int64, "qty": np.int64,
+                      "price_c": np.int64},
+    )
 
     def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
-        sums = ray.get(sum_ref)
-        ns = ray.get(n_ref)
-        qty = df["l_quantity"].to_numpy(np.int64)
-        s = df["l_partkey"].map(sums).to_numpy(np.int64)
-        n = df["l_partkey"].map(ns).to_numpy(np.int64)
+        qty = df["qty"].to_numpy(np.int64)
+        s = df["sum_qty"].to_numpy(np.int64)
+        n = df["n_part"].to_numpy(np.int64)
         keep = (qty * Q17_QTY_FRACTION_DEN * n
                 * Q17_QTY_FRACTION_NUM) < s  # qty*5 < avg*5 = s/n -> qty*5*n < s
-        price_c = _cents_np(df["l_extendedprice"].to_numpy())
+        price_c = df["price_c"].to_numpy(np.int64)
         return pd.DataFrame(
             {"rev_c": [int(price_c[keep].sum())],
              "n_items": [int(keep.sum())]}
         )
 
-    p = li.map_batches(rev_partial, batch_format="pandas").to_pandas()
+    p = attached.map_batches(rev_partial, batch_format="pandas").to_pandas()
     rev_c = int(p["rev_c"].sum())
     return pd.DataFrame(
         {"avg_yearly": [rev_c / 7.0 / 100.0],

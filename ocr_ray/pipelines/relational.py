@@ -126,8 +126,13 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Top-k customers by total order value: grouped sum over orders, then
-    broadcast-join the (small) customer dimension, sort desc, limit."""
+    """Top-k customers by total order value: grouped sum over orders,
+    sort desc, limit — and only THEN fetch the k winners' names with a
+    key-filtered customer scan. Customer scales with the corpus, so the
+    dimension never ships whole (the pre-round-4 plan broadcast the full
+    custkey->name dict to decorate rows a limit was about to discard)."""
+    import pyarrow.compute as pc_
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def widen(t: pa.Table) -> pa.Table:
@@ -136,28 +141,25 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
             names=["o_custkey", "price_c"],
         )
 
-    agg = (
+    top = (
         orders.map_batches(widen, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum("price_c", alias_name="revenue_c"), Count(alias_name="n_orders"))
-    )
-
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(cust_ref)
-        df["c_name"] = [names.get(ck, "") for ck in df["o_custkey"]]
-        return df
-
-    top = (
-        agg.map_batches(attach, batch_format="pandas")
         .sort(["revenue_c", "o_custkey"], descending=[True, False])
         .limit(k)
         .to_pandas()
     )
+    want = top["o_custkey"].to_numpy(np.int64)
+    names = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(pc_.is_in(t["c_custkey"], pa.array(want))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # exactly the k winners
+    )
+    lut = dict(zip(names.get("c_custkey", []), names.get("c_name", [])))
+    top["c_name"] = top["o_custkey"].map(lambda ck: lut.get(ck, ""))
     top["revenue"] = top["revenue_c"] / 100.0
     return top[["o_custkey", "c_name", "revenue", "n_orders"]]
 

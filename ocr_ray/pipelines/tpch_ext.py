@@ -128,23 +128,56 @@ def _commit_receipt(
     return commit, receipt
 
 
-def _region_suppliers(sf_dir: str, region: str) -> pd.DataFrame:
-    """Dimension prep: suppliers in a region with name/acctbal/nation
-    (tiny: supplier x nation x region are all dimension tables)."""
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet")
-    ).to_pandas()
+def _region_supplier_dim(
+    sf_dir: str, region: str, key_name: str = "s_suppkey",
+    with_attrs: bool = False,
+) -> rd.Dataset:
+    """Region suppliers as a DATASET — supplier scales with the corpus,
+    so the region filter runs inside the scan task against the
+    constant-size nation-key set (<= 25 ints, shipped as a closure);
+    only nation/region (true constants) are read driver-side. Columns:
+    (key_name,) or, with attrs, (key_name, s_name, s_acctbal, n_name).
+    Consumers route this through semi_anti_join / attach_key_map so the
+    dimension never becomes an unbounded driver-side structure."""
     nation = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet")
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
     ).to_pandas()
     reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
     rk = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
-    nation = nation[nation["n_regionkey"].isin(rk)]
-    out = supp.merge(
-        nation[["n_nationkey", "n_name"]],
-        left_on="s_nationkey", right_on="n_nationkey",
+    nat = nation[nation["n_regionkey"].isin(rk)]
+    nat_names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nk = pa.array([int(x) for x in nat_names], type=pa.int64())
+
+    if with_attrs:
+        ds = _read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey", "s_name", "s_acctbal"],
+        )
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["s_nationkey"].astype(np.int64).isin(nat_names)]
+            return pd.DataFrame(
+                {key_name: df["s_suppkey"].to_numpy(np.int64),
+                 "s_name": df["s_name"].to_numpy(object),
+                 "s_acctbal": df["s_acctbal"].to_numpy(np.float64),
+                 "n_name": df["s_nationkey"].map(nat_names).to_numpy(object)}
+            )
+
+        return ds.map_batches(prep, batch_format="pandas")
+
+    ds = _read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
     )
-    return out[["s_suppkey", "s_name", "s_acctbal", "n_name"]]
+
+    def keys(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), nk)
+        return pa.table(
+            {key_name: pc.cast(t.filter(keep)["s_suppkey"], pa.int64())}
+        )
+
+    return ds.map_batches(keys, batch_format="pyarrow")
 
 
 Q2_SIZE, Q2_TYPE, Q2_REGION = 15, "STANDARD", "EUROPE"
@@ -156,19 +189,24 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 100) -> pd.DataFrame:
     subquery), richest suppliers first.
 
     Scale shape: part scan is predicate-pushed to (size, type); the
-    derived partsupp explodes only the qualifying parts (x4); the
-    region's supplier attributes broadcast once via ray.put; min-per-part
-    + keep-the-min happen in ONE coarse hash-bucket shuffle (vectorized
-    transform('min') per bucket); the final sort runs on the tiny
-    qualifying set."""
+    derived partsupp explodes only the qualifying parts (x4); region
+    supplier membership goes through semi_anti_join's adaptive gate and
+    the winners' attributes come back through attach_key_map — supplier
+    scales with the corpus, so neither ships as a driver-side structure;
+    min-per-part + keep-the-min happen in ONE coarse hash-bucket shuffle
+    (vectorized transform('min') per bucket); the qualifying set is
+    part-scaled, so the rank-and-take-k runs as a distributed
+    Dataset.sort().limit(k), never a driver pull."""
     import pyarrow.dataset as pads
+
+    from .joins import attach_key_map, semi_anti_join
 
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
-    dim = _region_suppliers(sf_dir, Q2_REGION)
-    # broadcast only what the scan tasks read: the eligible id ARRAY
-    # (names/balances stay driver-side for the tiny final attach)
-    elig_ref = ray.put(dim["s_suppkey"].to_numpy(np.int64))
+    elig = _region_supplier_dim(sf_dir, Q2_REGION, key_name="ps_suppkey")
+    attrs = _region_supplier_dim(
+        sf_dir, Q2_REGION, key_name="ps_suppkey", with_attrs=True
+    )
 
     part = _read_parquet(
         os.path.join(sf_dir, "part.parquet"),
@@ -182,14 +220,15 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 100) -> pd.DataFrame:
             t.column("p_partkey").to_numpy(zero_copy_only=False), len(offsets)
         )
         sk = (pk + np.tile(offsets, t.num_rows)) % s
-        keep = np.isin(sk, ray.get(elig_ref))
-        pk, sk = pk[keep], sk[keep]
         return pa.table(
             {"ps_partkey": pk, "ps_suppkey": sk,
              "cost_c": _ps_cost_c(pk, sk)}
         )
 
-    ps = part.map_batches(explode, batch_format="pyarrow").map_batches(
+    ps = semi_anti_join(
+        part.map_batches(explode, batch_format="pyarrow"),
+        elig, on="ps_suppkey", assume_distinct=True,
+    ).map_batches(
         lambda t: add_hash_bucket(t, ["ps_partkey"], 32), batch_format="pyarrow"
     )
 
@@ -200,29 +239,31 @@ def q2_min_cost_supplier(sf_dir: str, k: int = 100) -> pd.DataFrame:
     norm = pin_schema(
         {"ps_partkey": "int64", "ps_suppkey": "int64", "cost_c": "int64"}
     )
-    out = (
+    winners = (
         ps.groupby("bucket")
         .map_groups(
             lambda df: keep_min(df.drop(columns=["bucket"])),
             batch_format="pandas",
         )
         .map_batches(norm, batch_format="pandas")
+    )
+    out = (
+        attach_key_map(
+            winners, attrs, on="ps_suppkey",
+            value_cols=["s_name", "s_acctbal", "n_name"],
+            facts_dtypes={"ps_partkey": "int64", "ps_suppkey": "int64",
+                          "cost_c": "int64"},
+        )
+        .sort(["s_acctbal", "n_name", "s_name", "ps_partkey"],
+              descending=[True, False, False, False])
+        .limit(k)
         .to_pandas()
     )
-    lut = dim.set_index("s_suppkey")
-    out["s_name"] = out["ps_suppkey"].map(lut["s_name"])
-    out["s_acctbal"] = out["ps_suppkey"].map(lut["s_acctbal"])
-    out["n_name"] = out["ps_suppkey"].map(lut["n_name"])
     out["p_mfgr"] = "MFGR#" + (out["ps_partkey"] % 5 + 1).astype(str)
     out["supplycost"] = out["cost_c"].astype(np.int64) / 100.0
     out = out.rename(columns={"ps_partkey": "p_partkey"})
     return (
         out[["s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr", "supplycost"]]
-        .sort_values(
-            ["s_acctbal", "n_name", "s_name", "p_partkey"],
-            ascending=[False, True, True, True], kind="mergesort",
-        )
-        .head(k)
         .reset_index(drop=True)
     )
 
@@ -241,10 +282,12 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
     cogroup above); partsupp membership is the O(1) offset test and
     ps_supplycost_c is computed INLINE (pure function of the join key —
     no partsupp join, no broadcast of a fact-sized table);
-    supplier->nation ships as one int map (the canonical tiny side); the
-    only other shuffle is the orderkey bucket join to fetch the order
-    year, identical to Q7's plan."""
-    from .joins import bucket_hash_join, semi_anti_join
+    supplier->nation goes through ``attach_key_map``'s adaptive gate
+    (supplier scales with the corpus — broadcast arrays below
+    _BROADCAST_KEY_LIMIT, partitioned bucket join above); the only other
+    shuffle is the orderkey bucket join to fetch the order year,
+    identical to Q7's plan."""
+    from .joins import attach_key_map, bucket_hash_join, semi_anti_join
 
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
@@ -257,11 +300,13 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
         ).select(["p_partkey"]).rename_columns(["l_partkey"]),
         batch_format="pyarrow",
     )
-    supp = pq.read_table(
+    supp_dim = _read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"],
-    ).to_pandas()
-    supp_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nk"]),
+        batch_format="pyarrow",
+    )
     nat_names = dict(
         zip(*pq.read_table(
             os.path.join(sf_dir, "nation.parquet"),
@@ -288,10 +333,9 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
         disc_c = _cents_np(df["l_discount"].to_numpy())
         qty = df["l_quantity"].to_numpy(np.int64)
         amount_c4 = price_c * (100 - disc_c) - _ps_cost_c(pk, sk) * qty * 100
-        lut = ray.get(supp_ref)
         return pd.DataFrame(
             {"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
-             "s_nk": df["l_suppkey"].map(lut).to_numpy(np.int64),
+             "l_suppkey": sk,
              "amount_c4": amount_c4}
         )
 
@@ -306,13 +350,20 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
              "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)}
         )
 
-    joined = bucket_hash_join(
+    # explicit dtypes throughout: at scale the semi join above takes the
+    # cogroup (all-to-all) path, and any schema probe would re-execute
+    # that whole shuffle; the left side must STREAM, not materialize
+    l_stream = attach_key_map(
         li.map_batches(l_side, batch_format="pandas"),
+        supp_dim, on="l_suppkey", value_cols="s_nk",
+        facts_dtypes={"l_orderkey": "int64", "l_suppkey": "int64",
+                      "amount_c4": "int64"},
+    ).select_columns(["l_orderkey", "s_nk", "amount_c4"])
+
+    joined = bucket_hash_join(
+        l_stream,
         orders.map_batches(o_side, batch_format="pandas"),
         on="l_orderkey",
-        # explicit dtypes: at scale the semi join above takes the cogroup
-        # (all-to-all) path, and the join's schema probe would re-execute
-        # that whole shuffle; the left side must STREAM, not materialize
         left_dtypes={"l_orderkey": "int64", "s_nk": "int64",
                      "amount_c4": "int64"},
         right_dtypes={"l_orderkey": "int64", "o_year": "int64"},
@@ -350,17 +401,23 @@ def q11_important_stock(sf_dir: str) -> pd.DataFrame:
     suppliers, keeping parts above a fraction of the region total
     (HAVING > scalar subquery).
 
-    Scale shape: region supplier ids broadcast once; the part scan
-    explodes to the derived partsupp with cost*qty computed inline; ONE
-    hash-bucket grouped sum; the region total is a distributed Sum over
-    the materialized grouped result; the threshold compare is exact
-    integer cross-multiplication (val*DENOM > total), mirrored in SQL."""
+    Scale shape: region supplier membership goes through
+    semi_anti_join's adaptive gate (supplier scales with the corpus —
+    never a driver-side id set); the part scan explodes to the derived
+    partsupp with cost*qty computed inline; ONE hash-bucket grouped sum;
+    the region total is a distributed Sum over the materialized grouped
+    result; the threshold filter runs DISTRIBUTED against the scalar
+    total (the grouped table is part-scaled), and only the qualifying
+    rows — fewer than DENOM by construction, each exceeds total/DENOM —
+    reach the driver. The compare is exact integer cross-multiplication
+    (val*DENOM > total), mirrored in SQL."""
     from ray.data.aggregate import Sum
+
+    from .joins import semi_anti_join
 
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
-    eligible = _region_suppliers(sf_dir, Q11_REGION)["s_suppkey"].to_numpy(np.int64)
-    elig_ref = ray.put(eligible)
+    elig = _region_supplier_dim(sf_dir, Q11_REGION, key_name="ps_suppkey")
 
     part = _read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
@@ -371,16 +428,20 @@ def q11_important_stock(sf_dir: str) -> pd.DataFrame:
             t.column("p_partkey").to_numpy(zero_copy_only=False), len(offsets)
         )
         sk = (pk + np.tile(offsets, t.num_rows)) % s
-        keep = np.isin(sk, ray.get(elig_ref))
-        pk, sk = pk[keep], sk[keep]
         return pa.table(
-            {"ps_partkey": pk,
+            {"ps_partkey": pk, "ps_suppkey": sk,
              "val_c": _ps_cost_c(pk, sk) * _ps_availqty(pk, sk)}
         )
 
-    grouped = hash_bucket_sum(
+    pairs = semi_anti_join(
         part.map_batches(explode, batch_format="pyarrow"),
-        ["ps_partkey"], ["val_c"], n_buckets=32,
+        elig, on="ps_suppkey", assume_distinct=True,
+    ).map_batches(
+        lambda t: t.select(["ps_partkey", "val_c"]), batch_format="pyarrow"
+    )
+
+    grouped = hash_bucket_sum(
+        pairs, ["ps_partkey"], ["val_c"], n_buckets=32,
     ).drop_columns(["n"]).materialize()
     total = grouped.aggregate(Sum("val_c", alias_name="t"))["t"]
     if total is None:  # no region supplier / empty part table
@@ -389,8 +450,16 @@ def q11_important_stock(sf_dir: str) -> pd.DataFrame:
              "value": pd.Series([], dtype=np.float64)}
         )
     total = int(total)
-    out = grouped.to_pandas()
-    out = out[out["val_c"].astype(np.int64) * Q11_FRACTION_DENOM > total]
+
+    def over_threshold(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["val_c"].astype(np.int64) * Q11_FRACTION_DENOM > total]
+
+    out = grouped.map_batches(
+        over_threshold, batch_format="pandas"
+    ).to_pandas()  # < DENOM qualifying rows by construction
+    if "val_c" not in out.columns:  # column-less empty to_pandas frame
+        out = pd.DataFrame({"ps_partkey": pd.Series([], dtype=np.int64),
+                            "val_c": pd.Series([], dtype=np.int64)})
     out["value"] = out["val_c"].astype(np.int64) / 100.0
     return (
         out[["ps_partkey", "value"]]
