@@ -362,7 +362,14 @@ def semi_anti_join(
     import ray
 
     if isinstance(keys, rd.Dataset):
-        kcol = keys.schema().names[0]
+        ksch = keys.schema()
+        if ksch is None:  # zero-block build side: empty key set
+            if anti:
+                return probe
+            return probe.map_batches(
+                lambda t: t.slice(0, 0), batch_format="pyarrow"
+            )
+        kcol = ksch.names[0]
         if assume_distinct:
             distinct = keys.select_columns([kcol]).materialize()
         else:

@@ -553,19 +553,27 @@ def q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
     set (negative-balance suppliers stand in for the complaints filter).
 
     Scale shape: the part scan is predicate-pushed; the excluded
-    supplier set broadcasts (tiny); distinct-count happens in ONE
+    supplier keys reduce in the SCAN task and gate the exploded pairs
+    through the adaptive ANTI semi join (supplier scales with the
+    corpus — never a driver-side set); distinct-count happens in ONE
     (brand,type,size)-bucket shuffle with an in-bucket vectorized
     drop_duplicates + nunique."""
     import pyarrow.dataset as pads
 
+    from .joins import semi_anti_join
+
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
-    supp = pq.read_table(
+    bad_keys = _read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_acctbal"],
-    ).to_pandas()
-    bad = supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64)
-    bad_ref = ray.put(bad)
+        filter=(pads.field("s_acctbal") < 0),
+    ).map_batches(
+        lambda t: pa.table(
+            {"ps_suppkey": pc.cast(t["s_suppkey"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
 
     part = _read_parquet(
         os.path.join(sf_dir, "part.parquet"),
@@ -579,7 +587,6 @@ def q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
         k = len(offsets)
         pk = np.repeat(t.column("p_partkey").to_numpy(zero_copy_only=False), k)
         sk = (pk + np.tile(offsets, t.num_rows)) % s
-        keep = ~np.isin(sk, ray.get(bad_ref))
         df = pd.DataFrame(
             {"p_brand": np.repeat(
                 t.column("p_brand").to_numpy(zero_copy_only=False), k),
@@ -589,10 +596,14 @@ def q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
                 t.column("p_size").to_numpy(zero_copy_only=False), k
              ).astype(np.int32),
              "ps_suppkey": sk}
-        )[keep]
+        )
         return from_pandas(df)
 
-    bucketed = part.map_batches(explode, batch_format="pyarrow").map_batches(
+    pairs = semi_anti_join(
+        part.map_batches(explode, batch_format="pyarrow"),
+        bad_keys, on="ps_suppkey", anti=True, assume_distinct=True,
+    )
+    bucketed = pairs.map_batches(
         lambda t: add_hash_bucket(t, ["p_brand", "p_type", "p_size"], 32),
         batch_format="pyarrow",
     )
@@ -752,16 +763,19 @@ def q20_potential_promotion(sf_dir: str) -> pd.DataFrame:
     id-set broadcast; the year window is predicate-pushed into the
     lineitem scan; the shipped-qty aggregate is ONE (partkey,suppkey)
     hash-bucket grouped sum; partsupp membership/availqty are inline
-    formulas on the grouped rows; the final supplier list is
-    dimension-sized."""
+    formulas on the grouped rows; the candidate supplier set stays a
+    Dataset through a distributed dedup + adaptive region attach, so no
+    supplier-scaled structure touches the driver."""
     import pyarrow.dataset as pads
 
-    from .joins import semi_anti_join
+    from .joins import attach_key_map, semi_anti_join
 
     s = _supplier_count(sf_dir)
     offsets = _ps_offsets(s)
-    dim = _region_suppliers(sf_dir, Q20_REGION)
-    elig_ref = ray.put(dim["s_suppkey"].to_numpy(np.int64))
+    elig = _region_supplier_dim(sf_dir, Q20_REGION, key_name="s_suppkey")
+    attrs = _region_supplier_dim(
+        sf_dir, Q20_REGION, key_name="s_suppkey", with_attrs=True
+    )
 
     pkeys = _read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
@@ -800,19 +814,32 @@ def q20_potential_promotion(sf_dir: str) -> pd.DataFrame:
         sk = df["l_suppkey"].to_numpy(np.int64)
         keep = (
             np.isin((sk - pk) % s, offsets)            # pair in partsupp
-            & np.isin(sk, ray.get(elig_ref))           # region supplier
             & (2 * _ps_availqty(pk, sk) > df["qty"].to_numpy(np.int64))
         )
         return pd.DataFrame({"s_suppkey": np.unique(sk[keep])})
 
-    sup = agg.map_batches(final_filter, batch_format="pandas").to_pandas()
-    winners = np.unique(sup["s_suppkey"].to_numpy(np.int64))
-    lut = dim.set_index("s_suppkey")
-    out = pd.DataFrame(
-        {"s_name": lut.loc[winners, "s_name"].to_numpy(),
-         "s_acctbal": lut.loc[winners, "s_acctbal"].to_numpy()}
+    # distributed distinct + region membership + attribute attach: the
+    # candidate supplier set is supplier-scaled, so it stays a Dataset —
+    # groupby-dedup, then the inner attach against the region dim doubles
+    # as the region filter; sort runs in Ray, only the answer lands here
+    winners = (
+        agg.map_batches(final_filter, batch_format="pandas")
+        .groupby("s_suppkey").count().select_columns(["s_suppkey"])
     )
-    return out.sort_values("s_name").reset_index(drop=True)
+    out = (
+        attach_key_map(
+            winners, attrs, on="s_suppkey",
+            value_cols=["s_name", "s_acctbal"],
+            facts_dtypes={"s_suppkey": "int64"},
+        )
+        .select_columns(["s_name", "s_acctbal"])
+        .sort("s_name")
+        .to_pandas()
+    )
+    if "s_name" not in out.columns:  # column-less empty to_pandas frame
+        out = pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                            "s_acctbal": pd.Series([], dtype=np.float64)})
+    return out.reset_index(drop=True)
 
 
 Q21_REGION = "AMERICA"
@@ -827,13 +854,18 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 100) -> pd.DataFrame:
     semi join; late flags are inline modular-date arithmetic in the scan
     task; the per-order ALL-suppliers analysis is ONE orderkey
     hash-bucket shuffle with vectorized in-bucket dedup + filtered
-    groupbys; the per-supplier count is dimension-sized."""
+    groupbys; the per-supplier count is supplier-scaled, so it reduces
+    in a distributed grouped sum, the region filter + name attach run
+    through attach_key_map's adaptive gate, and the rank-and-take-k is
+    a distributed sort().limit(k) — only the answer reaches the
+    driver."""
     import pyarrow.dataset as pads
 
-    from .joins import semi_anti_join
+    from .joins import attach_key_map, semi_anti_join
 
-    dim = _region_suppliers(sf_dir, Q21_REGION)
-    name_lut = dict(zip(dim["s_suppkey"], dim["s_name"]))
+    attrs = _region_supplier_dim(
+        sf_dir, Q21_REGION, key_name="l_suppkey", with_attrs=True
+    )
 
     orders_f = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -876,6 +908,8 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 100) -> pd.DataFrame:
             columns={"size": "numwait"}
         )
 
+    from ray.data.aggregate import Sum
+
     norm = pin_schema({"l_suppkey": "int64", "numwait": "int64"})
     per_supp = (
         lines.groupby("bucket")
@@ -884,15 +918,22 @@ def q21_waiting_suppliers(sf_dir: str, k: int = 100) -> pd.DataFrame:
             batch_format="pandas",
         )
         .map_batches(norm, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+        .materialize()  # attach_key_map's join path must not re-probe this
+    )
+    out = (
+        attach_key_map(
+            per_supp, attrs, on="l_suppkey", value_cols="s_name",
+            facts_dtypes={"l_suppkey": "int64", "numwait": "int64"},
+        )
+        .select_columns(["s_name", "numwait"])
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(k)
         .to_pandas()
-        .groupby("l_suppkey", as_index=False)["numwait"].sum()
     )
-    per_supp = per_supp[per_supp["l_suppkey"].isin(name_lut)]
-    per_supp["s_name"] = per_supp["l_suppkey"].map(name_lut)
-    return (
-        per_supp[["s_name", "numwait"]]
-        .sort_values(["numwait", "s_name"], ascending=[False, True],
-                     kind="mergesort")
-        .head(k)
-        .reset_index(drop=True)
-    )
+    if "s_name" not in out.columns:  # column-less empty to_pandas frame
+        out = pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                            "numwait": pd.Series([], dtype=np.int64)})
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out[["s_name", "numwait"]].reset_index(drop=True)

@@ -113,3 +113,32 @@ def test_q19_above_gate_join_path(ray_session, monkeypatch):
     monkeypatch.setattr(joins, "_BROADCAST_KEY_LIMIT", 0)
     slow = q19_discounted_revenue(sf)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_q2_q11_above_gate_join_path(ray_session, monkeypatch):
+    """Region-supplier membership + attribute attach forced onto the
+    partitioned path must reproduce the broadcast path bit-for-bit."""
+    from ocr_ray.pipelines import joins
+    from ocr_ray.pipelines.tpch_ext import q2_min_cost_supplier, q11_important_stock
+
+    sf = "/root/testdata/sf0.001"
+    fast2 = q2_min_cost_supplier(sf)
+    fast11 = q11_important_stock(sf)
+    monkeypatch.setattr(joins, "_BROADCAST_KEY_LIMIT", 0)
+    pd.testing.assert_frame_equal(fast2, q2_min_cost_supplier(sf))
+    pd.testing.assert_frame_equal(fast11, q11_important_stock(sf))
+
+
+def test_q16_q20_q21_above_gate_join_path(ray_session, monkeypatch):
+    from ocr_ray.pipelines import joins
+    from ocr_ray.pipelines.tpch_ext import (
+        q16_supplier_cnt, q20_potential_promotion, q21_waiting_suppliers)
+
+    sf = "/root/testdata/sf0.001"
+    fast16 = q16_supplier_cnt(sf)
+    fast20 = q20_potential_promotion(sf)
+    fast21 = q21_waiting_suppliers(sf)
+    monkeypatch.setattr(joins, "_BROADCAST_KEY_LIMIT", 0)
+    pd.testing.assert_frame_equal(fast16, q16_supplier_cnt(sf))
+    pd.testing.assert_frame_equal(fast20, q20_potential_promotion(sf))
+    pd.testing.assert_frame_equal(fast21, q21_waiting_suppliers(sf))
