@@ -530,11 +530,10 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     nation — discounted revenue by customer nation.
 
     Scale composition: pre-aggregate lineitem per orderkey (hash-bucketed),
-    native-join to orders (both large), broadcast the customer->nation and
-    nation-name lookups, then a tiny grouped sum."""
+    native-join to orders (both large), attach customer->nation through
+    attach_key_map's adaptive gate (customer scales with the corpus),
+    decode the 25-row nation-name map in the final grouped sum."""
     import pyarrow.parquet as pq_
-
-    import ray
 
     from ..stages.partial_agg import hash_bucket_sum
 
@@ -563,22 +562,27 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    cust = pq_.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
     nation = pq_.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    cust_to_nation = dict(
-        zip(cust["c_custkey"],
-            cust["c_nationkey"].map(dict(zip(nation["n_nationkey"], nation["n_name"]))))
+    nat_names = dict(zip(nation["n_nationkey"], nation["n_name"]))  # 25 rows
+
+    cust_dim = _read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nk"]),
+        batch_format="pyarrow",
     )
-    ref = ray.put(cust_to_nation)
+    joined = attach_key_map(
+        joined.select_columns(["o_custkey", "rev_c4"]),
+        cust_dim, on="o_custkey", value_cols="c_nk",
+        facts_dtypes={"o_custkey": np.int64, "rev_c4": np.int64},
+    )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ref)
         out = pd.DataFrame(
-            {"n_name": df["o_custkey"].map(lut), "rev_c4": df["rev_c4"]}
+            {"n_name": df["c_nk"].map(nat_names), "rev_c4": df["rev_c4"]}
         )
         return out.groupby("n_name", as_index=False).agg(
             rev_c4=("rev_c4", "sum"), n_orders=("rev_c4", "size")
