@@ -466,6 +466,18 @@ def attach_key_map(
     )
 
 
+def lookup_dim_rows(
+    path: str, key_col: str, keys, columns: list[str]
+) -> pd.DataFrame:
+    """Fetch the dimension rows matching a SMALL key set (a top-k result,
+    a tie set) without pulling the whole table to the driver: distributed
+    pruned read + broadcast key filter (semi_anti_join's broadcast path).
+    The driver receives only the matched rows — bounded by ``len(keys)``
+    no matter how large the dimension grows with the corpus."""
+    dim = _read_parquet(path, columns=columns)
+    return semi_anti_join(dim, keys, on=key_col).to_pandas()
+
+
 def distinct_set_op(
     a: rd.Dataset, b: rd.Dataset, on: str, anti: bool = False
 ) -> rd.Dataset:
@@ -1233,9 +1245,10 @@ def q18_big_orders(sf_dir: str, k: int = 100) -> pd.DataFrame:
         qdf.rename(columns={"l_orderkey": "o_orderkey"})[["o_orderkey", "qty"]],
         on="o_orderkey", how="left",
     )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    ).to_pandas()
+    cust = lookup_dim_rows(
+        os.path.join(sf_dir, "customer.parquet"), "c_custkey",
+        rep["o_custkey"].to_numpy(np.int64), ["c_custkey", "c_name"],
+    )  # bounded by k — never the full customer table at the driver
     rep["c_name"] = rep["o_custkey"].map(
         dict(zip(cust["c_custkey"], cust["c_name"]))
     )
@@ -1320,10 +1333,11 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .limit(k)
         .to_pandas()
     )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_name", "c_nationkey"],
-    ).to_pandas()
+    cust = lookup_dim_rows(
+        os.path.join(sf_dir, "customer.parquet"), "c_custkey",
+        top["c_custkey"].to_numpy(np.int64),
+        ["c_custkey", "c_name", "c_nationkey"],
+    )  # bounded by k — never the full customer table at the driver
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"),
         columns=["n_nationkey", "n_name"],
@@ -1551,14 +1565,22 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
             {"l_suppkey": df["l_suppkey"].to_numpy(np.int64), "rev_c4": rev}
         )
 
-    rev = partial_sum_count(
+    # per-supplier revenue STAYS a distributed Dataset (supplier scales
+    # with the corpus); materialize once so max + tie filter reuse blocks
+    rev_ds = partial_sum_count(
         li.map_batches(widen, batch_format="pandas"), ["l_suppkey"], ["rev_c4"]
-    ).to_pandas()  # dimension-sized: one row per active supplier
-    top_c4 = int(rev["rev_c4"].max())
-    top = rev[rev["rev_c4"] == top_c4]
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
-    ).to_pandas()
+    ).materialize()
+    from ray.data.aggregate import Max
+
+    top_c4 = int(rev_ds.aggregate(Max("rev_c4"))["max(rev_c4)"])
+    top = rev_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["rev_c4"], pa.scalar(top_c4, pa.int64()))),
+        batch_format="pyarrow",
+    ).to_pandas()  # bounded by the tie set
+    supp = lookup_dim_rows(
+        os.path.join(sf_dir, "supplier.parquet"), "s_suppkey",
+        top["l_suppkey"].to_numpy(np.int64), ["s_suppkey", "s_name"],
+    )  # bounded by the tie set — never the full supplier table
     out = pd.DataFrame(
         {"s_suppkey": top["l_suppkey"].astype(np.int64),
          "s_name": top["l_suppkey"].map(

@@ -213,15 +213,19 @@ def hash_bucket_sum(
     def add_bucket(t: pa.Table) -> pa.Table:
         return add_hash_bucket(t, keys, n_buckets)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def combine(df: pd.DataFrame) -> pa.Table:
+        # return Arrow (via the metadata-stripping from_pandas), not a
+        # pandas frame: Ray's own pandas->Arrow conversion at the next
+        # shuffle boundary attaches the b'pandas' dict metadata that
+        # breaks block-schema hashing (see from_pandas docstring)
         cnt = df.groupby(keys, as_index=False, sort=False).size()
         if not sum_cols:  # count-only grouped aggregate
-            return cnt.rename(columns={"size": count_alias})
+            return from_pandas(cnt.rename(columns={"size": count_alias}))
         g = df.groupby(keys, as_index=False, sort=False).agg(
             {c: "sum" for c in sum_cols}
         )
         g[count_alias] = cnt["size"].to_numpy()
-        return g
+        return from_pandas(g)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -249,9 +253,11 @@ def hash_bucket_min(
         )
         return from_pandas(g)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False, sort=False).agg(
-            {c: "min" for c in min_cols}
+    def combine(df: pd.DataFrame) -> pa.Table:
+        return from_pandas(  # Arrow out: keep block schemas hashable
+            df.groupby(keys, as_index=False, sort=False).agg(
+                {c: "min" for c in min_cols}
+            )
         )
 
     return (
