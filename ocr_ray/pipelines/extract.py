@@ -218,11 +218,16 @@ def extract_with_metrics(
     return spans, totals
 
 
-def _assign_local(group: pd.DataFrame) -> pd.DataFrame:
-    """Stable in-group ordering + local ordinal (one salt bucket)."""
+def _assign_local(group: pd.DataFrame) -> pa.Table:
+    """Stable in-group ordering + local ordinal (one salt bucket).
+
+    Returns Arrow (metadata-stripped): this output feeds the native hash
+    join, where a pandas-origin block schema breaks Ray's schema dedup."""
+    from ..stages.partial_agg import from_pandas
+
     group = group.sort_values(["turn_idx", "span_idx"], kind="mergesort")
     group["local_seq"] = np.arange(len(group), dtype=np.int64)
-    return group
+    return from_pandas(group)
 
 
 def reconcile(spans: rd.Dataset, *, salted: bool = True) -> rd.Dataset:
@@ -278,11 +283,13 @@ def reconcile(spans: rd.Dataset, *, salted: bool = True) -> rd.Dataset:
     # never materializes anything proportional to conversation count.
     counts_ds = salted_ds.groupby(["conv_id", "salt"]).count()
 
-    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+    def prefix(g: pd.DataFrame) -> pa.Table:
+        from ..stages.partial_agg import from_pandas
+
         g = g.sort_values("salt", kind="mergesort")
         cnt = g["count()"].to_numpy()
         g["offset"] = np.cumsum(cnt) - cnt
-        return g[["conv_id", "salt", "offset"]]
+        return from_pandas(g[["conv_id", "salt", "offset"]])
 
     offsets_ds = counts_ds.groupby("conv_id").map_groups(
         prefix, batch_format="pandas"
