@@ -474,8 +474,15 @@ def lookup_dim_rows(
     pruned read + broadcast key filter (semi_anti_join's broadcast path).
     The driver receives only the matched rows — bounded by ``len(keys)``
     no matter how large the dimension grows with the corpus."""
+    from ..stages.partial_agg import to_pandas_typed
+
     dim = _read_parquet(path, columns=columns)
-    return semi_anti_join(dim, keys, on=key_col).to_pandas()
+    # empty key set (an empty top-k at tiny SF) must still yield a TYPED
+    # frame — Ray's to_pandas drops columns on all-empty datasets
+    return to_pandas_typed(
+        semi_anti_join(dim, keys, on=key_col),
+        _schema_pandas_dtypes(dim.schema()),
+    )
 
 
 def distinct_set_op(
