@@ -1083,6 +1083,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_value_decile / events_value_quantiles_cont (driver-green
     # r3, quantile-kernel-redundant with in-window events_hdr_quantiles)
     # moved to overflow head.
+    # Round-5 swap (VERDICT r4 item 1): the never-driver-graded TPC-H
+    # derived-relation tail (q2_min_cost_supplier / q9_product_profit /
+    # q12_shipmode_priority / q16_supplier_cnt / q19_discounted_revenue /
+    # q21_waiting_suppliers) and the round-4 sketch/profiler family
+    # (events_cms_counts / events_kmv_overlap / events_profile) promoted
+    # into the window (lineitem_cube, the 10th judge target, was already
+    # in-window and driver-green r4). Demoted to the oracle-backed
+    # overflow, all driver-green in BOTH r3 and r4 and kernel-redundant
+    # with in-window siblings: docs_lang_sample (md5-predicate sampling —
+    # docs_rebalance stays), docs_source_lang_pivot (pivot — lineitem_cube
+    # stays), events_user_type_count (grouped count — events_transitions
+    # stays), doc_redact (textstats — doc_repetition/doc_rare_terms stay),
+    # doc_heavy_bigrams (bigram combiner — doc_rare_terms stays),
+    # users_purchase_and_error (set ops — users family gate-green),
+    # lineitem_rollup (rollup ⊂ in-window cube), events_corr_stats
+    # (scalar moment agg — events_profile supersedes), events_csv_source
+    # (source parity — docs_jsonl_source stays).
     return {
         # extraction family — doc-path queries with exact SQL twins
         "extract_docs": _q_extract_docs,
@@ -1093,9 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": _q_bm25,
         "doc_bool_search": _q_bool_search,
         # sampling / split (training-data pipeline ops)
-        "docs_lang_sample": _q_docs_lang_sample,
         "docs_rebalance": _q_docs_rebalance,
-        "docs_source_lang_pivot": R.docs_source_lang_pivot,
         # the composed curation DAG (quality -> dedup -> near-dup -> split)
         # benchmark decontamination (eval-leakage guard) + per-doc scores
         "docs_contamination": _q_docs_contamination,
@@ -1125,24 +1140,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped operators over the events log
         "events_rolling_range": S.rolling_range_sum,
         "events_top_per_user": S.top_events_per_user,
-        "events_user_type_count": R.events_user_type_count,
-        "doc_redact": _q_redact,
         "doc_repetition": _q_repetition,
         "doc_rare_terms": _q_rare_terms,
-        "doc_heavy_bigrams": _q_heavy_bigrams,
         "events_transitions": S.transition_counts,
+        # round-5 swap-ins: TPC-H derived-relation tail (partsupp /
+        # shipmode / receipt-date formulas — the hardest join shapes)
+        "q2_min_cost_supplier": T.q2_min_cost_supplier,
+        "q9_product_profit": T.q9_product_profit,
+        "q12_shipmode_priority": T.q12_shipmode_priority,
+        "q16_supplier_cnt": T.q16_supplier_cnt,
+        "q19_discounted_revenue": T.q19_discounted_revenue,
+        "q21_waiting_suppliers": T.q21_waiting_suppliers,
+        # round-5 swap-ins: mergeable-sketch family + table profiler
+        "events_cms_counts": _q_events_cms_counts,
+        "events_kmv_overlap": _q_events_kmv_overlap,
+        "events_profile": _q_events_profile,
         # multiway dim+fact join plan (TPC-H Q5 shape)
         "q5_local_supplier_volume": J.q5_local_supplier_volume,
         # large-large partitioned hash join
         "orders_above_cust_avg": J.orders_above_cust_avg,
         "cust_order_counts": J.cust_order_counts,
         "events_hll_users": _q_events_hll_users,
-        # set operators (INTERSECT / EXCEPT at corpus key cardinality)
-        "users_purchase_and_error": R.users_purchase_and_error,
         # relational operator surface (exact SQL twins)
-        "lineitem_rollup": R.lineitem_rollup,
         "lineitem_cube": R.lineitem_cube,
-        "events_corr_stats": R.events_corr_stats,
         "events_value_tiers": R.events_value_tiers,
         # graph analytics over derived graphs (iterative integer
         # PageRank + oriented-wedge triangle count; exact SQL twins)
@@ -1151,13 +1171,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-format source parity (S-ops: parquet -> JSONL round trip)
         # + predicate-pushdown scan
         "docs_jsonl_source": R.docs_jsonl_source,
-        "events_csv_source": R.events_csv_source,
         "events_pruned_scan": R.events_pruned_scan,
         # ---- oracle-backed overflow (driver-green in CORRECTNESS_r02 or
         # ---- verified via tools/check_queries.py; past the driver's
         # ---- 50-entry graded window by design) ----
         # (doc_token_stats sat ABOVE this marker as entry 51 through r2/r3
         # — silently ungraded; the accounting is now exact: 50 above)
+        # round-5 demotions (driver-green r3 AND r4, kernel-redundant):
+        "docs_lang_sample": _q_docs_lang_sample,
+        "docs_source_lang_pivot": R.docs_source_lang_pivot,
+        "events_user_type_count": R.events_user_type_count,
+        "doc_redact": _q_redact,
+        "doc_heavy_bigrams": _q_heavy_bigrams,
+        "users_purchase_and_error": R.users_purchase_and_error,
+        "lineitem_rollup": R.lineitem_rollup,
+        "events_corr_stats": R.events_corr_stats,
+        "events_csv_source": R.events_csv_source,
         "events_value_decile": R.events_value_decile,
         "events_value_quantiles_cont": R.events_value_quantiles_cont,
         "doc_token_stats": _q_token_stats,
@@ -1232,9 +1261,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_touch": S.first_touch_attribution,
         "q14_promo_effect": J.q14_promo_effect,
         "events_kmv_users": _q_events_kmv_users,
-        "events_cms_counts": _q_events_cms_counts,
-        "events_kmv_overlap": _q_events_kmv_overlap,
-        "events_profile": _q_events_profile,
         "q22_dormant_customers": J.q22_dormant_customers,
         "events_spearman": R.events_spearman,
         "events_type_islands": S.type_islands,
@@ -1255,15 +1281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_profile": R.null_profile,
         # TPC-H over DERIVED relations (partsupp / shipmode / commit +
         # receipt dates / container / mfgr as integer-key formulas — the
-        # CTE twins live in PARTSUPP_CTE; completes the 22-shape set)
-        "q2_min_cost_supplier": T.q2_min_cost_supplier,
-        "q9_product_profit": T.q9_product_profit,
+        # CTE twins live in PARTSUPP_CTE; q2/q9/q12/q16/q19/q21 promoted
+        # into the graded window round 5; these two complete the set)
         "q11_important_stock": T.q11_important_stock,
-        "q12_shipmode_priority": T.q12_shipmode_priority,
-        "q16_supplier_cnt": T.q16_supplier_cnt,
-        "q19_discounted_revenue": T.q19_discounted_revenue,
         "q20_potential_promotion": T.q20_potential_promotion,
-        "q21_waiting_suppliers": T.q21_waiting_suppliers,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
