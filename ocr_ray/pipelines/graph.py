@@ -60,7 +60,9 @@ __all__ = [
     "pagerank_trade",
     "pagerank_edges",
     "copart_edges",
+    "orient_edges_by_degree",
     "triangle_count_copart",
+    "triangle_count_edges",
     "SUPP_NODE_NEG_BASE",
     "PR_SCALE",
     "PR_ITERS",
@@ -259,28 +261,113 @@ def copart_edges(sf_dir: str) -> rd.Dataset:
 _PAIR_BASE = np.int64(1) << np.int64(32)
 
 
+def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
+    """Degree-orient an undirected (lo < hi) distinct edge list: each
+    edge {u, v} is stored once as src -> dst where rank(src) < rank(dst)
+    under the total order rank(v) = (degree(v), v).
+
+    Degrees come from one grouped count over the exploded endpoints;
+    they're attached back to both endpoints through ``attach_key_map``'s
+    adaptive seam (broadcast below the key gate, partitioned bucket join
+    above — the vertex table can outgrow a broadcast at 100x scale).
+    Output columns: src, dst, sdeg, ddeg (both endpoint degrees ride
+    along so wedge generation can rank out-neighbors without another
+    join). ``edges`` must be materialized (it is consumed twice)."""
+    from .joins import attach_key_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([lo, hi]), pa.int64())})
+
+    deg = hash_bucket_sum(
+        edges.map_batches(explode, batch_format="pyarrow"), ["v"], []
+    )
+    deg_lo = deg.map_batches(
+        lambda t: t.rename_columns(["lo", "deg_lo"]), batch_format="pyarrow"
+    )
+    deg_hi = deg.map_batches(
+        lambda t: t.rename_columns(["hi", "deg_hi"]), batch_format="pyarrow"
+    )
+    with_deg = attach_key_map(
+        attach_key_map(edges, deg_lo, "lo", "deg_lo"), deg_hi, "hi", "deg_hi"
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(np.int64)
+        hi = df["hi"].to_numpy(np.int64)
+        dl = df["deg_lo"].to_numpy(np.int64)
+        dh = df["deg_hi"].to_numpy(np.int64)
+        # swap when hi is the lower-ranked endpoint; ties on degree break
+        # on id, and lo < hi by construction, so ties never swap
+        swap = dh < dl
+        return pd.DataFrame(
+            {
+                "src": np.where(swap, hi, lo),
+                "dst": np.where(swap, lo, hi),
+                "sdeg": np.where(swap, dh, dl),
+                "ddeg": np.where(swap, dl, dh),
+            }
+        )
+
+    return with_deg.map_batches(orient, batch_format="pandas").map_batches(
+        pin_schema(
+            {"src": "int64", "dst": "int64", "sdeg": "int64", "ddeg": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
 def triangle_count_copart(sf_dir: str) -> pd.DataFrame:
-    """Triangle count of the co-part graph via the oriented wedge plan:
-    every edge is stored (lo < hi); wedges (a<b<c) come from ONE
-    self-join of the edge list on its minimum vertex (e1=(a,b), e2=(a,c),
-    b<c), so each triangle is generated exactly once from its minimum
-    vertex; a wedge closes iff (b,c) is an edge — decided by the adaptive
-    semi join on the collision-free packed pair key."""
+    """Triangle count of the co-part graph (see
+    :func:`triangle_count_edges` for the degree-oriented wedge plan)."""
+    return triangle_count_edges(copart_edges(sf_dir).materialize())
+
+
+def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
+    """Triangle count of a distinct (lo < hi) edge list via the
+    DEGREE-ORIENTED wedge plan (VERDICT r4 item 3): edges are oriented
+    src -> dst by the total order (degree, id), wedges come from ONE
+    self-join of the oriented list on src (out-neighbors b, c with
+    rank(b) < rank(c)), and a wedge closes iff the rank-oriented edge
+    (b, c) exists — the adaptive semi join on the collision-free packed
+    pair key.
+
+    Every triangle is generated exactly once from its minimum-RANK vertex,
+    so the count is identical to any other consistent orientation (the
+    SQL twin's min-id plan included). The win is skew: a hub vertex of
+    degree d only fans out wedges from edges where it is the LOWER-degree
+    endpoint, bounding per-src wedge fan-out by O(sqrt(2m)) regardless of
+    hub degree — the id-oriented plan r4 shipped could put O(d^2) wedges
+    on one low-id hub (tools/skew_demo_triangles.py records the hub
+    demo). ``undirected`` must be materialized (consumed by the degree
+    count, the orient attach, and the closing semi join)."""
     from .joins import bucket_hash_join, semi_anti_join
 
-    edges = copart_edges(sf_dir).materialize()
+    edges = orient_edges_by_degree(undirected).materialize()
 
     e1 = edges.map_batches(
-        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+        lambda t: t.select(["src", "dst", "ddeg"]).rename_columns(
+            ["a", "b", "bdeg"]
+        ),
+        batch_format="pyarrow",
     )
     e2 = edges.map_batches(
-        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
+        lambda t: t.select(["src", "dst", "ddeg"]).rename_columns(
+            ["a", "c", "cdeg"]
+        ),
+        batch_format="pyarrow",
     )
 
     def close_key(df: pd.DataFrame) -> pd.DataFrame:
         b = df["b"].to_numpy(np.int64)
         c = df["c"].to_numpy(np.int64)
-        m = b < c
+        bd = df["bdeg"].to_numpy(np.int64)
+        cd = df["cdeg"].to_numpy(np.int64)
+        # rank-order the out-neighbor pair: wedge (b, c) with
+        # (deg, id)(b) < (deg, id)(c); the closing edge, if present, is
+        # oriented exactly that way
+        m = (bd < cd) | ((bd == cd) & (b < c))
         return pd.DataFrame({"pk": b[m] * _PAIR_BASE + c[m]})
 
     # materialized: above the key gate the semi join's cogroup path probes
@@ -292,8 +379,8 @@ def triangle_count_copart(sf_dir: str) -> pd.DataFrame:
     ekeys = edges.map_batches(
         lambda t: pa.table(
             {"pk": pa.array(
-                t.column("lo").to_numpy(zero_copy_only=False) * _PAIR_BASE
-                + t.column("hi").to_numpy(zero_copy_only=False),
+                t.column("src").to_numpy(zero_copy_only=False) * _PAIR_BASE
+                + t.column("dst").to_numpy(zero_copy_only=False),
                 pa.int64(),
             )}
         ),
