@@ -793,16 +793,15 @@ def _q_extract_metrics(sf_dir: str):
     """Drop/dead-letter counter rollup over the transcript corpus
     (reason, total) — every deterministic drop in the chain is logged.
 
-    Harvested from the SINGLE production extraction pass via the
-    CounterSink stats actor (ocr_ray.state.counters): the chain runs
-    once, not twice."""
+    Harvested from the SINGLE streaming production pass: counter
+    partials ride the dataflow as one tagged row per batch (no actor
+    RPC, nothing materialized) — the chain runs once, not twice."""
     import pandas as pd
 
     from ocr_ray.corpus import ensure_transcripts
-    from ocr_ray.pipelines.extract import extract_with_metrics, read_turns
+    from ocr_ray.pipelines.extract import extract_metrics_totals, read_turns
 
-    turns = read_turns(ensure_transcripts(sf_dir))
-    _, totals = extract_with_metrics(turns)
+    totals = extract_metrics_totals(read_turns(ensure_transcripts(sf_dir)))
     return (
         pd.DataFrame(
             {"reason": list(totals.keys()),

@@ -45,10 +45,10 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
 def cmd_metrics(args: argparse.Namespace) -> int:
     _ensure_ray()
-    from .pipelines.extract import extract_with_metrics, read_turns
+    from .pipelines.extract import extract_metrics_totals, read_turns
 
-    # one production pass: counters harvested via the stats actor
-    _, totals = extract_with_metrics(read_turns(args.input))
+    # one streaming production pass: counter partials ride the dataflow
+    totals = extract_metrics_totals(read_turns(args.input))
     print(json.dumps({k: int(v) for k, v in sorted(totals.items())}))
     return 0
 

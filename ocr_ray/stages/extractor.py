@@ -209,7 +209,7 @@ def metrics_batch(batch: pa.Table) -> pa.Table:
 
     Production pipelines do NOT use this (it would run the most expensive
     stage twice): the same totals fall out of the single production pass
-    via ``extract_spans(..., stats=CounterSink)`` /
+    via ``extract_spans(..., stats=True)`` /
     ``extract_with_metrics`` (ocr_ray.pipelines.extract), which this
     function's per-batch semantics define and tests pin."""
     counters: dict[str, int] = {}
