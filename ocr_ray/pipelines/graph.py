@@ -321,7 +321,9 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
 def triangle_count_copart(sf_dir: str) -> pd.DataFrame:
     """Triangle count of the co-part graph (see
     :func:`triangle_count_edges` for the degree-oriented wedge plan)."""
-    return triangle_count_edges(copart_edges(sf_dir).materialize())
+    from ..stages.partial_agg import compact_nonempty
+
+    return triangle_count_edges(compact_nonempty(copart_edges(sf_dir)))
 
 
 def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
@@ -342,9 +344,10 @@ def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
     on one low-id hub (tools/skew_demo_triangles.py records the hub
     demo). ``undirected`` must be materialized (consumed by the degree
     count, the orient attach, and the closing semi join)."""
+    from ..stages.partial_agg import compact_nonempty
     from .joins import bucket_hash_join, semi_anti_join
 
-    edges = orient_edges_by_degree(undirected).materialize()
+    edges = compact_nonempty(orient_edges_by_degree(undirected))
 
     e1 = edges.map_batches(
         lambda t: t.select(["src", "dst", "ddeg"]).rename_columns(
@@ -373,9 +376,11 @@ def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
     # materialized: above the key gate the semi join's cogroup path probes
     # wedges.schema(), which would re-execute the wedge join; the
     # materialized table is one int64 per wedge
-    wedges = bucket_hash_join(e1, e2, on="a").map_batches(
-        close_key, batch_format="pandas"
-    ).materialize()
+    wedges = compact_nonempty(
+        bucket_hash_join(e1, e2, on="a").map_batches(
+            close_key, batch_format="pandas"
+        )
+    )
     ekeys = edges.map_batches(
         lambda t: pa.table(
             {"pk": pa.array(

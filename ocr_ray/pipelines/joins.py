@@ -25,6 +25,7 @@ import ray.data as rd
 
 from ..pqread import read_parquet as _read_parquet
 
+from ..stages.partial_agg import compact_nonempty
 from ..stages.partial_agg import from_pandas as _from_pandas
 
 __all__ = [
@@ -369,12 +370,14 @@ def semi_anti_join(
             return probe.map_batches(
                 lambda t: t.slice(0, 0), batch_format="pyarrow"
             )
+        from ..stages.partial_agg import compact_nonempty
+
         kcol = ksch.names[0]
         if assume_distinct:
-            distinct = keys.select_columns([kcol]).materialize()
+            distinct = compact_nonempty(keys.select_columns([kcol]))
         else:
-            distinct = (
-                keys.groupby(kcol).count().select_columns([kcol]).materialize()
+            distinct = compact_nonempty(
+                keys.groupby(kcol).count().select_columns([kcol])
             )
         n_keys = distinct.count()
         if n_keys > _BROADCAST_KEY_LIMIT:
@@ -643,9 +646,9 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
 
     # materialized: the join's schema probe would re-execute the grouped
     # sum's shuffle (CALLER NOTE on bucket_hash_join)
-    li_agg = hash_bucket_sum(
+    li_agg = compact_nonempty(hash_bucket_sum(
         li.map_batches(widen, batch_format="pyarrow"), ["l_orderkey"], ["rev_c4"]
-    ).drop_columns(["n"]).materialize()
+    ).drop_columns(["n"]))
 
     orders = _read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderstatus"]
@@ -826,7 +829,8 @@ def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
                                for c in ("o_custkey", "sum_c", "n")})
         ),
         batch_format="pandas",
-    ).materialize()  # the join's schema probe would re-run the shuffle
+    )
+    per_cust = compact_nonempty(per_cust)  # + schema-probe materialize
 
     joined = bucket_hash_join(wide, per_cust, on="o_custkey")
 
@@ -868,7 +872,7 @@ def cust_order_counts(sf_dir: str) -> pd.DataFrame:
         lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
     )
     # materialized: the join's schema probe would re-run the shuffle
-    per_cust = hash_bucket_sum(orders, ["c_custkey"], []).materialize()
+    per_cust = compact_nonempty(hash_bucket_sum(orders, ["c_custkey"], []))
 
     joined = bucket_hash_join(cust, per_cust, on="c_custkey", how="left")
 
@@ -1007,10 +1011,10 @@ def q3_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
             li, orders_f.select_columns(["l_orderkey"]), on="l_orderkey",
             assume_distinct=True,
         )
-        li_agg = hash_bucket_sum(
+        li_agg = compact_nonempty(hash_bucket_sum(
             li_f.map_batches(widen, batch_format="pyarrow"),
             ["l_orderkey"], ["rev_c4"],
-        ).drop_columns(["n"]).materialize()  # schema-probe re-execution
+        ).drop_columns(["n"]))  # schema-probe re-execution
         joined = bucket_hash_join(li_agg, orders_f, on="l_orderkey")
         part = joined.map_batches(topk, batch_format="pandas").to_pandas()
 
