@@ -165,7 +165,7 @@ def pagerank_edges(edge_ds: rd.Dataset, iters: int = PR_ITERS) -> pd.DataFrame:
     )
     # edges2: (src, dst, dd) — dd = degree of dst, constant per dst
     edges2 = (
-        bucket_hash_join(edges, deg_dst, on="dst")
+        bucket_hash_join(edges, deg_dst, on="dst", arrow_kernel=True)
         .map_batches(
             pin_schema({"src": "int64", "dst": "int64", "dd": "int64"}),
             batch_format="pandas",
@@ -203,7 +203,9 @@ def pagerank_edges(edge_ds: rd.Dataset, iters: int = PR_ITERS) -> pd.DataFrame:
         )
 
     for _ in range(iters):
-        contrib = bucket_hash_join(edges2, state, on="src").map_batches(
+        contrib = bucket_hash_join(
+            edges2, state, on="src", arrow_kernel=True
+        ).map_batches(
             partial_contrib, batch_format="pandas"
         )
         state = (

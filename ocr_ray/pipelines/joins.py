@@ -201,6 +201,77 @@ def _pin_join_output(name: str, out_cols: list, col_dtypes: dict):
     return norm_out
 
 
+def _pa_types_for(col_dtypes: dict) -> dict | None:
+    """Column -> pa.DataType map for the Arrow in-bucket join kernel, or
+    None when any declared dtype has no clean Arrow mapping (the caller
+    then keeps the pandas kernel). ``object`` maps to string — the only
+    object columns the engine ships through bucket joins are strings."""
+    out: dict = {}
+    for c, d in col_dtypes.items():
+        if d is object or d is str or d == "object":
+            out[c] = pa.string()
+            continue
+        try:
+            out[c] = pa.from_numpy_dtype(np.dtype(d))
+        except (TypeError, NotImplementedError, pa.ArrowNotImplementedError):
+            return None
+    return out
+
+
+def _arrow_bucket_join(
+    both: rd.Dataset, on: str, lcols: list, rcols: list, pa_types: dict
+) -> rd.Dataset:
+    """Arrow in-bucket INNER join kernel (see bucket_hash_join's
+    ``arrow_kernel`` flag). Group blocks stay Arrow end-to-end: filter by
+    the ``__side`` tag, cast each side back to its declared schema (the
+    exchange null-fills the OTHER side's columns but in Arrow the fill
+    stays typed — the cast is a no-op repair, unlike the pandas path's
+    block-wide float promotion), then one Acero hash join per bucket.
+    Row order within a bucket is Acero's, not pandas merge's — callers
+    of bucket joins are order-insensitive by contract (every consumer
+    aggregates or re-sorts)."""
+    l_schema = pa.schema([(c, pa_types[c]) for c in (on, *lcols)])
+    r_schema = pa.schema([(c, pa_types[c]) for c in (on, *rcols)])
+    out_cols = [on, *lcols, *rcols]
+    out_schema = pa.schema([(c, pa_types[c]) for c in out_cols])
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        names = t.column_names
+
+        def side(tag_val: str, cols: list, sch: pa.Schema) -> pa.Table:
+            if not all(c in names for c in cols):
+                # partition held no blocks of this side; its rows would
+                # have carried these columns (tag appends them pre-union)
+                return sch.empty_table()
+            sub = t.filter(pc.equal(t["__side"], tag_val)).select(cols)
+            return sub.cast(sch)
+
+        l = side("L", [on, *lcols], l_schema)
+        r = side("R", [on, *rcols], r_schema)
+        # use_threads=False: Acero's default pool sizes to ALL host cores
+        # PER TASK — under 16-32 concurrent Ray map tasks that
+        # oversubscribes the box ~30x and measured SLOWER than pandas
+        # merge; single-threaded per bucket, parallelism comes from Ray
+        return l.join(r, keys=[on], join_type="inner", use_threads=False)
+
+    def norm_out(t: pa.Table) -> pa.Table:
+        # empty sort partitions pass through map_groups with the INPUT
+        # schema — pin them to the join's output schema (same contract
+        # as _pin_join_output on the pandas path)
+        if all(c in t.column_names for c in out_cols):
+            return t.select(out_cols)
+        if t.num_rows:
+            raise ValueError(
+                f"arrow bucket join: non-empty block missing output "
+                f"columns; got {t.column_names}"
+            )
+        return out_schema.empty_table()
+
+    return both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    ).map_batches(norm_out, batch_format="pyarrow")
+
+
 def bucket_hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -209,11 +280,23 @@ def bucket_hash_join(
     how: str = "inner",
     left_dtypes: dict | None = None,
     right_dtypes: dict | None = None,
+    arrow_kernel: bool = False,
 ) -> rd.Dataset:
     """Generic partitioned hash join of two Datasets on one key column.
 
     Shuffle cost: one groupby over (left ∪ right) tagged rows. Column sets
     of the two sides must be disjoint apart from ``on``.
+
+    ``arrow_kernel=True`` opts an INNER join with primitive/string-only
+    columns into the Arrow in-bucket kernel: the per-bucket merge runs as
+    ``pa.Table.join`` (Acero hash join) on zero-copy Arrow group blocks
+    instead of a pandas-converted ``DataFrame.merge`` — no block-wide
+    pandas conversion, no int->float round-trip, no astype repair pass.
+    Falls back to the pandas kernel when ``how != "inner"`` or any
+    declared dtype has no Arrow mapping (the fallback is silent by
+    design: the two kernels are output-equivalent, the flag is purely a
+    performance hint). Measured at sf0.1 (BENCH notes, round 5):
+    graph_pagerank and q9_product_profit, whose bucket joins dominate.
 
     CALLER NOTE: without explicit dtypes this probes ``left.schema()`` /
     ``right.schema()``. On a LAZY input whose plan contains an all-to-all
@@ -266,6 +349,11 @@ def bucket_hash_join(
     # this, iterating joins (graph.pagerank_trade) compounded block counts
     # 128 -> 384 -> 640 across iterations, tripling each round's wall time
     both = both.repartition(n_buckets)
+
+    if arrow_kernel and how == "inner":
+        pa_types = _pa_types_for(col_dtypes)
+        if pa_types is not None:
+            return _arrow_bucket_join(both, on, lcols, rcols, pa_types)
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # reindex, not select: a bucket whose rows all came from one side

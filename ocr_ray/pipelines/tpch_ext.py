@@ -367,6 +367,7 @@ def q9_product_profit(sf_dir: str) -> pd.DataFrame:
         left_dtypes={"l_orderkey": "int64", "s_nk": "int64",
                      "amount_c4": "int64"},
         right_dtypes={"l_orderkey": "int64", "o_year": "int64"},
+        arrow_kernel=True,
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

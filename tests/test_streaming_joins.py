@@ -103,6 +103,46 @@ def test_bucket_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_bucket_hash_join_arrow_kernel_matches_pandas(ray_session):
+    """arrow_kernel=True (Acero in-bucket join) is output-equivalent to
+    the pandas kernel: same rows, declared int dtypes preserved (no
+    float promotion), empty-partition pins intact under more buckets
+    than keys, and the output chains into a follow-on bucketed join."""
+    import ray.data as rd
+
+    from ocr_ray.pipelines.joins import bucket_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": ["x", "y", "z", "w", "v"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 4], "b": [10, 20, 30, 40]})
+    ds = bucket_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=16,
+        arrow_kernel=True,
+    )
+    got = ds.to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    exp = left.merge(right, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["k"].dtype == "int64" and got["b"].dtype == "int64"
+
+    # chains: feed the arrow-kernel output into a second bucketed join
+    dim = pd.DataFrame({"k": [2, 3], "c": [7, 8]})
+    got2 = bucket_hash_join(
+        ds, rd.from_pandas(dim), on="k", n_buckets=4, arrow_kernel=True,
+        left_dtypes={"k": "int64", "a": object, "b": "int64"},
+        right_dtypes={"k": "int64", "c": "int64"},
+    ).to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    exp2 = exp.merge(dim, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, exp2)
+
+    # non-inner how falls back to the pandas kernel (silent, equivalent)
+    gotl = bucket_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", n_buckets=4,
+        how="left", arrow_kernel=True,
+    ).to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
+    expl = left.merge(right, on="k", how="left").sort_values(
+        ["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gotl, expl, check_dtype=False)
+
+
 def test_cogroup_bucket_join_different_keys_and_dtypes(ray_session):
     """cogroup_bucket_join: differently-named keys, int dtypes restored
     after the null-padded union (no silent float upcast), chains into a
