@@ -1,0 +1,490 @@
+"""Pure-Python baseline JPEG codec backend for the multimodal seam.
+
+JPEG is the reference's actual payload format (reference
+``test_img.py:38`` / ``DataPreprocess/DataGen.py:423-426`` decode JPEGs
+via cv2); this backend exercises the ``register_codec`` /
+``$OCR_RAY_IMAGE_CODEC`` seam with a REAL lossy bitstream despite the
+container having no cv2/Pillow (round-4 verdict item 9). Like the PNG
+backend it is honest but NOT the production hot path — a real
+deployment registers cv2, whose decoder is C; entropy decoding here is
+a Python loop by nature (Huffman symbols are sequential).
+
+Supported subset (encoder emits exactly this; decoder rejects the
+rest with None = skip-and-continue):
+  - baseline sequential DCT (SOF0), 8-bit precision
+  - 1 component (greyscale) or 3 components (JFIF YCbCr), all
+    sampling factors 1x1 (4:4:4 — no chroma subsampling)
+  - Huffman entropy coding with tables read from DHT (the encoder
+    writes the ITU-T T.81 Annex K typical tables)
+  - no progressive (SOF2), no arithmetic coding, no restart intervals
+Quantization tables come scaled from the Annex K defaults by the
+libjpeg quality convention (50 -> 1x, 100 -> all-ones).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg", "jpeg_factory"]
+
+# ITU-T T.81 Annex K.1 typical quantization tables (natural order)
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+# zig-zag scan: position i of the scan -> natural-order index
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8x8 DCT-II basis == the T.81 FDCT definition
+_DCT = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+    _DCT[_k] = _c * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality convention: 50 -> 1x, 100 -> all ones."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _canonical_codes(bits: list, values: list) -> dict:
+    """symbol -> (code, length) per the canonical T.81 assignment."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per the spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, appended bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _dht_segment(tc_th: int, bits: list, values: list) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 95) -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array as a baseline JFIF
+    JPEG (SOF0, 4:4:4, Annex K Huffman tables, libjpeg quality
+    scaling). Lossy by nature: quality=100 quantizes with all-ones
+    tables, leaving only DCT/color-transform rounding error."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg: uint8 image required")
+    if img.ndim == 2:
+        ncomp = 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ncomp = 3
+    else:
+        raise ValueError(f"encode_jpeg: unsupported shape {img.shape}")
+    h, w = img.shape[:2]
+    if not h or not w:
+        raise ValueError("encode_jpeg: empty image")
+    q_luma = _scaled_quant(_QUANT_LUMA, quality)
+    q_chroma = _scaled_quant(_QUANT_CHROMA, quality)
+
+    # edge-replicate pad to multiples of 8
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if ncomp == 3:
+        planes = _rgb_to_ycbcr(img)
+        comps = [planes[..., i] for i in range(3)]
+    else:
+        comps = [img.astype(np.float64)]
+    comps = [
+        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps
+    ]
+
+    dc_l = _canonical_codes(*_DC_LUMA)
+    ac_l = _canonical_codes(*_AC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_c = _canonical_codes(*_AC_CHROMA)
+
+    # interleaved scan: MCU = one block per component (1x1 sampling)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    qmats = [q_luma.reshape(8, 8)] + [q_chroma.reshape(8, 8)] * (ncomp - 1)
+    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    shifted = [c - 128.0 for c in comps]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci in range(ncomp):
+                block = shifted[ci][by:by + 8, bx:bx + 8]
+                coef = _DCT @ block @ _DCT.T
+                q = np.round(coef / qmats[ci]).astype(np.int64).ravel()[_ZIGZAG]
+                dc_codes, ac_codes = tables[ci]
+                size, bits = _magnitude(int(q[0]) - preds[ci])
+                preds[ci] = int(q[0])
+                code, length = dc_codes[size]
+                writer.put(code, length)
+                if size:
+                    writer.put(bits, size)
+                nz = np.nonzero(q[1:])[0]
+                prev = 0
+                for idx in nz:
+                    run = int(idx) - prev
+                    prev = int(idx) + 1
+                    while run > 15:
+                        zc, zl = ac_codes[0xF0]
+                        writer.put(zc, zl)
+                        run -= 16
+                    size, bits = _magnitude(int(q[1 + idx]))
+                    code, length = ac_codes[(run << 4) | size]
+                    writer.put(code, length)
+                    writer.put(bits, size)
+                if prev != 63:
+                    ec, el = ac_codes[0x00]
+                    writer.put(ec, el)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    zz_luma = bytes(int(q_luma[i]) for i in _ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + zz_luma
+    if ncomp == 3:
+        zz_chroma = bytes(int(q_chroma[i]) for i in _ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + zz_chroma
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0x00, *_DC_LUMA)
+    out += _dht_segment(0x10, *_AC_LUMA)
+    if ncomp == 3:
+        out += _dht_segment(0x01, *_DC_CHROMA)
+        out += _dht_segment(0x11, *_AC_CHROMA)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        # entropy stream: 0xFF 0x00 unstuffs to 0xFF; 0xFF marker ends it
+        if self.pos >= len(self.data):
+            raise EOFError
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                self.pos += 1
+            else:
+                raise EOFError  # hit a marker
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_lookup(bits: list, values: list) -> dict:
+    """(length, code) -> symbol."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Decode a baseline JPEG (subset in the module docstring) to an
+    (h, w) / (h, w, 3) uint8 array; None on anything malformed or out
+    of subset."""
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        quants: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        sof = None
+        scan_comps = None
+        data_start = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI with no scan
+                return None
+            (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            body = payload[pos + 4:pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:  # DQT: possibly several tables per segment
+                b = body
+                while b:
+                    prec, tid = b[0] >> 4, b[0] & 0x0F
+                    if prec != 0 or len(b) < 65:
+                        return None  # 16-bit tables out of subset
+                    zz = np.frombuffer(b[1:65], np.uint8).astype(np.int64)
+                    nat = np.zeros(64, np.int64)
+                    nat[_ZIGZAG] = zz
+                    quants[tid] = nat
+                    b = b[65:]
+            elif marker == 0xC4:  # DHT
+                b = body
+                while b:
+                    tc, th = b[0] >> 4, b[0] & 0x0F
+                    bits = list(b[1:17])
+                    n = sum(bits)
+                    vals = list(b[17:17 + n])
+                    if len(vals) != n:
+                        return None
+                    (huff_dc if tc == 0 else huff_ac)[th] = _huff_lookup(
+                        bits, vals
+                    )
+                    b = b[17 + n:]
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nc not in (1, 3) or not h or not w:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                    if samp != 0x11:
+                        return None  # subsampling out of subset
+                    comps.append((cid, tq))
+                sof = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF out of subset
+            elif marker == 0xDD:  # DRI
+                (interval,) = struct.unpack(">H", body[:2])
+                if interval:
+                    return None  # restart intervals out of subset
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                if sof is None or ns != len(sof[2]):
+                    return None
+                scan_comps = []
+                for ci in range(ns):
+                    cid, tdta = body[1 + 2 * ci], body[2 + 2 * ci]
+                    scan_comps.append((cid, tdta >> 4, tdta & 0x0F))
+                data_start = pos + 2 + seglen
+                break
+            # APPn / COM / others: skip
+            pos += 2 + seglen
+        if sof is None or scan_comps is None or data_start is None:
+            return None
+        h, w, comps = sof
+        nc = len(comps)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        planes = [np.zeros((ph, pw), np.float64) for _ in range(nc)]
+        qsel = []
+        for (cid, tq), (scid, tdc, tac) in zip(comps, scan_comps):
+            if cid != scid or tq not in quants:
+                return None
+            if tdc not in huff_dc or tac not in huff_ac:
+                return None
+            qsel.append((quants[tq].reshape(8, 8), huff_dc[tdc],
+                         huff_ac[tac]))
+        reader = _BitReader(payload[data_start:])
+        preds = [0] * nc
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci in range(nc):
+                    qmat, dct_tbl, act_tbl = qsel[ci]
+                    zz = np.zeros(64, np.int64)
+                    size = _huff_decode(reader, dct_tbl)
+                    diff = _extend(reader.bits(size), size) if size else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, act_tbl)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            return None
+                        zz[k] = _extend(reader.bits(size), size)
+                        k += 1
+                    coef = np.zeros(64, np.float64)
+                    coef[_ZIGZAG] = zz
+                    block = _DCT.T @ (coef.reshape(8, 8) * qmat) @ _DCT
+                    planes[ci][by:by + 8, bx:bx + 8] = block + 128.0
+        if nc == 1:
+            return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(
+                np.uint8
+            )
+        ycc = np.stack([p[:h, :w] for p in planes], axis=-1)
+        return _ycbcr_to_rgb(ycc)
+    except Exception:  # malformed input must skip, not kill the task
+        return None
+
+
+def jpeg_factory():
+    """Codec-seam factory: ``get_codec('jpeg')`` resolves to this."""
+    return decode_jpeg

@@ -160,10 +160,20 @@ def _png_factory():
     return png_factory()
 
 
+def _jpeg_factory():
+    # baseline-JPEG backend (pure Python/numpy) — JPEG is the reference's
+    # actual payload format; see jpeg_codec module docstring for the
+    # supported subset
+    from .jpeg_codec import jpeg_factory
+
+    return jpeg_factory()
+
+
 register_codec("synthetic", _synthetic_factory)
 register_codec("cv2", _cv2_factory)
 register_codec("pillow", _pillow_factory)
 register_codec("png", _png_factory)
+register_codec("jpeg", _jpeg_factory)
 
 
 def decode_real(payload: bytes, codec: str | None = None) -> np.ndarray:
