@@ -1168,14 +1168,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         # multi-format source parity (S-ops: parquet -> JSONL round trip)
-        # + predicate-pushdown scan
         "docs_jsonl_source": R.docs_jsonl_source,
-        "events_pruned_scan": R.events_pruned_scan,
         # ---- oracle-backed overflow (driver-green in CORRECTNESS_r02 or
         # ---- verified via tools/check_queries.py; past the driver's
         # ---- 50-entry graded window by design) ----
         # (doc_token_stats sat ABOVE this marker as entry 51 through r2/r3
-        # — silently ungraded; the accounting is now exact: 50 above)
+        # — silently ungraded. The r4 "exact: 50 above" claim was itself
+        # off by one — events_pruned_scan sat at entry 51, ungraded in
+        # r4; it is r03-driver-green, so it now leads the overflow and
+        # the window above this marker counts EXACTLY 50, verified
+        # programmatically in tests/test_entry.py.)
+        "events_pruned_scan": R.events_pruned_scan,
         # round-5 demotions (driver-green r3 AND r4, kernel-redundant):
         "docs_lang_sample": _q_docs_lang_sample,
         "docs_source_lang_pivot": R.docs_source_lang_pivot,

@@ -155,6 +155,9 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # truncate to the live bits: an unbounded Python-int accumulator
+        # copies the whole entropy stream on every shift (O(n^2) encode)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -310,7 +313,9 @@ class _BitReader:
                 self.pos += 1
             else:
                 raise EOFError  # hit a marker
-        self.acc = (self.acc << 8) | byte
+        # mask keeps the accumulator at <= nbits+8 live bits; unbounded
+        # growth would make decode O(n^2) in the entropy-stream length
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
         self.nbits += 8
 
     def bit(self) -> int:

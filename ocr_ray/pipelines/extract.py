@@ -220,21 +220,17 @@ def extract_spans(
     )
 
 
-def split_counted_spans(
-    counted: rd.Dataset,
-) -> tuple[rd.Dataset, dict[str, int]]:
-    """Split a ``stats=True`` extraction output into (span rows, counter
-    totals): the counter partials are one tiny JSON row per batch, pulled
-    and summed driver-side (O(batches), never O(rows)); the span view is
-    a lazy vectorized filter + drop over the already-materialized
-    blocks."""
+def _sum_counter_partials(counted: rd.Dataset) -> dict[str, int]:
+    """Fold the ``_counters`` JSON partial rows of a ``stats=True``
+    extraction output into totals: project FIRST (zero-copy
+    single-column view), filter the ~1-in-1000 partial rows, sum
+    driver-side — O(batches), never O(rows); the pass never touches span
+    columns. The four headline counters always report, even at zero."""
     import json as _json
 
     import pyarrow.compute as pc
 
     partials = counted.map_batches(
-        # project FIRST (zero-copy single-column view), then filter the
-        # ~1-in-1000 partial rows — the pass never touches span columns
         lambda t: t.select(["_counters"]).filter(pc.is_valid(t["_counters"])),
         batch_format="pyarrow", batch_size=None,
     ).take_all()
@@ -242,13 +238,25 @@ def split_counted_spans(
     for row in partials:
         for k, v in _json.loads(row["_counters"]).items():
             totals[k] = totals.get(k, 0) + int(v)
+    for k in ("turns_in", "empty_payloads", "error_rows", "spans_out"):
+        totals.setdefault(k, 0)
+    return totals
+
+
+def split_counted_spans(
+    counted: rd.Dataset,
+) -> tuple[rd.Dataset, dict[str, int]]:
+    """Split a ``stats=True`` extraction output into (span rows, counter
+    totals): totals via :func:`_sum_counter_partials`; the span view is
+    a lazy vectorized filter + drop over the already-materialized
+    blocks."""
+    import pyarrow.compute as pc
+
+    totals = _sum_counter_partials(counted)
     spans = counted.map_batches(
         lambda t: t.filter(pc.is_null(t["_counters"])).drop(["_counters"]),
         batch_format="pyarrow",
     )
-    # the four headline counters always report, even at zero
-    for k in ("turns_in", "empty_payloads", "error_rows", "spans_out"):
-        totals.setdefault(k, 0)
     return spans, totals
 
 
@@ -280,27 +288,9 @@ def extract_metrics_totals(
     reduce just the per-batch counter-partial rows on the driver — no
     materialization, no second pass, no actor; span rows die in the
     filter right after extraction."""
-    import json as _json
-
-    import pyarrow.compute as pc
-
-    partials = (
+    return _sum_counter_partials(
         extract_spans(turns, batch_size=batch_size, stats=True)
-        .map_batches(
-            lambda t: t.select(["_counters"]).filter(
-                pc.is_valid(t["_counters"])
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()
     )
-    totals: dict[str, int] = {}
-    for row in partials:
-        for k, v in _json.loads(row["_counters"]).items():
-            totals[k] = totals.get(k, 0) + int(v)
-    for k in ("turns_in", "empty_payloads", "error_rows", "spans_out"):
-        totals.setdefault(k, 0)
-    return totals
 
 
 def _assign_local(group: pd.DataFrame) -> pa.Table:

@@ -275,6 +275,7 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
     Output columns: src, dst, sdeg, ddeg (both endpoint degrees ride
     along so wedge generation can rank out-neighbors without another
     join). ``edges`` must be materialized (it is consumed twice)."""
+    from ..stages.partial_agg import compact_nonempty
     from .joins import attach_key_map
 
     def explode(t: pa.Table) -> pa.Table:
@@ -282,8 +283,15 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
         hi = t.column("hi").to_numpy(zero_copy_only=False)
         return pa.table({"v": pa.array(np.concatenate([lo, hi]), pa.int64())})
 
-    deg = hash_bucket_sum(
-        edges.map_batches(explode, batch_format="pyarrow"), ["v"], []
+    # materialized ONCE: both rename branches feed attach_key_map, which
+    # materializes its dim side — a lazy `deg` would re-execute the
+    # endpoint-explode grouped count for deg_lo AND deg_hi (Ray does not
+    # cache shared lazy lineage); compact_nonempty also drops the
+    # exchange's schema-less filler blocks
+    deg = compact_nonempty(
+        hash_bucket_sum(
+            edges.map_batches(explode, batch_format="pyarrow"), ["v"], []
+        )
     )
     deg_lo = deg.map_batches(
         lambda t: t.rename_columns(["lo", "deg_lo"]), batch_format="pyarrow"
@@ -291,8 +299,13 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
     deg_hi = deg.map_batches(
         lambda t: t.rename_columns(["hi", "deg_hi"]), batch_format="pyarrow"
     )
+    # facts_dtypes on the second attach: above the broadcast gate its
+    # bucket join would otherwise schema-probe the FIRST attach's lazy
+    # output, re-executing that whole join (bucket_hash_join CALLER NOTE)
     with_deg = attach_key_map(
-        attach_key_map(edges, deg_lo, "lo", "deg_lo"), deg_hi, "hi", "deg_hi"
+        attach_key_map(edges, deg_lo, "lo", "deg_lo"),
+        deg_hi, "hi", "deg_hi",
+        facts_dtypes={"lo": "int64", "hi": "int64", "deg_lo": "int64"},
     )
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:

@@ -458,8 +458,6 @@ def semi_anti_join(
             return probe.map_batches(
                 lambda t: t.slice(0, 0), batch_format="pyarrow"
             )
-        from ..stages.partial_agg import compact_nonempty
-
         kcol = ksch.names[0]
         if assume_distinct:
             distinct = compact_nonempty(keys.select_columns([kcol]))

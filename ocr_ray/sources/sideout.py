@@ -8,8 +8,9 @@ in the quarantine directory, and only the passing rows continue down
 the (streaming) pipeline to the main sink.
 
 Reference analog: the reference drops malformed annotations silently
-(SURVEY.md §2.2 M9/M11); the engine's CounterSink counts them — this
-keeps the rows themselves for triage.
+(SURVEY.md §2.2 M9/M11); the engine's dataflow counter partials
+(``extract_spans(stats=True)``) count them — this keeps the rows
+themselves for triage.
 """
 
 from __future__ import annotations
