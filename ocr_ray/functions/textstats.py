@@ -326,7 +326,7 @@ def rare_terms(docs, n: int = 3):
     # the real run (see the join's CALLER NOTE)
     dfs = hash_bucket_sum(pairs.select_columns(["tok"]), ["tok"], [],
                           count_alias="df").materialize()
-    joined = bucket_hash_join(pairs, dfs, on="tok")
+    joined = bucket_hash_join(pairs, dfs, on="tok", arrow_kernel=True)
     return grouped_topn(
         joined, "doc_id", ["df", "tok"], [True, True], n,
         payload_cols=["doc_id", "tok", "df"],

@@ -32,13 +32,12 @@ hash-bucketed grouped sum finishes the recurrence — the destination
 degree rides the edge table, so no per-iteration node join re-attaches
 it. The state materialized between iterations is ONE ROW PER NODE. A hot
 node's outgoing fan-out is data parallelism, not a hot key (its
-rank/degree ships per edge partition). Triangle counting orients every edge
-low->high so each triangle is generated exactly once from its minimum
-vertex, and closes wedges with the engine's adaptive semi join — wedge
-generation is the documented partitioning assumption (a skew-safe
-production variant would orient by degree instead of id; id orientation
-is exact and sufficient for the derived co-part graph whose degrees are
-near-uniform by construction).
+rank/degree ships per edge partition). Triangle counting orients every
+edge by the total order (degree, id) — see
+:func:`orient_edges_by_degree` — so each triangle is generated exactly
+once from its minimum-RANK vertex and a hub's wedge fan-out is bounded
+by its lower-degree neighbors, then closes wedges with the engine's
+adaptive semi join (hub demo: tools/skew_demo_triangles.py).
 """
 
 from __future__ import annotations
@@ -97,7 +96,7 @@ def _trade_pairs(sf_dir: str) -> rd.Dataset:
     ).map_batches(
         lambda t: t.rename_columns(["k", "supp"]), batch_format="pyarrow"
     )
-    j = bucket_hash_join(orders, li, on="k")
+    j = bucket_hash_join(orders, li, on="k", arrow_kernel=True)
     pairs = j.map_batches(
         lambda df: df[["cust", "supp"]], batch_format="pandas"
     )
@@ -392,7 +391,7 @@ def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
     # wedges.schema(), which would re-execute the wedge join; the
     # materialized table is one int64 per wedge
     wedges = compact_nonempty(
-        bucket_hash_join(e1, e2, on="a").map_batches(
+        bucket_hash_join(e1, e2, on="a", arrow_kernel=True).map_batches(
             close_key, batch_format="pandas"
         )
     )

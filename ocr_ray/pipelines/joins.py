@@ -743,7 +743,7 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
-    joined = bucket_hash_join(li_agg, orders, on="l_orderkey")
+    joined = bucket_hash_join(li_agg, orders, on="l_orderkey", arrow_kernel=True)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_orderstatus", as_index=False).agg(
@@ -854,7 +854,9 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
                       "rev_c4": np.int64},
     ).select_columns(["l_orderkey", "s_nk", "rev_c4"])
 
-    joined = bucket_hash_join(l_stream, o_stream, on="l_orderkey")
+    joined = bucket_hash_join(
+        l_stream, o_stream, on="l_orderkey", arrow_kernel=True
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["s_nk"] == df["c_nk"]]
@@ -918,7 +920,7 @@ def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
     )
     per_cust = compact_nonempty(per_cust)  # + schema-probe materialize
 
-    joined = bucket_hash_join(wide, per_cust, on="o_custkey")
+    joined = bucket_hash_join(wide, per_cust, on="o_custkey", arrow_kernel=True)
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"o_orderkey": "int64", "o_custkey": "int64",
@@ -1189,7 +1191,9 @@ def q7_nation_flows(sf_dir: str) -> pd.DataFrame:
         facts_dtypes={"l_orderkey": np.int64, "o_custkey": np.int64},
     ).select_columns(["l_orderkey", "c_nk"])
 
-    joined = bucket_hash_join(l_stream, o_stream, on="l_orderkey")
+    joined = bucket_hash_join(
+        l_stream, o_stream, on="l_orderkey", arrow_kernel=True
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["s_nk"] != df["c_nk"]]
@@ -1413,6 +1417,7 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         li.map_batches(l_side, batch_format="pandas"),
         orders.map_batches(o_side, batch_format="pandas"),
         on="l_orderkey",
+        arrow_kernel=True,
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1862,7 +1867,9 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
                       "o_year": np.int64},
     ).select_columns(["l_orderkey", "o_year"])
 
-    joined = bucket_hash_join(l_stream, o_stream, on="l_orderkey")
+    joined = bucket_hash_join(
+        l_stream, o_stream, on="l_orderkey", arrow_kernel=True
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(

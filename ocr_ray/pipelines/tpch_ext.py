@@ -516,7 +516,8 @@ def q12_shipmode_priority(sf_dir: str) -> pd.DataFrame:
     )
 
     joined = bucket_hash_join(
-        li.map_batches(l_side, batch_format="pandas"), orders, on="l_orderkey"
+        li.map_batches(l_side, batch_format="pandas"), orders,
+        on="l_orderkey", arrow_kernel=True,
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
