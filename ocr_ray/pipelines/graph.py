@@ -267,15 +267,25 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
     edge {u, v} is stored once as src -> dst where rank(src) < rank(dst)
     under the total order rank(v) = (degree(v), v).
 
-    Degrees come from one grouped count over the exploded endpoints;
-    they're attached back to both endpoints through ``attach_key_map``'s
-    adaptive seam (broadcast below the key gate, partitioned bucket join
-    above — the vertex table can outgrow a broadcast at 100x scale).
-    Output columns: src, dst, sdeg, ddeg (both endpoint degrees ride
-    along so wedge generation can rank out-neighbors without another
-    join). ``edges`` must be materialized (it is consumed twice)."""
+    Degrees come from one grouped count over the exploded endpoints.
+    Below the broadcast key gate the whole (vertex, degree) map ships
+    once via ray.put and BOTH lookups plus the orientation fuse into a
+    single map_batches pass (two searchsorted probes — no join, no extra
+    materialize). Above the gate the vertex table outgrows a broadcast
+    and the hop degrades to two ``attach_key_map`` partitioned bucket
+    joins. Output columns: src, dst, sdeg, ddeg (both endpoint degrees
+    ride along so wedge generation can rank out-neighbors without
+    another join). ``edges`` must be materialized (it is consumed
+    twice).
+
+    CONTRACT: the returned Dataset is cheap to re-consume — below the
+    gate it is one lazy vectorized map over the caller's materialized
+    ``edges``; above it the join output is materialized HERE so callers
+    with multiple consumers never re-execute the attach shuffle."""
+    import ray
+
     from ..stages.partial_agg import compact_nonempty
-    from .joins import attach_key_map
+    from .joins import _BROADCAST_KEY_LIMIT, attach_key_map
 
     def explode(t: pa.Table) -> pa.Table:
         lo = t.column("lo").to_numpy(zero_copy_only=False)
@@ -292,6 +302,35 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
             edges.map_batches(explode, batch_format="pyarrow"), ["v"], []
         )
     )
+    n_vertices = deg.count()
+    if n_vertices <= _BROADCAST_KEY_LIMIT:
+        dp = deg.to_pandas()
+        vcol, dcol = dp.columns[0], dp.columns[1]
+        dp = dp.sort_values(vcol)
+        ref = ray.put(
+            (dp[vcol].to_numpy(np.int64), dp[dcol].to_numpy(np.int64))
+        )
+
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            ks, dv = ray.get(ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            # every endpoint is present in the degree map by construction
+            # (degrees were counted from these same edges)
+            dl = dv[np.searchsorted(ks, lo)]
+            dh = dv[np.searchsorted(ks, hi)]
+            swap = dh < dl  # ties never swap: lo < hi by construction
+            return pa.table(
+                {
+                    "src": pa.array(np.where(swap, hi, lo), pa.int64()),
+                    "dst": pa.array(np.where(swap, lo, hi), pa.int64()),
+                    "sdeg": pa.array(np.where(swap, dh, dl), pa.int64()),
+                    "ddeg": pa.array(np.where(swap, dl, dh), pa.int64()),
+                }
+            )
+
+        return edges.map_batches(orient_bcast, batch_format="pyarrow")
+
     deg_lo = deg.map_batches(
         lambda t: t.rename_columns(["lo", "deg_lo"]), batch_format="pyarrow"
     )
@@ -324,11 +363,14 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    return with_deg.map_batches(orient, batch_format="pandas").map_batches(
-        pin_schema(
-            {"src": "int64", "dst": "int64", "sdeg": "int64", "ddeg": "int64"}
-        ),
-        batch_format="pandas",
+    return compact_nonempty(
+        with_deg.map_batches(orient, batch_format="pandas").map_batches(
+            pin_schema(
+                {"src": "int64", "dst": "int64", "sdeg": "int64",
+                 "ddeg": "int64"}
+            ),
+            batch_format="pandas",
+        )
     )
 
 
@@ -356,45 +398,73 @@ def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
     endpoint, bounding per-src wedge fan-out by O(sqrt(2m)) regardless of
     hub degree — the id-oriented plan r4 shipped could put O(d^2) wedges
     on one low-id hub (tools/skew_demo_triangles.py records the hub
-    demo). ``undirected`` must be materialized (consumed by the degree
-    count, the orient attach, and the closing semi join)."""
-    from ..stages.partial_agg import compact_nonempty
-    from .joins import bucket_hash_join, semi_anti_join
-
-    edges = compact_nonempty(orient_edges_by_degree(undirected))
-
-    e1 = edges.map_batches(
-        lambda t: t.select(["src", "dst", "ddeg"]).rename_columns(
-            ["a", "b", "bdeg"]
-        ),
-        batch_format="pyarrow",
+    demo). Because the wedge join is a SELF-join, the oriented edge list
+    is hash-bucket shuffled ONCE on src (not two tagged copies through
+    bucket_hash_join — measured ~2x on the shuffle volume) and each
+    bucket emits its rank-ordered out-neighbor pairs directly: segments
+    sorted by (src, ddeg, dst), then all same-length segments stacked
+    into one matrix and paired with a single cached triu_indices — no
+    per-src Python loop over rows. ``undirected`` must be materialized
+    (consumed by the degree count, the orient attach, and the closing
+    semi join)."""
+    from ..stages.partial_agg import (
+        add_hash_bucket,
+        compact_nonempty,
+        from_pandas,
     )
-    e2 = edges.map_batches(
-        lambda t: t.select(["src", "dst", "ddeg"]).rename_columns(
-            ["a", "c", "cdeg"]
-        ),
-        batch_format="pyarrow",
-    )
+    from .joins import _BROADCAST_KEY_LIMIT, semi_anti_join
 
-    def close_key(df: pd.DataFrame) -> pd.DataFrame:
-        b = df["b"].to_numpy(np.int64)
-        c = df["c"].to_numpy(np.int64)
-        bd = df["bdeg"].to_numpy(np.int64)
-        cd = df["cdeg"].to_numpy(np.int64)
-        # rank-order the out-neighbor pair: wedge (b, c) with
-        # (deg, id)(b) < (deg, id)(c); the closing edge, if present, is
-        # oriented exactly that way
-        m = (bd < cd) | ((bd == cd) & (b < c))
-        return pd.DataFrame({"pk": b[m] * _PAIR_BASE + c[m]})
+    # kept LAZY on purpose: orient_edges_by_degree's contract is that its
+    # output is cheap to re-consume (a vectorized searchsorted map over
+    # the MATERIALIZED undirected edges below the vertex gate, internally
+    # materialized above it), so its two consumers here (wedge bucketing,
+    # closing-edge keys) re-run a cheap map, never a shuffle.
+    edges = orient_edges_by_degree(undirected)
 
-    # materialized: above the key gate the semi join's cogroup path probes
-    # wedges.schema(), which would re-execute the wedge join; the
-    # materialized table is one int64 per wedge
-    wedges = compact_nonempty(
-        bucket_hash_join(e1, e2, on="a", arrow_kernel=True).map_batches(
-            close_key, batch_format="pandas"
+    def bucket_src(t: pa.Table) -> pa.Table:
+        return add_hash_bucket(t.select(["src", "dst", "ddeg"]), ["src"], 64)
+
+    def wedge_pairs(df: pd.DataFrame) -> pa.Table:
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        dd = df["ddeg"].to_numpy(np.int64)
+        # rank order within each src segment = (degree, id) ascending, so
+        # positional pairs (i < j) are exactly the rank-oriented wedges
+        # (b, c) with rank(b) < rank(c) — the closing edge, if present,
+        # is oriented the same way
+        order = np.lexsort((dst, dd, src))
+        src, dst = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts = np.diff(np.r_[starts, len(src)])
+        pks = []
+        for d in np.unique(counts):
+            if d < 2:
+                continue
+            segs = starts[counts == d]
+            nb = dst[segs[:, None] + np.arange(d)[None, :]]  # (k, d)
+            iu, ju = np.triu_indices(d, k=1)
+            pks.append(
+                (nb[:, iu] * _PAIR_BASE + nb[:, ju]).ravel()
+            )
+        out = (
+            np.concatenate(pks) if pks else np.empty(0, dtype=np.int64)
         )
+        return from_pandas(pd.DataFrame({"pk": pd.Series(out, dtype="int64")}))
+
+    wedges = (
+        edges.map_batches(bucket_src, batch_format="pyarrow")
+        .repartition(64)
+        .groupby("bucket")
+        .map_groups(wedge_pairs, batch_format="pandas")
     )
+    # Above the key gate the semi join takes the cogroup path, which
+    # probes wedges.schema() — that would re-execute the wedge groupby,
+    # so materialize first (one int64 per wedge). Below it the broadcast
+    # path streams the probe side exactly once: keep wedges lazy and skip
+    # a whole materialize barrier. The gate condition is the closing key
+    # count == the oriented edge count, known cheaply here.
+    if undirected.count() > _BROADCAST_KEY_LIMIT:
+        wedges = compact_nonempty(wedges)
     ekeys = edges.map_batches(
         lambda t: pa.table(
             {"pk": pa.array(
