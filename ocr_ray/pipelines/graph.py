@@ -304,12 +304,16 @@ def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
     )
     n_vertices = deg.count()
     if n_vertices <= _BROADCAST_KEY_LIMIT:
-        dp = deg.to_pandas()
-        vcol, dcol = dp.columns[0], dp.columns[1]
-        dp = dp.sort_values(vcol)
-        ref = ray.put(
-            (dp[vcol].to_numpy(np.int64), dp[dcol].to_numpy(np.int64))
-        )
+        if n_vertices == 0:
+            # Ray 2.49 returns a COLUMN-LESS frame for an empty dataset;
+            # an empty edge list has no wedges either way
+            empty = np.empty(0, dtype=np.int64)
+            ref = ray.put((empty, empty))
+        else:
+            dp = deg.to_pandas().sort_values("v")
+            ref = ray.put(
+                (dp["v"].to_numpy(np.int64), dp["n"].to_numpy(np.int64))
+            )
 
         def orient_bcast(t: pa.Table) -> pa.Table:
             ks, dv = ray.get(ref)

@@ -84,3 +84,37 @@ def test_triangle_count_copart(ray_session):
     assert int(got["n_triangles"].iloc[0]) == n_tri
     # every stored edge is strictly oriented lo < hi
     assert (e["lo"] < e["hi"]).all()
+
+
+def test_triangle_count_edges_direct(ray_session):
+    """The wedge kernel on raw edge lists: empty graph (exercises the
+    empty-degree-map broadcast path) and a seeded random graph with mixed
+    out-degree segment lengths, vs brute-force set intersection."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ocr_ray.pipelines.graph import triangle_count_edges
+
+    empty = rd.from_arrow(
+        pa.table({"lo": pa.array([], pa.int64()),
+                  "hi": pa.array([], pa.int64())})
+    ).materialize()
+    assert int(triangle_count_edges(empty)["n_triangles"].iloc[0]) == 0
+
+    rng = np.random.RandomState(7)
+    u = rng.randint(0, 40, size=300).astype(np.int64)
+    v = rng.randint(0, 40, size=300).astype(np.int64)
+    m = u != v
+    lo, hi = np.minimum(u[m], v[m]), np.maximum(u[m], v[m])
+    pairs = np.unique(lo * np.int64(1 << 32) + hi)
+    lo = (pairs >> np.int64(32)).astype(np.int64)
+    hi = (pairs & np.int64((1 << 32) - 1)).astype(np.int64)
+    eset = set(zip(lo.tolist(), hi.tolist()))
+    n_tri = sum(
+        (a, c) in eset and (b, c) in eset
+        for a, b in eset for c in range(41) if b < c
+    )
+    edges = rd.from_arrow(
+        pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+    ).repartition(4).materialize()
+    assert int(triangle_count_edges(edges)["n_triangles"].iloc[0]) == n_tri
