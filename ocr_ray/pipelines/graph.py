@@ -225,7 +225,10 @@ def copart_edges(sf_dir: str) -> rd.Dataset:
     the derived partsupp's 4 suppliers per part yield 6 pairs per part,
     generated INLINE from p_partkey (no partsupp materialization — the
     same O(1) modular-offset plan as tpch_ext), then one hash-bucketed
-    distinct."""
+    distinct. Each block pre-dedups its pairs on the packed int64 key
+    before the shuffle: the modular-offset construction collapses to few
+    distinct edges per residue class, so the per-block np.unique shrinks
+    the exchange by ~the pairs-per-part factor (6x) or more for free."""
     n_supp = pq.ParquetFile(
         os.path.join(sf_dir, "supplier.parquet")
     ).metadata.num_rows
@@ -234,17 +237,19 @@ def copart_edges(sf_dir: str) -> rd.Dataset:
     def pairs(t: pa.Table) -> pa.Table:
         p = t.column("p_partkey").to_numpy(zero_copy_only=False)
         sup = [(p + i * step) % n_supp for i in range(4)]
-        los, his = [], []
+        pks = []
         for i in range(4):
             for j in range(i + 1, 4):
                 lo = np.minimum(sup[i], sup[j])
                 hi = np.maximum(sup[i], sup[j])
                 m = lo != hi  # (j-i)*step can wrap to 0 mod n_supp
-                los.append(lo[m])
-                his.append(hi[m])
+                pks.append(lo[m] * _PAIR_BASE + hi[m])
+        pk = np.unique(np.concatenate(pks)) if pks else np.empty(
+            0, dtype=np.int64
+        )
         return pa.table(
-            {"lo": pa.array(np.concatenate(los), pa.int64()),
-             "hi": pa.array(np.concatenate(his), pa.int64())}
+            {"lo": pa.array(pk >> np.int64(32), pa.int64()),
+             "hi": pa.array(pk & _PAIR_MASK, pa.int64())}
         )
 
     part = _read_parquet(
@@ -260,6 +265,57 @@ def copart_edges(sf_dir: str) -> rd.Dataset:
 # pair-encoding base for the wedge-closing semi join: suppkeys are dense
 # and far below 2^31, so lo * 2^32 + hi is collision-free int64
 _PAIR_BASE = np.int64(1) << np.int64(32)
+_PAIR_MASK = _PAIR_BASE - np.int64(1)
+
+# driver fast-path gate for triangle counting: below this many DISTINCT
+# edges the whole count runs as one numpy pass on the driver. Memory
+# bound: degree orientation caps total wedges at O(m^1.5), so 20k edges
+# -> <= ~2.8M packed int64 wedges (~23 MB transient) — the same
+# bounded-driver-pull convention as the minhash/semi-join gates.
+_TRIANGLE_DRIVER_GATE = 20_000
+
+
+def _wedge_packed(
+    src: np.ndarray, dst: np.ndarray, ddeg: np.ndarray
+) -> np.ndarray:
+    """Packed (b, c) wedge keys of a degree-oriented edge list: segments
+    sorted by (src, ddeg, dst) so positional pairs i < j within a src
+    segment are exactly the rank-oriented wedges rank(b) < rank(c); all
+    same-length segments stack into one matrix and pair via a single
+    cached triu_indices — no per-src Python loop over rows. Shared by
+    the distributed per-bucket kernel and the driver fast path."""
+    order = np.lexsort((dst, ddeg, src))
+    src, dst = src[order], dst[order]
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    counts = np.diff(np.r_[starts, len(src)])
+    pks = []
+    for d in np.unique(counts):
+        if d < 2:
+            continue
+        segs = starts[counts == d]
+        nb = dst[segs[:, None] + np.arange(d)[None, :]]  # (k, d)
+        iu, ju = np.triu_indices(d, k=1)
+        pks.append((nb[:, iu] * _PAIR_BASE + nb[:, ju]).ravel())
+    return np.concatenate(pks) if pks else np.empty(0, dtype=np.int64)
+
+
+def _count_triangles_numpy(lo: np.ndarray, hi: np.ndarray) -> int:
+    """Driver-local twin of the distributed plan: same (degree, id)
+    orientation, same wedge kernel, closing membership via one sorted
+    np.isin. Exact — orientation choice never changes the count."""
+    if len(lo) == 0:
+        return 0
+    verts, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    deg = np.bincount(inv).astype(np.int64)
+    m = len(lo)
+    dl, dh = deg[inv[:m]], deg[inv[m:]]
+    swap = dh < dl  # ties never swap: lo < hi by construction
+    src = np.where(swap, hi, lo).astype(np.int64)
+    dst = np.where(swap, lo, hi).astype(np.int64)
+    ddeg = np.where(swap, dl, dh).astype(np.int64)
+    wedges = _wedge_packed(src, dst, ddeg)
+    ekeys = src * _PAIR_BASE + dst
+    return int(np.isin(wedges, ekeys).sum())
 
 
 def orient_edges_by_degree(edges: rd.Dataset) -> rd.Dataset:
@@ -386,7 +442,9 @@ def triangle_count_copart(sf_dir: str) -> pd.DataFrame:
     return triangle_count_edges(compact_nonempty(copart_edges(sf_dir)))
 
 
-def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
+def triangle_count_edges(
+    undirected: rd.Dataset, driver_gate: int = _TRIANGLE_DRIVER_GATE
+) -> pd.DataFrame:
     """Triangle count of a distinct (lo < hi) edge list via the
     DEGREE-ORIENTED wedge plan (VERDICT r4 item 3): edges are oriented
     src -> dst by the total order (degree, id), wedges come from ONE
@@ -410,13 +468,33 @@ def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
     into one matrix and paired with a single cached triu_indices — no
     per-src Python loop over rows. ``undirected`` must be materialized
     (consumed by the degree count, the orient attach, and the closing
-    semi join)."""
+    semi join).
+
+    ADAPTIVE: at or below ``driver_gate`` distinct edges (known O(1)
+    from the materialized input's metadata) the whole count collapses to
+    ONE driver-local numpy pass (:func:`_count_triangles_numpy` — the
+    identical orientation + wedge kernel, wedge memory bounded at
+    O(m^1.5) ~ 23 MB at the gate) instead of paying 3 distributed
+    exchanges for a few thousand rows. Above the gate the distributed
+    plan below runs unchanged (tools/skew_demo_triangles.py's 2M-edge
+    hub demo exercises it)."""
     from ..stages.partial_agg import (
         add_hash_bucket,
         compact_nonempty,
         from_pandas,
     )
     from .joins import _BROADCAST_KEY_LIMIT, semi_anti_join
+
+    n_edges = undirected.count()
+    if n_edges <= driver_gate:
+        if n_edges == 0:
+            n = 0  # Ray 2.49 to_pandas() of an empty ds is column-less
+        else:
+            df = undirected.to_pandas()
+            n = _count_triangles_numpy(
+                df["lo"].to_numpy(np.int64), df["hi"].to_numpy(np.int64)
+            )
+        return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
 
     # kept LAZY on purpose: orient_edges_by_degree's contract is that its
     # output is cheap to re-consume (a vectorized searchsorted map over
@@ -429,29 +507,14 @@ def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
         return add_hash_bucket(t.select(["src", "dst", "ddeg"]), ["src"], 64)
 
     def wedge_pairs(df: pd.DataFrame) -> pa.Table:
-        src = df["src"].to_numpy(np.int64)
-        dst = df["dst"].to_numpy(np.int64)
-        dd = df["ddeg"].to_numpy(np.int64)
         # rank order within each src segment = (degree, id) ascending, so
         # positional pairs (i < j) are exactly the rank-oriented wedges
         # (b, c) with rank(b) < rank(c) — the closing edge, if present,
         # is oriented the same way
-        order = np.lexsort((dst, dd, src))
-        src, dst = src[order], dst[order]
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        counts = np.diff(np.r_[starts, len(src)])
-        pks = []
-        for d in np.unique(counts):
-            if d < 2:
-                continue
-            segs = starts[counts == d]
-            nb = dst[segs[:, None] + np.arange(d)[None, :]]  # (k, d)
-            iu, ju = np.triu_indices(d, k=1)
-            pks.append(
-                (nb[:, iu] * _PAIR_BASE + nb[:, ju]).ravel()
-            )
-        out = (
-            np.concatenate(pks) if pks else np.empty(0, dtype=np.int64)
+        out = _wedge_packed(
+            df["src"].to_numpy(np.int64),
+            df["dst"].to_numpy(np.int64),
+            df["ddeg"].to_numpy(np.int64),
         )
         return from_pandas(pd.DataFrame({"pk": pd.Series(out, dtype="int64")}))
 
@@ -467,7 +530,7 @@ def triangle_count_edges(undirected: rd.Dataset) -> pd.DataFrame:
     # path streams the probe side exactly once: keep wedges lazy and skip
     # a whole materialize barrier. The gate condition is the closing key
     # count == the oriented edge count, known cheaply here.
-    if undirected.count() > _BROADCAST_KEY_LIMIT:
+    if n_edges > _BROADCAST_KEY_LIMIT:
         wedges = compact_nonempty(wedges)
     ekeys = edges.map_batches(
         lambda t: pa.table(

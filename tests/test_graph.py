@@ -100,6 +100,12 @@ def test_triangle_count_edges_direct(ray_session):
                   "hi": pa.array([], pa.int64())})
     ).materialize()
     assert int(triangle_count_edges(empty)["n_triangles"].iloc[0]) == 0
+    # driver_gate=-1 forces the distributed plan on the empty list, which
+    # still exercises the empty-degree-map broadcast path in orient
+    assert (
+        int(triangle_count_edges(empty, driver_gate=-1)["n_triangles"].iloc[0])
+        == 0
+    )
 
     rng = np.random.RandomState(7)
     u = rng.randint(0, 40, size=300).astype(np.int64)
@@ -117,4 +123,12 @@ def test_triangle_count_edges_direct(ray_session):
     edges = rd.from_arrow(
         pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
     ).repartition(4).materialize()
+    # driver fast path (default gate) AND the distributed wedge plan
+    # (forced with driver_gate=0) must both match brute force
     assert int(triangle_count_edges(edges)["n_triangles"].iloc[0]) == n_tri
+    assert (
+        int(
+            triangle_count_edges(edges, driver_gate=0)["n_triangles"].iloc[0]
+        )
+        == n_tri
+    )
