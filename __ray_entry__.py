@@ -1426,7 +1426,10 @@ def _embedding_near_dup_sql(dim: int = 64) -> str:
     """Exact SQL replay of the hyperplane-LSH embedding near-dup: the
     seeded plane matrix is embedded as repr()-round-tripped double
     literals (bit-exact), sign keys per 6-bit table, in-bucket unit-vector
-    cosine rounded to 6 dp. ``dim`` matches the testdata embeddings
+    cosine rounded to 4 dp (matching ``dedup._COS_DECIMALS`` — coarse
+    enough that the ~1e-9 float-association gap between the SQL SUM and
+    the engine's BLAS dot cannot flip the last digit in practice; a 6-dp
+    grid lost one pair at sf0.1). ``dim`` matches the testdata embeddings
     (64-d across every sf)."""
     from ocr_ray.functions.dedup import _planes
 
@@ -1460,7 +1463,7 @@ def _embedding_near_dup_sql(dim: int = 64) -> str:
         ), cos AS (
           SELECT c.vec_a, c.vec_b,
                  round((SELECT sum(x.ux * y.ux) FROM u x JOIN u y ON x.i = y.i
-                        WHERE x.vec_id = c.vec_a AND y.vec_id = c.vec_b), 6)
+                        WHERE x.vec_id = c.vec_a AND y.vec_id = c.vec_b), 4)
                    AS cosine
           FROM cand c
         )

@@ -826,9 +826,51 @@ def _simhash(text: str) -> int:
     return out
 
 
+# vectorized 64-bit popcount via a 16-bit lookup table (numpy 1.26 has no
+# np.bitwise_count); built vectorized at import (~256 KB once per process)
+_POP16 = (
+    np.unpackbits(np.arange(1 << 16, dtype=">u2").view(np.uint8))
+    .reshape(1 << 16, 16)
+    .sum(axis=1)
+    .astype(np.uint8)
+)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (any shape)."""
+    r = _POP16[(x & np.uint64(0xFFFF)).astype(np.intp)].astype(np.int64)
+    for s in (16, 32, 48):
+        r += _POP16[
+            ((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.intp)
+        ]
+    return r
+
+
+# compute ceiling per LSH bucket: pairwise hamming runs between UNIQUE
+# signatures only, so this caps the O(u^2) verify matrix (4096^2 = 16.7M
+# vectorized popcounts worst case, ~130 MB transient in 512-row chunks),
+# NOT the member count — a bucket of 100k copies of one sig collapses to
+# u=1. Truncation (smallest sig values kept, deterministic) only triggers
+# on > _MAX_UNIQUE_SIGS distinct signatures colliding in ONE 16-bit band
+# value, which is adversarial, not organic.
+_MAX_UNIQUE_SIGS = 4096
+
+
 def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     """Near-duplicate pairs by 64-bit SimHash with 4x16-bit band LSH and
-    Hamming-distance verification. Emits (doc_a, doc_b, hamming)."""
+    Hamming-distance verification. Emits (doc_a, doc_b, hamming).
+
+    In-bucket verify is EXACT for organic data (the r5 sf0.1 gate caught
+    the old 256-member truncation dropping 2 oracle pairs): members
+    collapse to unique signatures first, hamming runs vectorized
+    (XOR + 16-bit-table popcount) between unique sigs only, and
+    qualifying sig pairs expand back to member pairs. Same-sig clusters
+    are hamming-0 by definition and expand directly. Output pair volume
+    is inherent to the all-pairs semantics (the SQL twin's too); at
+    100-TB scale a dedup pipeline would feed same-sig clusters straight
+    into connected components instead of materializing their O(c^2)
+    pairs — the cluster ids are available here if that variant is
+    needed."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -860,25 +902,67 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
                  "doc_b": pd.Series([], dtype="int64"),
                  "hamming": pd.Series([], dtype="int64")}
             )
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_h: list[int] = []
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+
+        def emit(a: np.ndarray, b: np.ndarray, h: np.ndarray) -> None:
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(h)
+
         for _, g in sub.groupby(["band_idx", "band_key"], sort=False):
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
-            if len(ids) > _MAX_BUCKET:
-                ids, sigs = ids[:_MAX_BUCKET], sigs[:_MAX_BUCKET]
-            a, b = np.triu_indices(len(ids), k=1)
-            ham = np.array(
-                [bin(int(sigs[i]) ^ int(sigs[j])).count("1") for i, j in zip(a, b)],
-                dtype=np.int64,
+            ids = np.sort(g["doc_id"].to_numpy(np.int64))
+            sigs = (
+                g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+            )[np.argsort(g["doc_id"].to_numpy(np.int64), kind="stable")]
+            sig_u, inv = np.unique(sigs, return_inverse=True)
+            u = len(sig_u)
+            if u > _MAX_UNIQUE_SIGS:
+                keep = inv < _MAX_UNIQUE_SIGS
+                ids, inv = ids[keep], inv[keep]
+                sig_u = sig_u[:_MAX_UNIQUE_SIGS]
+                u = _MAX_UNIQUE_SIGS
+            # member lists per unique sig (ids ascending within each)
+            order = np.argsort(inv, kind="stable")
+            m_ids, m_inv = ids[order], inv[order]
+            starts = np.searchsorted(m_inv, np.arange(u))
+            ends = np.searchsorted(m_inv, np.arange(u), side="right")
+            # same-sig clusters: every member pair, hamming 0
+            for k in np.flatnonzero(ends - starts >= 2):
+                mem = m_ids[starts[k]:ends[k]]
+                ai, bi = np.triu_indices(len(mem), k=1)
+                emit(mem[ai], mem[bi],
+                     np.zeros(len(ai), dtype=np.int64))
+            # cross-sig: vectorized hamming between unique sigs, chunked
+            for cs in range(0, u, 512):
+                chunk = sig_u[cs:cs + 512]
+                ham = _popcount64(chunk[:, None] ^ sig_u[None, :])
+                li, j = np.nonzero(ham <= max_hamming)
+                i = li + cs
+                keep = i < j  # upper triangle only (and skips i == j)
+                hv = ham[li[keep], j[keep]]
+                for ii, jj, hh in zip(i[keep], j[keep], hv):
+                    ma = m_ids[starts[ii]:ends[ii]]
+                    mb = m_ids[starts[jj]:ends[jj]]
+                    emit(
+                        np.repeat(ma, len(mb)),
+                        np.tile(mb, len(ma)),
+                        np.full(len(ma) * len(mb), hh, dtype=np.int64),
+                    )
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
             )
-            keep = ham <= max_hamming
-            out_a.extend(ids[a][keep].tolist())
-            out_b.extend(ids[b][keep].tolist())
-            out_h.extend(ham[keep].tolist())
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a),
+             "doc_b": np.concatenate(out_b),
+             "hamming": np.concatenate(out_h)}
+        )
 
     from ..stages.partial_agg import add_hash_bucket
 
@@ -909,6 +993,16 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
 # per-process hyperplane cache: identical (seeded) matrix across batches —
 # was regenerated on every batch call
 _PLANES_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+# emitted-cosine quantization for embedding_near_dup. 4 dp, not 6: the
+# SQL twin recomputes the same cosine with a different float association
+# (unnest + grouped SUM), which lands ~1e-9 away from the BLAS dot; at a
+# 1e-6 rounding grid that noise flips the last digit for ~0.2% of pairs
+# (the r5 sf0.1 gate caught one at 2.5e-9 from a boundary), at 1e-4 the
+# flip odds drop 100x. 4 dp is semantically ample for near-dup decisions;
+# the >= threshold filter runs on the QUANTIZED value on both sides, so
+# membership agrees whenever the quantized values do.
+_COS_DECIMALS = 4
 
 # embedding-LSH shuffle-amplification gate: with the blob path every unit
 # vector rides the LSH shuffle once PER TABLE (n_tables * dim * 8 bytes).
@@ -1025,7 +1119,7 @@ def embedding_near_dup(
             )
             cos = mat @ mat.T
             a, b = np.triu_indices(len(ids), k=1)
-            vals = np.round(cos[a, b], 6)
+            vals = np.round(cos[a, b], _COS_DECIMALS)
             keep = vals >= threshold
             out_a.extend(ids[a][keep].tolist())
             out_b.extend(ids[b][keep].tolist())
@@ -1142,7 +1236,9 @@ def _embedding_near_dup_rows(
         A = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["ua"]])
         B = np.stack([np.frombuffer(x, dtype=np.float64) for x in df["ub"]])
         # batched per-pair BLAS dot (matmul over stacked row pairs)
-        vals = np.round(np.matmul(A[:, None, :], B[:, :, None]).ravel(), 6)
+        vals = np.round(
+            np.matmul(A[:, None, :], B[:, :, None]).ravel(), _COS_DECIMALS
+        )
         out = pd.DataFrame(
             {"vec_a": df["doc_a"].to_numpy(dtype=np.int64),
              "vec_b": df["doc_b"].to_numpy(dtype=np.int64),

@@ -89,6 +89,64 @@ def test_simhash_pairs(ray_session):
     assert ham[(0, 10)] == 0
 
 
+def test_simhash_pairs_brute_force_and_large_bucket(ray_session):
+    """The in-bucket verify must be EXACT, including buckets larger than
+    the retired 256-member cap (the r5 sf0.1 gate caught that cap
+    dropping oracle pairs): 300 identical docs share every band bucket
+    and must emit all C(300,2) hamming-0 pairs; a mixed corpus must
+    equal the banded brute force pair-for-pair."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import _simhash, simhash_pairs
+
+    # 300 identical docs -> one 300-member bucket in all 4 bands
+    n = 300
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(n)), pa.int64()),
+         "text": pa.array(["the same exact text for everyone"] * n)}
+    )
+    out = simhash_pairs(rd.from_arrow(docs), max_hamming=3).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out["hamming"] == 0).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
+
+    # mixed corpus: exact equality with the banded brute force
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.randint(3, 9)).tolist())
+        for _ in range(120)
+    ]
+    texts += [t + " tail" for t in texts[:20]]  # planted near-dups
+    docs2 = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    got = (
+        simhash_pairs(rd.from_arrow(docs2), max_hamming=3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    sigs = [_simhash(t) for t in texts]
+    exp = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            bands = any(
+                (sigs[i] >> (16 * b)) & 0xFFFF == (sigs[j] >> (16 * b)) & 0xFFFF
+                for b in range(4)
+            )
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if bands and h <= 3:
+                exp.append((i, j, h))
+    assert (
+        list(map(tuple, got[["doc_a", "doc_b", "hamming"]].to_numpy()))
+        == exp
+    )
+
+
 def test_ngram_jaccard_exact_pairs(ray_session):
     """Exact pairwise Jaccard equals itertools brute force (validates the
     triangular pair-index decoding too)."""
