@@ -1545,7 +1545,7 @@ def _knn_ivf_sql(sf_dir: str | None = None) -> str | None:
           JOIN embeddings qe ON qe.vec_id = c.qid
           JOIN embeddings ne ON ne.vec_id = c.nid
         )
-        SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM (
+        SELECT query_id, neighbor_id, round(cs, 4) AS cosine FROM (
           SELECT query_id, neighbor_id, cs,
                  row_number() OVER (
                    PARTITION BY query_id ORDER BY cs DESC, neighbor_id
@@ -2719,7 +2719,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine FROM (
               SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
                      row_number() OVER (
                        PARTITION BY q.qid
                        ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
@@ -3150,7 +3150,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine FROM (
               SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS cosine,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
                      row_number() OVER (
                        PARTITION BY q.qid
                        ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,

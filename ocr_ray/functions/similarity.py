@@ -73,7 +73,11 @@ def knn_brute(
 ) -> pd.DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
-    Returns (query_id, neighbor_id, cosine) with cosine rounded to 6 dp;
+    Returns (query_id, neighbor_id, cosine) with cosine rounded to 4 dp
+    (matching the SQL twins — coarse enough that the ~1e-9
+    float-association gap between DuckDB's list_cosine_similarity and
+    the engine's BLAS dot cannot flip the last emitted digit; ranking
+    still uses full precision on both sides);
     self-matches excluded; ties broken by neighbor_id (deterministic).
     """
     qref = ray.put((query_ids, query_mat.T))  # ship once, read per task
@@ -117,7 +121,7 @@ def knn_brute(
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
         out.append(g.head(k))
     res = pd.concat(out, ignore_index=True) if out else partials
-    res["cosine"] = np.round(res["cosine"], 6)
+    res["cosine"] = np.round(res["cosine"], 4)
     return res
 
 
@@ -250,7 +254,7 @@ def knn_ivf(
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
         out.append(g.head(k))
     res = pd.concat(out, ignore_index=True) if out else partials
-    res["cosine"] = np.round(res["cosine"], 6)
+    res["cosine"] = np.round(res["cosine"], 4)
     return res
 
 
