@@ -147,6 +147,48 @@ def test_simhash_pairs_brute_force_and_large_bucket(ray_session):
     )
 
 
+def test_popcount64_matches_python():
+    from ocr_ray.functions.dedup import _popcount64
+
+    rng = np.random.RandomState(3)
+    xs = rng.randint(0, 2**63, size=1000, dtype=np.int64).view(np.uint64)
+    xs = np.concatenate([xs, np.array([0, 1, 2**64 - 1], dtype=np.uint64)])
+    got = _popcount64(xs)
+    want = np.array([bin(int(v)).count("1") for v in xs], dtype=np.int64)
+    assert (got == want).all()
+    # shape preserved on 2-D input (the chunked hamming matrix path)
+    m = xs[:16].reshape(4, 4)
+    assert (_popcount64(m) == want[:16].reshape(4, 4)).all()
+
+
+def test_simhash_unique_sig_cap_deterministic(ray_session, monkeypatch):
+    """Force the _MAX_UNIQUE_SIGS truncation: with the cap at 1, only
+    members of the smallest signature value survive per bucket — the
+    result must be deterministic and a subset of the uncapped pairs."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions import dedup
+
+    texts = (["identical cluster text"] * 4
+             + ["some other words here entirely"] * 3)
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    full = dedup.simhash_pairs(rd.from_arrow(docs), max_hamming=3).to_pandas()
+    monkeypatch.setattr(dedup, "_MAX_UNIQUE_SIGS", 1)
+    capped = dedup.simhash_pairs(rd.from_arrow(docs), max_hamming=3).to_pandas()
+    fp = set(map(tuple, full[["doc_a", "doc_b"]].to_numpy()))
+    cp = set(map(tuple, capped[["doc_a", "doc_b"]].to_numpy()))
+    assert cp <= fp
+    # the kept (smallest-sig) cluster's internal pairs must all survive
+    assert len(cp) >= 3  # one 4- or 3-member cluster fully paired
+    run2 = dedup.simhash_pairs(rd.from_arrow(docs), max_hamming=3).to_pandas()
+    assert sorted(map(tuple, run2[["doc_a", "doc_b"]].to_numpy())) == sorted(cp)
+
+
 def test_ngram_jaccard_exact_pairs(ray_session):
     """Exact pairwise Jaccard equals itertools brute force (validates the
     triangular pair-index decoding too)."""
