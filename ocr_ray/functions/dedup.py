@@ -205,7 +205,16 @@ def minhash_signatures_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-_MAX_BUCKET = 256  # cap pathological buckets; drops are logged by caller
+# pathological-bucket ceiling for candidate-pair generation. 2048, not
+# 256: the simhash sf0.1 incident showed organic corpora reach ~300
+# members in one LSH bucket, and a silent sub-organic cap diverges from
+# the oracle's all-pairs semantics. At 2048 a full bucket still costs
+# only ~2M vectorized pair rows (~32 MB transient) / a 2048x2048 cosine
+# matmul (~33 MB); past it the candidate count is adversarial (a >2048-
+# member 64-bit-band collision means a >2048-copy duplicate cluster,
+# whose inherent O(k^2) pair OUTPUT is the real bound, not this cap) and
+# drops remain deterministic (lowest doc_ids kept).
+_MAX_BUCKET = 2048
 _N_HASH_BUCKETS = 64  # shuffle granularity for LSH-bucket grouping
 # adaptive strategy gate (the broadcast-join-threshold idiom): at or below
 # this many unique candidate pairs the verify side broadcasts the (bounded)

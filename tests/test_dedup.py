@@ -147,6 +147,39 @@ def test_simhash_pairs_brute_force_and_large_bucket(ray_session):
     )
 
 
+def test_minhash_pairs_large_identical_cluster(ray_session, monkeypatch):
+    """A 300-copy duplicate cluster exceeds the retired 256-member bucket
+    cap: every band bucket holds all 300 members and minhash must emit
+    all C(300,2) verified pairs at jaccard 1.0 (the oracle's all-pairs
+    semantics — same defect class as the simhash sf0.1 incident). The
+    broadcast gate is raised so the verify runs driver-side: the cap
+    regression lives in CANDIDATE GENERATION, which is shared by both
+    verify modes (the distributed mode's large-bucket behavior is
+    demonstrated separately in BENCH/SCALE_DEMO_neardedup.json)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions import dedup
+
+    monkeypatch.setattr(dedup, "_BROADCAST_PAIR_LIMIT", 10**9)
+    n = 300
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(n)), pa.int64()),
+         "text": pa.array(
+             ["one identical document body repeated many times over"] * n
+         )}
+    )
+    out = dedup.minhash_pairs(
+        rd.from_arrow(docs).materialize(), threshold=0.5
+    )
+    if isinstance(out, rd.Dataset):
+        out = out.to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out["jaccard"] == 1.0).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
+
+
 def test_popcount64_matches_python():
     from ocr_ray.functions.dedup import _popcount64
 
