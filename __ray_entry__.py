@@ -23,6 +23,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from ocr_ray.pqread import read_parquet as _read_parquet  # noqa: E402
+from ocr_ray.functions.dedup import _COS_DECIMALS  # noqa: E402
 
 
 def entry() -> Any:
@@ -1545,7 +1546,7 @@ def _knn_ivf_sql(sf_dir: str | None = None) -> str | None:
           JOIN embeddings qe ON qe.vec_id = c.qid
           JOIN embeddings ne ON ne.vec_id = c.nid
         )
-        SELECT query_id, neighbor_id, round(cs, 4) AS cosine FROM (
+        SELECT query_id, neighbor_id, round(cs, {_COS_DECIMALS}) AS cosine FROM (
           SELECT query_id, neighbor_id, cs,
                  row_number() OVER (
                    PARTITION BY query_id ORDER BY cs DESC, neighbor_id
@@ -2712,14 +2713,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/uni, 6) AS jaccard
             FROM pairs WHERE CAST(inter AS DOUBLE)/uni >= 0.2
         """,
-        "knn_brute": """
+        "knn_brute": f"""
             WITH q AS (
               SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
               FROM embeddings ORDER BY vec_id LIMIT 8
             )
             SELECT query_id, neighbor_id, cosine FROM (
               SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {_COS_DECIMALS}) AS cosine,
                      row_number() OVER (
                        PARTITION BY q.qid
                        ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
@@ -3141,7 +3142,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'purchase'
             GROUP BY day ORDER BY day
         """,
-        "knn_filtered": """
+        "knn_filtered": f"""
             -- metadata-filtered exact vector search: candidates restricted
             -- to label IN (0,1,2); queries from the unfiltered head
             WITH q AS (
@@ -3150,7 +3151,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine FROM (
               SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
+                     round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {_COS_DECIMALS}) AS cosine,
                      row_number() OVER (
                        PARTITION BY q.qid
                        ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,

@@ -238,16 +238,20 @@ def _lsh_candidate_pairs(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
             {"doc_a": pd.Series([], dtype="int64"),
              "doc_b": pd.Series([], dtype="int64")}
         )
-    out_a: list[int] = []
-    out_b: list[int] = []
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
     for _, g in sub.groupby(keys, sort=False):
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) > _MAX_BUCKET:
             ids = ids[:_MAX_BUCKET]
         a, b = np.triu_indices(len(ids), k=1)
-        out_a.extend(ids[a].tolist())
-        out_b.extend(ids[b].tolist())
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        # numpy accumulation, one concat at the end — a full 2048-member
+        # bucket is ~2.1M pairs and .tolist()/extend would box every int
+        out_a.append(ids[a])
+        out_b.append(ids[b])
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
 
 
 def minhash_pairs(
@@ -874,12 +878,12 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     collapse to unique signatures first, hamming runs vectorized
     (XOR + 16-bit-table popcount) between unique sigs only, and
     qualifying sig pairs expand back to member pairs. Same-sig clusters
-    are hamming-0 by definition and expand directly. Output pair volume
-    is inherent to the all-pairs semantics (the SQL twin's too); at
-    100-TB scale a dedup pipeline would feed same-sig clusters straight
-    into connected components instead of materializing their O(c^2)
-    pairs — the cluster ids are available here if that variant is
-    needed."""
+    are hamming-0 by definition and expand directly, bounded at
+    ``_MAX_BUCKET`` members per cluster side (lowest ids, deterministic):
+    past that a duplicate cluster's inherent O(c^2) pair volume belongs
+    in exact_dedup / connected components, not a materialized pair
+    list — the bound keeps one map_groups task under ~50 MB however
+    pathological the corpus."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -923,10 +927,10 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             out_h.append(h)
 
         for _, g in sub.groupby(["band_idx", "band_key"], sort=False):
-            ids = np.sort(g["doc_id"].to_numpy(np.int64))
-            sigs = (
-                g["sig"].to_numpy().astype(np.int64).view(np.uint64)
-            )[np.argsort(g["doc_id"].to_numpy(np.int64), kind="stable")]
+            ids = g["doc_id"].to_numpy(np.int64)
+            o = np.argsort(ids, kind="stable")
+            ids = ids[o]
+            sigs = (g["sig"].to_numpy().astype(np.int64).view(np.uint64))[o]
             sig_u, inv = np.unique(sigs, return_inverse=True)
             u = len(sig_u)
             if u > _MAX_UNIQUE_SIGS:
@@ -939,9 +943,17 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             m_ids, m_inv = ids[order], inv[order]
             starts = np.searchsorted(m_inv, np.arange(u))
             ends = np.searchsorted(m_inv, np.arange(u), side="right")
-            # same-sig clusters: every member pair, hamming 0
+            # same-sig clusters: every member pair, hamming 0. Expansion
+            # is bounded per cluster at _MAX_BUCKET members (lowest ids
+            # kept, deterministic): a >_MAX_BUCKET-copy duplicate cluster
+            # would otherwise emit O(c^2) pairs in ONE task (the
+            # triu_indices alone is O(c^2) memory) — at the bound that is
+            # ~2M pairs / ~50 MB; past it, route clusters through
+            # exact_dedup/cluster ids instead of pair materialization.
             for k in np.flatnonzero(ends - starts >= 2):
                 mem = m_ids[starts[k]:ends[k]]
+                if len(mem) > _MAX_BUCKET:
+                    mem = mem[:_MAX_BUCKET]
                 ai, bi = np.triu_indices(len(mem), k=1)
                 emit(mem[ai], mem[bi],
                      np.zeros(len(ai), dtype=np.int64))
@@ -954,8 +966,9 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
                 keep = i < j  # upper triangle only (and skips i == j)
                 hv = ham[li[keep], j[keep]]
                 for ii, jj, hh in zip(i[keep], j[keep], hv):
-                    ma = m_ids[starts[ii]:ends[ii]]
-                    mb = m_ids[starts[jj]:ends[jj]]
+                    # same _MAX_BUCKET bound as the same-sig expansion
+                    ma = m_ids[starts[ii]:ends[ii]][:_MAX_BUCKET]
+                    mb = m_ids[starts[jj]:ends[jj]][:_MAX_BUCKET]
                     emit(
                         np.repeat(ma, len(mb)),
                         np.tile(mb, len(ma)),
@@ -1114,9 +1127,9 @@ def embedding_near_dup(
                  "vec_b": pd.Series([], dtype="int64"),
                  "cosine": pd.Series([], dtype="float64")}
             )
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_c: list[float] = []
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
         for _, g in sub.groupby(["band_idx", "band_key"], sort=False):
             g = g.sort_values("vec_id")
             ids = g["vec_id"].to_numpy()
@@ -1130,13 +1143,13 @@ def embedding_near_dup(
             a, b = np.triu_indices(len(ids), k=1)
             vals = np.round(cos[a, b], _COS_DECIMALS)
             keep = vals >= threshold
-            out_a.extend(ids[a][keep].tolist())
-            out_b.extend(ids[b][keep].tolist())
-            out_c.extend(vals[keep].tolist())
+            out_a.append(ids[a][keep])
+            out_b.append(ids[b][keep])
+            out_c.append(vals[keep])
         return pd.DataFrame(
-            {"vec_a": pd.Series(out_a, dtype="int64"),
-             "vec_b": pd.Series(out_b, dtype="int64"),
-             "cosine": pd.Series(out_c, dtype="float64")}
+            {"vec_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+             "vec_b": pd.Series(np.concatenate(out_b), dtype="int64"),
+             "cosine": pd.Series(np.concatenate(out_c), dtype="float64")}
         )
 
     buckets = embs.map_batches(bucketize, batch_format="pyarrow").map_batches(

@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from .dedup import _COS_DECIMALS
+
 __all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign", "train_centroids"]
 
 _SEED = 42
@@ -90,7 +92,13 @@ def knn_brute(
         rows_q, rows_n, rows_c = [], [], []
         kk = min(k + 1, cos.shape[0])
         for j, qid in enumerate(qids):
-            cj = cos[:, j]
+            # rank on the QUANTIZED cosine (ties -> neighbor_id at the
+            # driver fold), mirroring the SQL twin's ORDER BY round(cs,
+            # _COS_DECIMALS): full-precision ranking would let a <1e-9
+            # float-association gap between BLAS and DuckDB flip top-k
+            # MEMBERSHIP at the rank-k boundary even though both emitted
+            # values round identically
+            cj = np.round(cos[:, j], _COS_DECIMALS)
             if cj.size > kk:
                 # widen the cut to ALL rows tied with the kk-th cosine so the
                 # driver merge (which breaks ties by neighbor_id asc) never
@@ -121,7 +129,7 @@ def knn_brute(
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
         out.append(g.head(k))
     res = pd.concat(out, ignore_index=True) if out else partials
-    res["cosine"] = np.round(res["cosine"], 4)
+    res["cosine"] = np.round(res["cosine"], _COS_DECIMALS)
     return res
 
 
@@ -225,7 +233,8 @@ def knn_ivf(
             mask = np.isin(buckets, list(probes_[int(qid)]))
             if not mask.any():
                 continue
-            cj = mat[mask] @ qt[:, j]
+            # quantized ranking — same contract as knn_brute's partial cut
+            cj = np.round(mat[mask] @ qt[:, j], _COS_DECIMALS)
             sub_ids = ids[mask]
             kk = min(k + 1, cj.size)
             if cj.size > kk:
@@ -254,7 +263,7 @@ def knn_ivf(
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort")
         out.append(g.head(k))
     res = pd.concat(out, ignore_index=True) if out else partials
-    res["cosine"] = np.round(res["cosine"], 4)
+    res["cosine"] = np.round(res["cosine"], _COS_DECIMALS)
     return res
 
 

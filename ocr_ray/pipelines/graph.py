@@ -244,9 +244,7 @@ def copart_edges(sf_dir: str) -> rd.Dataset:
                 hi = np.maximum(sup[i], sup[j])
                 m = lo != hi  # (j-i)*step can wrap to 0 mod n_supp
                 pks.append(lo[m] * _PAIR_BASE + hi[m])
-        pk = np.unique(np.concatenate(pks)) if pks else np.empty(
-            0, dtype=np.int64
-        )
+        pk = np.unique(np.concatenate(pks))
         return pa.table(
             {"lo": pa.array(pk >> np.int64(32), pa.int64()),
              "hi": pa.array(pk & _PAIR_MASK, pa.int64())}
@@ -305,7 +303,7 @@ def _count_triangles_numpy(lo: np.ndarray, hi: np.ndarray) -> int:
     np.isin. Exact — orientation choice never changes the count."""
     if len(lo) == 0:
         return 0
-    verts, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
+    _, inv = np.unique(np.concatenate([lo, hi]), return_inverse=True)
     deg = np.bincount(inv).astype(np.int64)
     m = len(lo)
     dl, dh = deg[inv[:m]], deg[inv[m:]]
