@@ -174,6 +174,12 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_docs_dup_spans(sf_dir: str):
+    from ocr_ray.functions.dedup import dup_spans
+
+    return dup_spans(_docs(sf_dir))
+
+
 def _q_dedup_minhash(sf_dir: str):
     from ocr_ray.functions.dedup import minhash_pairs
 
@@ -1288,6 +1294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # into the graded window round 5; these two complete the set)
         "q11_important_stock": T.q11_important_stock,
         "q20_potential_promotion": T.q20_potential_promotion,
+        # exact substring-level duplicate spans (Lee et al. 2022 window
+        # relaxation; md5-keyed window grouping replayed bit-exactly)
+        "docs_dup_spans": _q_docs_dup_spans,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2732,6 +2741,39 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5({_CANON})
+        """,
+        # exact token-window duplicate spans: windows grouped by the SAME
+        # md5-le64 % (2^61-1) key the engine computes (bit-equal grouping
+        # by construction); per-doc coverage = interval union via the
+        # running-max-of-ends window
+        "docs_dup_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), poss AS (
+              SELECT doc_id, tk, len(tk) AS n_tokens,
+                     unnest(generate_series(1, len(tk) - 7)) AS pos
+              FROM toks
+            ), wins AS (
+              SELECT doc_id, n_tokens, pos,
+                     array_to_string(tk[pos:pos+7], ' ') AS win
+              FROM poss
+            ), keyed AS (
+              SELECT doc_id, n_tokens, pos,
+                     ({_md5_le64_terms("win")}) % 2305843009213693951 AS wkey
+              FROM wins
+            ), dup AS (
+              SELECT wkey FROM keyed GROUP BY wkey HAVING count(*) >= 2
+            ), cov AS (
+              SELECT doc_id, n_tokens, pos, pos + 7 AS e,
+                     max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM keyed WHERE wkey IN (SELECT wkey FROM dup)
+            )
+            SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+                   count(*) AS dup_windows,
+                   CAST(sum(CASE WHEN pm IS NULL OR pm < pos THEN 8
+                                 ELSE e - pm END) AS BIGINT) AS dup_tokens
+            FROM cov GROUP BY doc_id ORDER BY doc_id
         """,
         "extract_docs": """
             WITH toks AS (

@@ -33,6 +33,7 @@ import ray.data as rd
 __all__ = [
     "add_content_hash",
     "exact_dedup",
+    "dup_spans",
     "minhash_signatures_batch",
     "minhash_pairs",
     "simhash_pairs",
@@ -173,6 +174,157 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     return hashed.groupby("content_hash").aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count")
     ).select_columns(["doc_id", "dup_count"])
+
+
+# --- exact substring (token-window) duplicate spans -------------------------
+
+
+_DUP_WINDOW = 8
+
+
+def _window_rows(t: pa.Table, window: int) -> pa.Table:
+    """Explode each doc into one row per length-``window`` token window:
+    (doc_id, pos 1-based, wkey, n_tokens).
+
+    Tokenization is a raw single-space split (== DuckDB
+    ``string_split(text, ' ')``, empty tokens preserved), and the window
+    key is the md5-le64 % (2^61-1) of the window SUBSTRING — sliced
+    directly from the UTF-8 bytes between token offsets (0x20 never
+    occurs inside a multi-byte UTF-8 sequence, so the byte slice equals
+    the joined-token string), no per-window string join. The oracle
+    replays the identical key (`_md5_le64_terms`), so grouping semantics
+    are bit-equal by construction, collisions included."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+    doc_out: list[np.ndarray] = []
+    pos_out: list[np.ndarray] = []
+    ntk_out: list[np.ndarray] = []
+    key_out: list[int] = []
+    md5 = hashlib.md5
+    for d, s in zip(ids, texts):
+        b = s.encode("utf-8")
+        arr = np.frombuffer(b, dtype=np.uint8)
+        sp = np.flatnonzero(arr == 32)
+        starts = np.concatenate(([0], sp + 1))
+        ends = np.concatenate((sp, [arr.size]))
+        n = starts.size  # == len(s.split(' '))
+        m = n - window + 1
+        if m <= 0:
+            continue
+        for i in range(m):
+            dig = md5(b[starts[i]:ends[i + window - 1]]).digest()
+            key_out.append(int.from_bytes(dig[:8], "little") % _MERSENNE)
+        doc_out.append(np.full(m, d, dtype=np.int64))
+        pos_out.append(np.arange(1, m + 1, dtype=np.int64))
+        ntk_out.append(np.full(m, n, dtype=np.int64))
+    if not doc_out:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "wkey": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        })
+    return pa.table({
+        "doc_id": np.concatenate(doc_out),
+        "pos": np.concatenate(pos_out),
+        "wkey": np.asarray(key_out, dtype=np.int64),
+        "n_tokens": np.concatenate(ntk_out),
+    })
+
+
+def dup_spans(docs: rd.Dataset, window: int = _DUP_WINDOW) -> rd.Dataset:
+    """Exact substring-level duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at
+    token-window granularity: a length-``window`` token run is DUPLICATED
+    if the identical window occurs at >= 2 (doc, pos) locations anywhere
+    in the corpus. Emits, per doc that contains at least one duplicated
+    window: (doc_id, n_tokens, dup_windows, dup_tokens) where dup_tokens
+    is the UNION length of the duplicated [pos, pos+window) intervals —
+    the token count a substring-dedup pass would cut.
+
+    Scale shape (the whole point of this op at 100 TB):
+    - window explode is map-only; the working set is one 32-byte row per
+      token, held in the object store (spillable), materialized ONCE and
+      reused by both phases.
+    - duplicate keys come from per-block np.unique partial counts (dup-
+      heavy blocks shrink, unique-heavy never grow) folded by ONE
+      hash-bucket grouped sum over (wkey) — never a sort of raw windows.
+    - membership of window rows in the dup-key set goes through the
+      adaptive `semi_anti_join` (broadcast below the key gate, marker
+      cogroup join above) — no driver structure proportional to corpus
+      size on either path.
+    - per-doc interval-union coverage is ONE doc-hash bucket shuffle of
+      the HIT rows only (the duplicated fraction), with a vectorized
+      running-max sweep per bucket.
+    A suffix-array formulation would find variable-length duplicates;
+    the fixed-window formulation is the standard distributed relaxation
+    (any duplicated run >= window long is fully covered by duplicated
+    windows, so coverage is exact for runs >= window)."""
+    from ..pipelines.joins import semi_anti_join
+    from ..stages.partial_agg import (add_hash_bucket, compact_nonempty,
+                                      hash_bucket_sum)
+
+    wins = compact_nonempty(
+        docs.map_batches(
+            lambda t: _window_rows(t, window), batch_format="pyarrow"
+        ).materialize()
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        k, c = np.unique(t.column("wkey").to_numpy(), return_counts=True)
+        return pa.table({"wkey": k, "cnt": c.astype(np.int64)})
+
+    counts = hash_bucket_sum(
+        wins.map_batches(partial_counts, batch_format="pyarrow"),
+        keys=["wkey"], sum_cols=["cnt"],
+    )
+    dup_keys = compact_nonempty(
+        counts.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t.column("cnt"), 2))
+            .select(["wkey"]),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    hits = semi_anti_join(wins, dup_keys, on="wkey", assume_distinct=True)
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "dup_windows": pa.array([], pa.int64()),
+        "dup_tokens": pa.array([], pa.int64()),
+    })
+
+    def cover(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return empty
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        ntk = df["n_tokens"].to_numpy()
+        order = np.lexsort((pos, doc))
+        d, p, nt = doc[order], pos[order], ntk[order]
+        e = p + window - 1
+        new = np.r_[True, d[1:] != d[:-1]]
+        seg = np.cumsum(new) - 1
+        off = int(e.max()) + window  # segment-reset running max via offset
+        cm = np.maximum.accumulate(e + seg * off) - seg * off
+        pm = np.r_[0, cm[:-1]]  # previous running max (masked on seg starts)
+        contrib = np.where(new | (pm < p), window, e - pm)
+        st = np.flatnonzero(new)
+        return pa.table({
+            "doc_id": d[st],
+            "n_tokens": nt[st],
+            "dup_windows": np.diff(np.r_[st, contrib.size]).astype(np.int64),
+            "dup_tokens": np.add.reduceat(contrib, st).astype(np.int64),
+        })
+
+    return (
+        hits.map_batches(
+            lambda t: add_hash_bucket(t, ["doc_id"], 64),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(cover, batch_format="pandas")
+    )
 
 
 # --- minhash LSH -----------------------------------------------------------

@@ -417,3 +417,92 @@ def test_fast_hash_flag_minhash_pairs(ray_session, monkeypatch):
     want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     np.testing.assert_allclose(got["jaccard"], want["jaccard"], atol=1e-9)
+
+
+def _dup_spans_brute(df: pd.DataFrame, window: int) -> pd.DataFrame:
+    """Nested-loop reference: group windows by CONTENT, union intervals."""
+    from collections import Counter, defaultdict
+
+    wins = []  # (doc_id, pos, win)
+    for d, s in zip(df["doc_id"], df["text"]):
+        toks = s.split(" ")
+        for i in range(len(toks) - window + 1):
+            wins.append((d, i + 1, " ".join(toks[i:i + window])))
+    cnt = Counter(w for _, _, w in wins)
+    hits = defaultdict(list)
+    for d, p, w in wins:
+        if cnt[w] >= 2:
+            hits[d].append(p)
+    rows = []
+    for d, ps in hits.items():
+        ps.sort()
+        covered = 0
+        prev_end = 0  # 1-based inclusive end of union so far
+        for p in ps:
+            e = p + window - 1
+            covered += e - max(prev_end, p - 1)
+            prev_end = max(prev_end, e)
+        n_tokens = len(
+            df.loc[df["doc_id"] == d, "text"].iloc[0].split(" ")
+        )
+        rows.append({"doc_id": d, "n_tokens": n_tokens,
+                     "dup_windows": len(ps), "dup_tokens": covered})
+    return (pd.DataFrame(rows, columns=["doc_id", "n_tokens",
+                                        "dup_windows", "dup_tokens"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_dup_spans_matches_brute_force(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import dup_spans
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(40):
+        toks = list(rng.choice(vocab, size=rng.randint(4, 30)))
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    # planted: doc 100 repeats doc 0's text; doc 101 embeds a 9-token run
+    # from doc 1 (covers overlapping-window union) and a too-short 3-run
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    nine = " ".join(rows[1]["text"].split(" ")[:9])
+    rows.append({"doc_id": 101, "text": "x0 x1 " + nine + " x2 x3"})
+    # a doc shorter than the window emits no windows at all
+    rows.append({"doc_id": 102, "text": "a b c"})
+    df = pd.DataFrame(rows)
+
+    window = 5
+    got = (dup_spans(rd.from_arrow(pa.Table.from_pandas(df)), window=window)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _dup_spans_brute(df, window)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+    # the planted full duplicate is fully covered
+    full = got.set_index("doc_id")
+    assert full.loc[100, "dup_tokens"] == full.loc[100, "n_tokens"]
+    # the 9-token planted run covers 9 tokens of doc 101 (5 windows)
+    assert full.loc[101, "dup_tokens"] == 9
+    assert full.loc[101, "dup_windows"] == 5
+    assert 102 not in full.index
+
+
+def test_dup_spans_partition_invariant(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import dup_spans
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = pa.Table.from_pandas(df)
+    a = (dup_spans(rd.from_arrow(t)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (dup_spans(rd.from_arrow(t).repartition(13)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0  # the corpus contains organic duplicates
