@@ -174,6 +174,12 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_docs_fuzzy_join(sf_dir: str):
+    from ocr_ray.functions.fuzzy import fuzzy_variant_join
+
+    return fuzzy_variant_join(sf_dir)
+
+
 def _q_docs_dup_spans(sf_dir: str):
     from ocr_ray.functions.dedup import dup_spans
 
@@ -1297,6 +1303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact substring-level duplicate spans (Lee et al. 2022 window
         # relaxation; md5-keyed window grouping replayed bit-exactly)
         "docs_dup_spans": _q_docs_dup_spans,
+        # edit-distance similarity join (PassJoin filter-verify) against
+        # the derived noisy-variants relation
+        "docs_fuzzy_join": _q_docs_fuzzy_join,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2774,6 +2783,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN pm IS NULL OR pm < pos THEN 8
                                  ELSE e - pm END) AS BIGINT) AS dup_tokens
             FROM cov GROUP BY doc_id ORDER BY doc_id
+        """,
+        # edit-distance join vs the derived variants relation: the CTE
+        # replays the engine's deterministic variant formula (tpch_ext
+        # derived-relation pattern); DuckDB's levenshtein is the
+        # independent verify the banded DP must equal
+        "docs_fuzzy_join": """
+            WITH p AS (
+              SELECT doc_id, substr(text, 1, 40) AS s FROM documents
+            ), v AS (
+              SELECT doc_id AS vid,
+                     CASE doc_id % 4
+                       WHEN 0 THEN s
+                       WHEN 1 THEN substr(s, 1, len(s) - 1)
+                       WHEN 2 THEN 'Z' || substr(s, 2)
+                       ELSE 'Z' || s
+                     END AS vs
+              FROM p
+            )
+            SELECT a.doc_id, b.vid,
+                   CAST(levenshtein(a.s, b.vs) AS BIGINT) AS dist
+            FROM p a JOIN v b ON abs(len(a.s) - len(b.vs)) <= 2
+            WHERE levenshtein(a.s, b.vs) <= 2
         """,
         "extract_docs": """
             WITH toks AS (
