@@ -112,7 +112,23 @@ def edit_distance_join(
     (left_id, right_id, dist). Left is the partitioned build side, right
     the enumerating probe side (cheapest with the longer-strings /
     larger side as probe is a wash at equal lengths; pick either)."""
+    import ray
+
     from ..stages.partial_agg import add_hash_bucket, hash_bucket_min
+
+    # distinct build-side string lengths (tiny: bounded by max string
+    # length), broadcast once — probes enumerate only lengths that exist
+    # instead of all 2k+1 candidates (uniform-length corpora skip ~half
+    # the key amplification)
+    def len_partial(t: pa.Table) -> pa.Table:
+        ls = np.unique([len(s) for s in t.column(text_col).to_pylist()])
+        return pa.table({"L": ls.astype(np.int64)})
+
+    lens = np.unique(
+        left.map_batches(len_partial, batch_format="pyarrow")
+        .to_pandas()["L"].to_numpy()
+    )
+    lens_ref = ray.put(set(int(x) for x in lens))
 
     def build_keys(t: pa.Table) -> pa.Table:
         ids = t.column(left_id).to_numpy(zero_copy_only=False)
@@ -131,6 +147,7 @@ def edit_distance_join(
         })
 
     def probe_keys(t: pa.Table) -> pa.Table:
+        build_lens = ray.get(lens_ref)
         ids = t.column(right_id).to_numpy(zero_copy_only=False)
         ss = t.column(text_col).to_pylist()
         kk, ii, st = [], [], []
@@ -138,6 +155,8 @@ def edit_distance_join(
             M = len(s)
             seen: set[int] = set()
             for L in range(max(0, M - k), M + k + 1):
+                if L not in build_lens:
+                    continue
                 for i, (p, ln) in enumerate(_segments(L, k)):
                     for shift in range(-k, k + 1):
                         q = p + shift
