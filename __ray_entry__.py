@@ -186,6 +186,12 @@ def _q_docs_dup_spans(sf_dir: str):
     return dup_spans(_docs(sf_dir))
 
 
+def _q_docs_dup_intervals(sf_dir: str):
+    from ocr_ray.functions.dedup import dup_intervals
+
+    return dup_intervals(_docs(sf_dir))
+
+
 def _q_dedup_minhash(sf_dir: str):
     from ocr_ray.functions.dedup import minhash_pairs
 
@@ -1306,6 +1312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edit-distance similarity join (PassJoin filter-verify) against
         # the derived noisy-variants relation
         "docs_fuzzy_join": _q_docs_fuzzy_join,
+        # the substring-dedup CUT LIST: merged duplicated token ranges
+        "docs_dup_intervals": _q_docs_dup_intervals,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2783,6 +2791,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN pm IS NULL OR pm < pos THEN 8
                                  ELSE e - pm END) AS BIGINT) AS dup_tokens
             FROM cov GROUP BY doc_id ORDER BY doc_id
+        """,
+        # the substring-dedup cut list: same keyed/dup/cov machinery as
+        # docs_dup_spans; islands break where a window is not even
+        # adjacent to the running union (pos > prev_max_end + 1)
+        "docs_dup_intervals": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            ), poss AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - 7)) AS pos
+              FROM toks
+            ), wins AS (
+              SELECT doc_id, pos, array_to_string(tk[pos:pos+7], ' ') AS win
+              FROM poss
+            ), keyed AS (
+              SELECT doc_id, pos,
+                     ({_md5_le64_terms("win")}) % 2305843009213693951 AS wkey
+              FROM wins
+            ), dup AS (
+              SELECT wkey FROM keyed GROUP BY wkey HAVING count(*) >= 2
+            ), cov AS (
+              SELECT doc_id, pos, pos + 7 AS e,
+                     max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM keyed WHERE wkey IN (SELECT wkey FROM dup)
+            ), isl AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END
+                       AS brk
+              FROM cov
+            ), grp AS (
+              SELECT doc_id, pos, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM isl
+            )
+            SELECT doc_id, CAST(g AS BIGINT) AS span_idx,
+                   CAST(min(pos) AS BIGINT) AS start_tok,
+                   CAST(max(e) AS BIGINT) AS end_tok
+            FROM grp GROUP BY doc_id, g
         """,
         # edit-distance join vs the derived variants relation: the CTE
         # replays the engine's deterministic variant formula (tpch_ext

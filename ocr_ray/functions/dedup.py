@@ -34,6 +34,7 @@ __all__ = [
     "add_content_hash",
     "exact_dedup",
     "dup_spans",
+    "dup_intervals",
     "minhash_signatures_batch",
     "minhash_pairs",
     "simhash_pairs",
@@ -232,6 +233,39 @@ def _window_rows(t: pa.Table, window: int) -> pa.Table:
     })
 
 
+def _dup_hits(docs: rd.Dataset, window: int) -> rd.Dataset:
+    """Shared phase of the substring-dedup family: window explode
+    (materialized once), per-block partial counts -> one hash-bucket
+    grouped sum -> dup-key set (count >= 2) -> adaptive semi-join back
+    to the window rows. Returns the HIT rows (doc_id, pos, wkey,
+    n_tokens) — the duplicated fraction only."""
+    from ..pipelines.joins import semi_anti_join
+    from ..stages.partial_agg import compact_nonempty, hash_bucket_sum
+
+    wins = compact_nonempty(
+        docs.map_batches(
+            lambda t: _window_rows(t, window), batch_format="pyarrow"
+        ).materialize()
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        k, c = np.unique(t.column("wkey").to_numpy(), return_counts=True)
+        return pa.table({"wkey": k, "cnt": c.astype(np.int64)})
+
+    counts = hash_bucket_sum(
+        wins.map_batches(partial_counts, batch_format="pyarrow"),
+        keys=["wkey"], sum_cols=["cnt"],
+    )
+    dup_keys = compact_nonempty(
+        counts.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(t.column("cnt"), 2))
+            .select(["wkey"]),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    return semi_anti_join(wins, dup_keys, on="wkey", assume_distinct=True)
+
+
 def dup_spans(docs: rd.Dataset, window: int = _DUP_WINDOW) -> rd.Dataset:
     """Exact substring-level duplicate detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better") at
@@ -260,32 +294,9 @@ def dup_spans(docs: rd.Dataset, window: int = _DUP_WINDOW) -> rd.Dataset:
     the fixed-window formulation is the standard distributed relaxation
     (any duplicated run >= window long is fully covered by duplicated
     windows, so coverage is exact for runs >= window)."""
-    from ..pipelines.joins import semi_anti_join
-    from ..stages.partial_agg import (add_hash_bucket, compact_nonempty,
-                                      hash_bucket_sum)
+    from ..stages.partial_agg import add_hash_bucket
 
-    wins = compact_nonempty(
-        docs.map_batches(
-            lambda t: _window_rows(t, window), batch_format="pyarrow"
-        ).materialize()
-    )
-
-    def partial_counts(t: pa.Table) -> pa.Table:
-        k, c = np.unique(t.column("wkey").to_numpy(), return_counts=True)
-        return pa.table({"wkey": k, "cnt": c.astype(np.int64)})
-
-    counts = hash_bucket_sum(
-        wins.map_batches(partial_counts, batch_format="pyarrow"),
-        keys=["wkey"], sum_cols=["cnt"],
-    )
-    dup_keys = compact_nonempty(
-        counts.map_batches(
-            lambda t: t.filter(pa.compute.greater_equal(t.column("cnt"), 2))
-            .select(["wkey"]),
-            batch_format="pyarrow",
-        ).materialize()
-    )
-    hits = semi_anti_join(wins, dup_keys, on="wkey", assume_distinct=True)
+    hits = _dup_hits(docs, window)
 
     empty = pa.table({
         "doc_id": pa.array([], pa.int64()),
@@ -324,6 +335,64 @@ def dup_spans(docs: rd.Dataset, window: int = _DUP_WINDOW) -> rd.Dataset:
         )
         .groupby("bucket")
         .map_groups(cover, batch_format="pandas")
+    )
+
+
+def dup_intervals(docs: rd.Dataset, window: int = _DUP_WINDOW) -> rd.Dataset:
+    """The cut list of the substring-dedup pass: per doc, the merged
+    (overlapping-or-adjacent) duplicated token ranges as
+    (doc_id, span_idx 1-based, start_tok, end_tok) — 1-based inclusive
+    token positions. sum(end_tok - start_tok + 1) per doc equals
+    dup_spans' dup_tokens (adjacency-merging never changes coverage);
+    pinned by a pytest cross-check. Same scale shape as dup_spans: the
+    interval merge is one doc-hash shuffle of hit rows with a vectorized
+    break/cumsum sweep per bucket."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    hits = _dup_hits(docs, window)
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "span_idx": pa.array([], pa.int64()),
+        "start_tok": pa.array([], pa.int64()),
+        "end_tok": pa.array([], pa.int64()),
+    })
+
+    def islands(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return empty
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        order = np.lexsort((pos, doc))
+        d, p = doc[order], pos[order]
+        e = p + window - 1
+        new = np.r_[True, d[1:] != d[:-1]]
+        seg = np.cumsum(new) - 1
+        off = int(e.max()) + window
+        cm = np.maximum.accumulate(e + seg * off) - seg * off
+        pm = np.r_[0, cm[:-1]]
+        brk = new | (p > pm + 1)  # gap: not even adjacent to the union
+        st = np.flatnonzero(brk)
+        # per-doc 1-based island ordinals: island index minus the index
+        # of its doc's first island
+        isl_doc = d[st]
+        first = np.r_[True, isl_doc[1:] != isl_doc[:-1]]
+        cnts = np.diff(np.r_[np.flatnonzero(first), first.size])
+        base = np.repeat(np.flatnonzero(first), cnts)
+        return pa.table({
+            "doc_id": isl_doc,
+            "span_idx": (np.arange(st.size) - base + 1).astype(np.int64),
+            "start_tok": p[st],
+            "end_tok": np.maximum.reduceat(e, st).astype(np.int64),
+        })
+
+    return (
+        hits.map_batches(
+            lambda t: add_hash_bucket(t, ["doc_id"], 64),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(islands, batch_format="pandas")
     )
 
 

@@ -506,3 +506,67 @@ def test_dup_spans_partition_invariant(ray_session):
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0  # the corpus contains organic duplicates
+
+
+def test_dup_intervals_brute_force_and_coverage(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import dup_intervals, dup_spans
+
+    # doc 1 embeds TWO disjoint 6-token runs from doc 0 with a unique
+    # gap between them -> two islands; doc 2 is an exact copy of doc 0
+    run_a = "a0 a1 a2 a3 a4 a5"
+    run_b = "b0 b1 b2 b3 b4 b5"
+    rows = [
+        {"doc_id": 0, "text": run_a + " m0 m1 " + run_b},
+        {"doc_id": 1, "text": "x0 " + run_a + " gap0 gap1 gap2 " + run_b
+                              + " x1"},
+        {"doc_id": 2, "text": run_a + " m0 m1 " + run_b},
+        {"doc_id": 3, "text": "z0 z1 z2 z3 z4 z5 z6 z7 z8"},
+    ]
+    df = pd.DataFrame(rows)
+    window = 5
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    iv = (dup_intervals(ds, window=window).to_pandas()
+          .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    # doc 1: two islands (runs separated by a 3-token unique gap)
+    d1 = iv[iv["doc_id"] == 1]
+    assert len(d1) == 2
+    assert list(d1["span_idx"]) == [1, 2]
+    # 1-based token positions: run_a occupies tokens 2..7 of doc 1
+    assert d1.iloc[0]["start_tok"] == 2 and d1.iloc[0]["end_tok"] == 7
+    # docs 0 and 2 (exact copies) are one full-coverage island each
+    for d in (0, 2):
+        dd = iv[iv["doc_id"] == d]
+        assert len(dd) == 1
+        assert dd.iloc[0]["start_tok"] == 1 and dd.iloc[0]["end_tok"] == 14
+    assert 3 not in set(iv["doc_id"])
+    # coverage cross-check: per-doc interval lengths sum == dup_tokens
+    sp = dup_spans(ds, window=window).to_pandas().set_index("doc_id")
+    lens = (iv["end_tok"] - iv["start_tok"] + 1).groupby(iv["doc_id"]).sum()
+    for d, tot in lens.items():
+        assert tot == sp.loc[d, "dup_tokens"]
+
+
+def test_dup_intervals_coverage_on_corpus(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import dup_intervals, dup_spans
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    iv = dup_intervals(ds).to_pandas()
+    sp = dup_spans(ds).to_pandas().set_index("doc_id")
+    lens = (iv["end_tok"] - iv["start_tok"] + 1).groupby(iv["doc_id"]).sum()
+    assert set(lens.index) == set(sp.index)
+    for d, tot in lens.items():
+        assert tot == sp.loc[d, "dup_tokens"]
+    # span_idx is dense 1..n per doc
+    g = iv.groupby("doc_id")["span_idx"]
+    assert (g.min() == 1).all()
+    assert (g.max() == g.count()).all()
