@@ -183,20 +183,34 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 _DUP_WINDOW = 8
 
 
-def _window_rows(t: pa.Table, window: int) -> pa.Table:
+def _window_rows(t: pa.Table, window: int,
+                 fast: bool | None = None) -> pa.Table:
     """Explode each doc into one row per length-``window`` token window:
     (doc_id, pos 1-based, wkey, n_tokens).
 
     Tokenization is a raw single-space split (== DuckDB
-    ``string_split(text, ' ')``, empty tokens preserved), and the window
-    key is the md5-le64 % (2^61-1) of the window SUBSTRING — sliced
-    directly from the UTF-8 bytes between token offsets (0x20 never
-    occurs inside a multi-byte UTF-8 sequence, so the byte slice equals
-    the joined-token string), no per-window string join. The oracle
-    replays the identical key (`_md5_le64_terms`), so grouping semantics
-    are bit-equal by construction, collisions included."""
+    ``string_split(text, ' ')``, empty tokens preserved). Default key:
+    md5-le64 % (2^61-1) of the window SUBSTRING — sliced directly from
+    the UTF-8 bytes between token offsets (0x20 never occurs inside a
+    multi-byte UTF-8 sequence, so the byte slice equals the joined-token
+    string), no per-window string join. The oracle replays the identical
+    key (`_md5_le64_terms`), so grouping semantics are bit-equal by
+    construction, collisions included.
+
+    Production flag ``OCR_RAY_FAST_HASH=1`` (same convention as
+    `_token_hashes`): ONE pandas hash_array pass over the batch's whole
+    token stream + a vectorized width-``window`` rolling polynomial,
+    windows crossing doc boundaries masked out — no per-window md5 call.
+    Hash values differ from the md5 path but duplicate DECISIONS are
+    content-equality based, so the emitted output is identical modulo
+    64-bit collisions (parity-tested); keep the default for oracle
+    parity, flip the flag for throughput."""
+    if fast is None:
+        fast = os.environ.get("OCR_RAY_FAST_HASH", "") not in ("", "0")
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     texts = t.column("text").to_pylist()
+    if fast:
+        return _window_rows_fast(ids, texts, window)
     doc_out: list[np.ndarray] = []
     pos_out: list[np.ndarray] = []
     ntk_out: list[np.ndarray] = []
@@ -230,6 +244,56 @@ def _window_rows(t: pa.Table, window: int) -> pa.Table:
         "pos": np.concatenate(pos_out),
         "wkey": np.asarray(key_out, dtype=np.int64),
         "n_tokens": np.concatenate(ntk_out),
+    })
+
+
+def _window_rows_fast(ids: np.ndarray, texts: list[str],
+                      window: int) -> pa.Table:
+    """Vectorized window keys: one hash_array over the batch's
+    concatenated token stream, width-``window`` rolling polynomial mix,
+    cross-doc windows masked by comparing each window's start/end doc
+    ids. Empty token lists cannot occur (''.split(' ') == [''])."""
+    tok_parts: list[list[str]] = []
+    doc_of: list[np.ndarray] = []
+    ntk: list[int] = []
+    for d, s in zip(ids, texts):
+        tk = s.split(" ")
+        tok_parts.append(tk)
+        ntk.append(len(tk))
+    if not tok_parts:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "wkey": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        })
+    counts = np.asarray(ntk, dtype=np.int64)
+    all_toks = np.array(
+        [w for tk in tok_parts for w in tk], dtype=object
+    )
+    docv = np.repeat(ids.astype(np.int64), counts)
+    ntkv = np.repeat(counts, counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    th = pd.util.hash_array(all_toks, categorize=False)
+    n = th.size
+    m = n - window + 1
+    if m <= 0:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "wkey": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        })
+    h = th[:m].copy()
+    for j in range(1, window):
+        h = h * np.uint64(1099511628211) + th[j:m + j]
+    valid = docv[:m] == docv[window - 1:]
+    key = (h[valid] % _MERSENNE).astype(np.int64)
+    return pa.table({
+        "doc_id": docv[:m][valid],
+        "pos": (np.arange(m, dtype=np.int64) - starts[:m] + 1)[valid],
+        "wkey": key,
+        "n_tokens": ntkv[:m][valid],
     })
 
 

@@ -570,3 +570,27 @@ def test_dup_intervals_coverage_on_corpus(ray_session):
     g = iv.groupby("doc_id")["span_idx"]
     assert (g.min() == 1).all()
     assert (g.max() == g.count()).all()
+
+
+def test_fast_hash_flag_dup_spans(ray_session, monkeypatch):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import dup_intervals, dup_spans
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    want = (dup_spans(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    want_iv = (dup_intervals(ds).to_pandas()
+               .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    monkeypatch.setenv("OCR_RAY_FAST_HASH", "1")
+    got = (dup_spans(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    got_iv = (dup_intervals(ds).to_pandas()
+              .sort_values(["doc_id", "span_idx"]).reset_index(drop=True))
+    # different hash space, same content-equality duplicate decisions
+    pd.testing.assert_frame_equal(got, want)
+    pd.testing.assert_frame_equal(got_iv, want_iv)
