@@ -114,7 +114,13 @@ def edit_distance_join(
     larger side as probe is a wash at equal lengths; pick either)."""
     import ray
 
-    from ..stages.partial_agg import add_hash_bucket, hash_bucket_min
+    from ..stages.partial_agg import (add_hash_bucket, compact_nonempty,
+                                      hash_bucket_min)
+
+    # the build side is consumed twice (length scan + key explode):
+    # materialize once so a lazy upstream plan is not re-executed (the
+    # round-4 schema-probe lesson, joins.py)
+    left = compact_nonempty(left.materialize())
 
     # distinct build-side string lengths (tiny: bounded by max string
     # length), broadcast once — probes enumerate only lengths that exist
