@@ -192,6 +192,37 @@ def _q_docs_dup_intervals(sf_dir: str):
     return dup_intervals(_docs(sf_dir))
 
 
+def _q_doc_perplexity(sf_dir: str):
+    """Self-trained bigram-LM quality scoring (add-one smoothing): per-doc
+    mean negative log2-likelihood — the CCNet/KenLM-style perplexity
+    filter of an LLM-data pipeline, with the count tables riding back as
+    a partitioned join (never a broadcast)."""
+    import pandas as pd
+
+    from ocr_ray.functions.textstats import bigram_nll
+
+    out = bigram_nll(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: seeded k-means clusters, then
+    within-cluster lower-id cosine >= tau marks a duplicate (4-dp
+    quantized on both sides)."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ocr_ray.functions.similarity import semdedup
+
+    embs = _read_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    out = semdedup(embs).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from ocr_ray.functions.dedup import minhash_pairs
 
@@ -1314,6 +1345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_join": _q_docs_fuzzy_join,
         # the substring-dedup CUT LIST: merged duplicated token ranges
         "docs_dup_intervals": _q_docs_dup_intervals,
+        # self-trained bigram-LM perplexity scoring (CCNet/KenLM-style
+        # quality filter; counts join back — no model broadcast)
+        "doc_perplexity": _q_doc_perplexity,
+        # SemDeDup-style semantic dedup over the embedding space
+        "docs_semdedup": _q_docs_semdedup,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -1634,6 +1670,80 @@ def _kmeans_sql(sf_dir: str | None = None) -> str | None:
           FROM u JOIN cent ON u.i = cent.i GROUP BY u.vec_id, cent.c
         )
         SELECT vec_id, c AS cluster FROM dots WHERE rn = 1 ORDER BY vec_id
+    """
+
+
+def _semdedup_sql(sf_dir: str | None = None) -> str | None:
+    """Exact SQL replay of ``similarity.semdedup``: the seeded centroid
+    matrix is embedded as repr-round-tripped double literals (the
+    `_knn_ivf_sql` pattern), DuckDB independently re-derives the
+    unit-normalize + argmax-dot cluster assignment, and a vector is a
+    duplicate iff a LOWER-vec_id member of the same cluster has
+    round(cosine, 4) >= tau (the 4-dp grid matches the engine's
+    ``_COS_DECIMALS`` quantization on both sides). Returns None when the
+    table is unavailable."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from ocr_ray.functions.similarity import (
+        SEMDEDUP_TAU,
+        _unit,
+        train_centroids,
+    )
+
+    sf_dir = sf_dir or os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    df = (
+        pq_.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .head(2048)
+    )
+    train = _unit(np.array(df["embedding"].tolist(), dtype=np.float64))
+    cent = train_centroids(train, 16, 10)
+    vals = ",".join(
+        f"({c},{i},{cent[c, i]!r})"
+        for c in range(cent.shape[0])
+        for i in range(cent.shape[1])
+    )
+    return f"""
+        WITH cent(c, i, w) AS (SELECT * FROM (VALUES {vals})),
+        e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS i
+          FROM embeddings
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id
+        ), u AS (
+          SELECT e.vec_id, e.i,
+                 e.x / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS ux
+          FROM e JOIN norms n ON e.vec_id = n.vec_id
+        ), dots AS (
+          SELECT u.vec_id, cent.c,
+                 row_number() OVER (
+                   PARTITION BY u.vec_id
+                   ORDER BY sum(u.ux * cent.w) DESC, cent.c
+                 ) AS rn
+          FROM u JOIN cent ON u.i = cent.i GROUP BY u.vec_id, cent.c
+        ), asg AS (
+          SELECT vec_id, c AS cluster FROM dots WHERE rn = 1
+        ), pairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM asg a JOIN asg b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        ), dup AS (
+          SELECT p.vb FROM pairs p
+          JOIN u x ON x.vec_id = p.va
+          JOIN u y ON y.vec_id = p.vb AND y.i = x.i
+          GROUP BY p.va, p.vb
+          HAVING round(sum(x.ux * y.ux), 4) >= {SEMDEDUP_TAU}
+        )
+        SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+               CAST(CASE WHEN a.vec_id IN (SELECT vb FROM dup)
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        FROM asg a ORDER BY vec_id
     """
 
 
@@ -4468,6 +4578,39 @@ def oracle_sql() -> dict[str, str]:
     km = _kmeans_sql()
     if km is not None:
         out["kmeans_clusters"] = km
+    sd = _semdedup_sql()
+    if sd is not None:
+        out["docs_semdedup"] = sd
+    out["doc_perplexity"] = r"""
+        -- add-one-smoothed bigram LM, self-trained on the corpus:
+        -- p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V); per-doc mean -log2 p at 4 dp
+        WITH toksrc AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS tl
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(tl) AS tok,
+                 generate_subscripts(tl, 1) AS ord
+          FROM toksrc
+        ), bg AS (
+          SELECT doc_id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+          FROM toks QUALIFY w2 IS NOT NULL
+        ), bc AS (
+          SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2
+        ), cc AS (
+          SELECT w1, count(*) AS nc FROM bg GROUP BY 1
+        ), v AS (
+          SELECT count(DISTINCT tok) AS v FROM toks
+        )
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(sum(log2(cc.nc + v.v) - log2(bc.nb + 1.0)) / count(*),
+                     4) AS nll_bits
+        FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+        GROUP BY bg.doc_id ORDER BY doc_id
+    """
     # one SESSION twin, two engine implementations (batch + incremental)
     out["events_sessions_incremental"] = out["events_sessions"]
     out["events_hll_users"] = _hll_sql()

@@ -23,7 +23,8 @@ import ray.data as rd
 
 from .dedup import _COS_DECIMALS
 
-__all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign", "train_centroids"]
+__all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign",
+           "train_centroids", "semdedup"]
 
 _SEED = 42
 
@@ -299,3 +300,99 @@ def embedding_dim_stats(ds: rd.Dataset) -> "pd.DataFrame":  # noqa: F821
     )
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("dim").reset_index(drop=True)
+
+
+# --- SemDeDup-style semantic deduplication ---------------------------------
+
+# within-cluster near-duplicate threshold on the 4-dp-quantized cosine
+# (same grid as dedup._COS_DECIMALS everywhere a cosine crosses the
+# engine/oracle boundary)
+SEMDEDUP_TAU = 0.35
+
+# column-chunk width of the per-cluster pairwise pass: peak memory is
+# O(cluster_size * _SEMDEDUP_CHUNK * 8B) instead of O(cluster_size^2)
+_SEMDEDUP_CHUNK = 1024
+
+
+def semdedup(
+    embs: rd.Dataset,
+    n_clusters: int = 16,
+    tau: float = SEMDEDUP_TAU,
+    train_sample: int = 2048,
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with seeded
+    k-means-lite, then inside each cluster mark a vector as a duplicate
+    iff some LOWER-vec_id member of the same cluster has
+    round(cosine, 4) >= ``tau``. The kept set (is_dup = 0) is therefore
+    pairwise-below-threshold: if u < v were both kept and cos(u,v) >= tau,
+    v would have been marked. Emits (vec_id, cluster, is_dup) for every
+    input vector.
+
+    Determinism / oracle parity: centroids come from
+    ``train_centroids`` (seeded init over the lowest-vec_id sample,
+    fixed Lloyd rounds), the same matrix the SQL twin embeds as
+    repr-round-tripped literals; assignment is argmax-dot with
+    ties -> smallest cluster index (np.argmax == the SQL
+    row_number ORDER BY d DESC, c); the dup test quantizes the cosine at
+    4 dp on BOTH sides so the ~1e-9 float-association gap between the
+    BLAS dot and SQL's SUM cannot flip a comparison.
+
+    Scale shape: the centroid matrix is tiny and broadcast (ray.put);
+    assignment is one matmul per batch; the quadratic dup test runs
+    per-cluster via groupby(cluster).map_groups. Per-task work is
+    O(c^2 * d) for a cluster of size c — that bound is the POINT of
+    SemDeDup (the paper sizes k so c stays ~1e5 at web scale; here
+    ``n_clusters`` is the knob and must grow with the corpus). The
+    kernel is chunked so peak memory is O(c * chunk * 8B), not O(c^2).
+    """
+    sample = _lowest_ids(embs, train_sample)
+    train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
+    cent = train_centroids(train, n_clusters, 10)
+    cref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _unit(_to_matrix(batch))
+        a = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), pa.array(a),
+             pa.array(list(mat), pa.list_(pa.float64()))],
+            names=["vec_id", "cluster", "unit"],
+        )
+
+    assigned = embs.map_batches(assign_batch, batch_format="pyarrow")
+
+    def cluster_dups(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "vec_id" not in df.columns:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "cluster": pd.Series([], dtype="int64"),
+                 "is_dup": pd.Series([], dtype="int64")}
+            )
+        df = df.sort_values("vec_id", kind="mergesort")
+        mat = np.array(df["unit"].tolist(), dtype=np.float64)
+        n = len(mat)
+        dup = np.zeros(n, dtype=bool)
+        chunk = _SEMDEDUP_CHUNK
+        for i0 in range(1, n, chunk):
+            i1 = min(i0 + chunk, n)
+            # candidates i0..i1 against ALL lower-index rows 0..i1-1;
+            # row j may refute column i only when j < i (strict lower id)
+            g = np.round(mat[:i1] @ mat[i0:i1].T, _COS_DECIMALS)
+            lower = np.arange(i1)[:, None] < np.arange(i0, i1)[None, :]
+            dup[i0:i1] = ((g >= tau) & lower).any(axis=0)
+        return pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+             "cluster": df["cluster"].to_numpy(dtype=np.int64),
+             "is_dup": dup.astype(np.int64)}
+        )
+
+    from .dedup import _ensure_cols
+
+    return assigned.groupby("cluster").map_groups(
+        cluster_dups, batch_format="pandas"
+    ).map_batches(
+        _ensure_cols({"vec_id": "int64", "cluster": "int64", "is_dup": "int64"}),
+        batch_format="pandas",
+    )

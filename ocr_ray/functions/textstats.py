@@ -386,3 +386,151 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
         [batch.column("doc_id"), pa.array(n_tri), pa.array(r6)],
         names=["doc_id", "n_trigrams", "dup_trigram_ratio"],
     )
+
+
+# mean-NLL emission grid — same 4-dp convention as every other
+# engine/oracle float boundary (dedup._COS_DECIMALS); the per-doc mean is
+# a sum of ~n_tokens log2-of-integer terms, so the association gap
+# between the engine's partial block sums and SQL's SUM is ~1e-13 bits,
+# invisible at 4 dp
+_NLL_DECIMALS = 4
+
+
+def bigram_nll(docs):
+    """Bigram language-model quality scoring — the KenLM-style perplexity
+    filter of a training-data pipeline (CCNet / Gopher "quality by LM
+    score"), self-trained on the corpus it scores.
+
+    Model: add-one-smoothed bigram LM over whitespace-lowered tokens.
+    p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V), where c(w1 w2) is the
+    corpus bigram count, c(w1) the count of w1 AS A BIGRAM CONTEXT
+    (i.e. occurrences followed by another token), and V the corpus
+    distinct-token count. Per doc: n_bigrams and the mean negative
+    log2-likelihood ``nll_bits`` = avg(-log2 p) rounded at 4 dp
+    (perplexity = 2**nll_bits, monotone — the ranking is identical).
+    Docs with < 2 tokens have no bigrams and are not emitted, matching
+    the SQL twin's inner join + GROUP BY.
+
+    Scale shape: NO broadcast of the count tables — the model rides back
+    onto the bigram stream as data. (1) one vectorized tokenize+explode
+    pass emits (doc_id, w1, big) bigram rows; (2) corpus bigram counts
+    and context counts are two hash-bucketed grouped sums over that
+    stream (map-side pre-combine inside hash_bucket_sum, so only
+    distinct keys per block ride the shuffle); (3) counts join back via
+    the partitioned bucket hash join (large-large safe: vocabulary ~
+    corpus at web scale — a broadcast dict would NOT hold at 100 TB,
+    which is why the join path is the default); (4) the per-doc mean is
+    one more bucketed grouped sum over doc_id. V (a scalar) is the one
+    driver-side value — the row count of the distinct-token dataset.
+    Every stage streams; no task ever holds a full key group.
+    """
+    import pandas as pd
+
+    from ..pipelines.joins import bucket_hash_join
+    from ..stages.partial_agg import hash_bucket_sum
+
+    def bigrams_of(t: pa.Table) -> pa.Table:
+        # same vectorized tokenize+explode as rare_terms.pairs_of; emit
+        # per-doc ADJACENT token pairs (w1, big="w1 w2"). Joining on the
+        # single `big` key == SQL's (w1, w2) equi-join: tokens are
+        # whitespace-split, so 'a b' decomposes uniquely.
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_pandas().to_numpy()[keep]
+        did = did[keep]
+        if len(words) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "w1": pa.array([], pa.string()),
+                 "big": pa.array([], pa.string())}
+            )
+        # adjacent within the same doc only (docs never split across a
+        # batch row boundary: one row == one doc)
+        same = did[:-1] == did[1:]
+        w1 = words[:-1][same]
+        w2 = words[1:][same]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(did[:-1][same], pa.int64()),
+             "w1": pa.array(w1, pa.string()),
+             "big": pa.array(
+                 np.char.add(np.char.add(w1.astype(str), " "),
+                             w2.astype(str)), pa.string())}
+        )
+
+    def uni_of(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat = pc.list_flatten(toks).combine_chunks()
+        out = pc.drop_null(pa.table({"tok": flat}).filter(
+            pc.not_equal(flat, "")).column("tok"))
+        # block-local distinct: only unique tokens ride the shuffle
+        return pa.table({"tok": pc.unique(out)})
+
+    # materialized: the bigram stream feeds three consumers (two counts +
+    # the scoring join) — without this the tokenization re-executes per
+    # branch, and bucket_hash_join's schema probe would re-run it again
+    bg = docs.map_batches(bigrams_of, batch_format="pyarrow").materialize()
+
+    # V: corpus distinct-token count (scalar; the distinct set itself
+    # stays distributed — only its cardinality reaches the driver)
+    vocab_n = hash_bucket_sum(
+        docs.map_batches(uni_of, batch_format="pyarrow"),
+        ["tok"], [], count_alias="n",
+    ).count()
+
+    bc = hash_bucket_sum(
+        bg.select_columns(["big"]), ["big"], [], count_alias="nb"
+    ).materialize()
+    cc = hash_bucket_sum(
+        bg.select_columns(["w1"]), ["w1"], [], count_alias="nc"
+    ).materialize()
+
+    scored = bucket_hash_join(
+        bucket_hash_join(bg, bc, on="big", arrow_kernel=True),
+        cc, on="w1", arrow_kernel=True,
+    )
+
+    def nll_terms(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "nll": pa.array([], pa.float64()),
+                 "one": pa.array([], pa.int64())}
+            )
+        nb = np.asarray(t.column("nb"), dtype=np.float64)
+        nc = np.asarray(t.column("nc"), dtype=np.float64)
+        nll = np.log2(nc + float(vocab_n)) - np.log2(nb + 1.0)
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"),
+             "nll": pa.array(nll),
+             "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        )
+
+    per_doc = hash_bucket_sum(
+        scored.map_batches(nll_terms, batch_format="pyarrow"),
+        ["doc_id"], ["nll", "one"], count_alias="n_parts",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_bigrams": pd.Series([], dtype="int64"),
+                 "nll_bits": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n_bigrams": df["one"].astype("int64"),
+             "nll_bits": np.round(
+                 df["nll"].to_numpy() / df["one"].to_numpy(),
+                 _NLL_DECIMALS)}
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")

@@ -252,3 +252,123 @@ def test_knn_filtered_respects_label_predicate(ray_session):
         order = np.lexsort((cand["vec_id"].to_numpy(), -cos))
         want = [v for v in cand["vec_id"].to_numpy()[order] if v != qid][:5]
         assert got[got.query_id == qid]["neighbor_id"].tolist() == want
+
+
+def test_bigram_nll_matches_brute(ray_session):
+    """Distributed add-one bigram LM (counts via bucketed sums + joins)
+    == direct Counter replay, including the <2-token doc exclusion."""
+    import collections
+    import math
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import bigram_nll
+
+    texts = [
+        "the quick brown fox the quick brown dog",
+        "THE QUICK brown fox runs",
+        "one two one two one two",
+        "",           # no tokens -> no row
+        "single",     # one token -> no bigram -> no row
+        "the the the",
+    ]
+    docs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )
+    ).repartition(3)
+    got = (
+        bigram_nll(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    bgs = {i: list(zip(tl, tl[1:])) for i, tl in toks.items()}
+    bc: collections.Counter = collections.Counter()
+    cc: collections.Counter = collections.Counter()
+    vocab = set()
+    for i, tl in toks.items():
+        vocab.update(tl)
+        for b in bgs[i]:
+            bc[b] += 1
+            cc[b[0]] += 1
+    v = len(vocab)
+    want = {
+        i: (
+            len(bl),
+            round(
+                sum(
+                    math.log2(cc[b[0]] + v) - math.log2(bc[b] + 1.0)
+                    for b in bl
+                )
+                / len(bl),
+                4,
+            ),
+        )
+        for i, bl in bgs.items()
+        if bl
+    }
+    assert got["doc_id"].tolist() == sorted(want)
+    for _, r in got.iterrows():
+        nb, nll = want[r["doc_id"]]
+        assert r["n_bigrams"] == nb
+        assert abs(r["nll_bits"] - nll) < 1e-9
+
+
+def test_semdedup_matches_brute(ray_session, monkeypatch):
+    """Distributed per-cluster chunked kernel == single-process numpy
+    replay — with the chunk width forced below the cluster sizes so the
+    chunk-boundary masking is actually exercised. Also checks the kept-set
+    invariant: no two kept members of a cluster are >= tau apart."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ocr_ray.functions.similarity as S
+
+    monkeypatch.setattr(S, "_SEMDEDUP_CHUNK", 3)
+
+    rng = np.random.RandomState(7)
+    n, d = 120, 8
+    base = rng.randn(12, d)
+    # planted near-dups: jittered copies of 12 anchors
+    mat = np.vstack([base[i % 12] + 0.05 * rng.randn(d) for i in range(n)])
+    rows = [
+        {"vec_id": 1000 + i, "embedding": mat[i].tolist()} for i in range(n)
+    ]
+    embs = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    got = (
+        S.semdedup(embs, n_clusters=4, tau=0.9, train_sample=64)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # brute replay
+    sample = mat[np.argsort([r["vec_id"] for r in rows], kind="stable")][:64]
+    cent = S.train_centroids(S._unit(sample.astype(np.float64)), 4, 10)
+    u = S._unit(mat.astype(np.float64))
+    asg = np.argmax(u @ cent.T, axis=1)
+    dup = np.zeros(n, dtype=bool)
+    for c in range(4):
+        idx = np.where(asg == c)[0]  # vec_id order == index order here
+        g = np.round(u[idx] @ u[idx].T, 4)
+        for a in range(1, len(idx)):
+            dup[idx[a]] = bool((g[:a, a] >= 0.9).any())
+    assert got["vec_id"].tolist() == [1000 + i for i in range(n)]
+    assert got["cluster"].tolist() == asg.astype(int).tolist()
+    assert got["is_dup"].tolist() == dup.astype(int).tolist()
+    assert 0 < dup.sum() < n  # non-trivial: some dups, some kept
+
+    # kept-set invariant
+    for c in range(4):
+        kept = np.where((asg == c) & ~dup)[0]
+        if len(kept) > 1:
+            g = np.round(u[kept] @ u[kept].T, 4)
+            np.fill_diagonal(g, 0.0)
+            assert (g < 0.9).all()
