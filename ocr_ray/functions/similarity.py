@@ -352,26 +352,31 @@ def semdedup(
     cref = ray.put(cent)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
+        # the ORIGINAL embedding column passes through zero-copy — the
+        # group kernel re-derives the float64 unit matrix from the same
+        # float32 input, bit-identically, so no 8-byte unit lists (and no
+        # per-row Python list objects) ever ride the cluster shuffle
         c = ray.get(cref)
         mat = _unit(_to_matrix(batch))
         a = np.argmax(mat @ c.T, axis=1).astype(np.int64)
         return pa.Table.from_arrays(
-            [batch.column("vec_id"), pa.array(a),
-             pa.array(list(mat), pa.list_(pa.float64()))],
-            names=["vec_id", "cluster", "unit"],
+            [batch.column("vec_id"), pa.array(a), batch.column("embedding")],
+            names=["vec_id", "cluster", "embedding"],
         )
 
     assigned = embs.map_batches(assign_batch, batch_format="pyarrow")
 
-    def cluster_dups(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "vec_id" not in df.columns:
-            return pd.DataFrame(
-                {"vec_id": pd.Series([], dtype="int64"),
-                 "cluster": pd.Series([], dtype="int64"),
-                 "is_dup": pd.Series([], dtype="int64")}
-            )
-        df = df.sort_values("vec_id", kind="mergesort")
-        mat = np.array(df["unit"].tolist(), dtype=np.float64)
+    def cluster_dups(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "is_dup": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return empty
+        ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        mat = _unit(_to_matrix(t))[order]
         n = len(mat)
         dup = np.zeros(n, dtype=bool)
         chunk = _SEMDEDUP_CHUNK
@@ -382,16 +387,17 @@ def semdedup(
             g = np.round(mat[:i1] @ mat[i0:i1].T, _COS_DECIMALS)
             lower = np.arange(i1)[:, None] < np.arange(i0, i1)[None, :]
             dup[i0:i1] = ((g >= tau) & lower).any(axis=0)
-        return pd.DataFrame(
-            {"vec_id": df["vec_id"].to_numpy(dtype=np.int64),
-             "cluster": df["cluster"].to_numpy(dtype=np.int64),
+        return pa.Table.from_pydict(
+            {"vec_id": ids[order],
+             "cluster": np.asarray(t.column("cluster"),
+                                   dtype=np.int64)[order],
              "is_dup": dup.astype(np.int64)}
         )
 
     from .dedup import _ensure_cols
 
     return assigned.groupby("cluster").map_groups(
-        cluster_dups, batch_format="pandas"
+        cluster_dups, batch_format="pyarrow"
     ).map_batches(
         _ensure_cols({"vec_id": "int64", "cluster": "int64", "is_dup": "int64"}),
         batch_format="pandas",

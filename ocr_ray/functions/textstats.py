@@ -416,13 +416,16 @@ def bigram_nll(docs):
     pass emits (doc_id, w1, big) bigram rows; (2) corpus bigram counts
     and context counts are two hash-bucketed grouped sums over that
     stream (map-side pre-combine inside hash_bucket_sum, so only
-    distinct keys per block ride the shuffle); (3) counts join back via
-    the partitioned bucket hash join (large-large safe: vocabulary ~
-    corpus at web scale — a broadcast dict would NOT hold at 100 TB,
-    which is why the join path is the default); (4) the per-doc mean is
-    one more bucketed grouped sum over doc_id. V (a scalar) is the one
-    driver-side value — the row count of the distinct-token dataset.
-    Every stage streams; no task ever holds a full key group.
+    distinct keys per block ride the shuffle); (3) the two count tables
+    join EACH OTHER first (counts-by-counts, distinct-bigram
+    cardinality) and fold into a per-bigram term, so the heavy
+    occurrence stream passes through exactly ONE partitioned bucket hash
+    join (large-large safe: vocabulary ~ corpus at web scale — a
+    broadcast dict would NOT hold at 100 TB, which is why the join path
+    is the default); (4) the per-doc mean is one more bucketed grouped
+    sum over doc_id. V (a scalar) is the one driver-side value — the
+    row count of the distinct-token dataset. Every stage streams; no
+    task ever holds a full key group.
     """
     import pandas as pd
 
@@ -433,7 +436,10 @@ def bigram_nll(docs):
         # same vectorized tokenize+explode as rare_terms.pairs_of; emit
         # per-doc ADJACENT token pairs (w1, big="w1 w2"). Joining on the
         # single `big` key == SQL's (w1, w2) equi-join: tokens are
-        # whitespace-split, so 'a b' decomposes uniquely.
+        # whitespace-split, so 'a b' decomposes uniquely. Everything
+        # stays an Arrow array — token strings are never converted to
+        # Python/numpy objects (np.char on 1e7-element object arrays was
+        # the hot spot of the first version).
         text = pc.fill_null(t.column("text"), "")
         toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
         flat = pc.list_flatten(toks).combine_chunks()
@@ -443,9 +449,9 @@ def bigram_nll(docs):
             lens.astype(np.int64),
         )
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        words = flat.to_pandas().to_numpy()[keep]
+        words = flat.filter(pa.array(keep))
         did = did[keep]
-        if len(words) == 0:
+        if len(words) < 2:
             return pa.Table.from_pydict(
                 {"doc_id": pa.array([], pa.int64()),
                  "w1": pa.array([], pa.string()),
@@ -453,15 +459,13 @@ def bigram_nll(docs):
             )
         # adjacent within the same doc only (docs never split across a
         # batch row boundary: one row == one doc)
-        same = did[:-1] == did[1:]
-        w1 = words[:-1][same]
-        w2 = words[1:][same]
+        same = pa.array(did[:-1] == did[1:])
+        w1 = words.slice(0, len(words) - 1).filter(same)
+        w2 = words.slice(1).filter(same)
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(did[:-1][same], pa.int64()),
-             "w1": pa.array(w1, pa.string()),
-             "big": pa.array(
-                 np.char.add(np.char.add(w1.astype(str), " "),
-                             w2.astype(str)), pa.string())}
+            {"doc_id": pa.array(did[:-1][did[:-1] == did[1:]], pa.int64()),
+             "w1": w1,
+             "big": pc.binary_join_element_wise(w1, w2, " ")}
         )
 
     def uni_of(t: pa.Table) -> pa.Table:
@@ -485,36 +489,57 @@ def bigram_nll(docs):
         ["tok"], [], count_alias="n",
     ).count()
 
+    # the HEAVY stream (one row per bigram occurrence) is shuffled ONCE:
+    # both count tables live at distinct-bigram cardinality, so they join
+    # each other first (counts-by-counts — w1 is functionally dependent
+    # on big, so grouping by both keys changes nothing), fold into a
+    # per-bigram term, and only then meet the stream
     bc = hash_bucket_sum(
-        bg.select_columns(["big"]), ["big"], [], count_alias="nb"
+        bg.select_columns(["big", "w1"]), ["big", "w1"], [],
+        count_alias="nb",
     ).materialize()
     cc = hash_bucket_sum(
         bg.select_columns(["w1"]), ["w1"], [], count_alias="nc"
     ).materialize()
 
+    def term_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"big": pa.array([], pa.string()),
+                 "nll": pa.array([], pa.float64())}
+            )
+        nb = np.asarray(t.column("nb"), dtype=np.float64)
+        nc = np.asarray(t.column("nc"), dtype=np.float64)
+        return pa.Table.from_pydict(
+            {"big": t.column("big"),
+             "nll": pa.array(np.log2(nc + float(vocab_n))
+                             - np.log2(nb + 1.0))}
+        )
+
+    terms = bucket_hash_join(bc, cc, on="w1", arrow_kernel=True).map_batches(
+        term_of, batch_format="pyarrow"
+    ).materialize()
+
     scored = bucket_hash_join(
-        bucket_hash_join(bg, bc, on="big", arrow_kernel=True),
-        cc, on="w1", arrow_kernel=True,
+        bg.select_columns(["doc_id", "big"]), terms, on="big",
+        arrow_kernel=True,
     )
 
-    def nll_terms(t: pa.Table) -> pa.Table:
+    def count_one(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.Table.from_pydict(
                 {"doc_id": pa.array([], pa.int64()),
                  "nll": pa.array([], pa.float64()),
                  "one": pa.array([], pa.int64())}
             )
-        nb = np.asarray(t.column("nb"), dtype=np.float64)
-        nc = np.asarray(t.column("nc"), dtype=np.float64)
-        nll = np.log2(nc + float(vocab_n)) - np.log2(nb + 1.0)
         return pa.Table.from_pydict(
             {"doc_id": t.column("doc_id"),
-             "nll": pa.array(nll),
+             "nll": t.column("nll"),
              "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
         )
 
     per_doc = hash_bucket_sum(
-        scored.map_batches(nll_terms, batch_format="pyarrow"),
+        scored.map_batches(count_one, batch_format="pyarrow"),
         ["doc_id"], ["nll", "one"], count_alias="n_parts",
     )
 
