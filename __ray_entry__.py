@@ -197,8 +197,6 @@ def _q_doc_perplexity(sf_dir: str):
     mean negative log2-likelihood — the CCNet/KenLM-style perplexity
     filter of an LLM-data pipeline, with the count tables riding back as
     a partitioned join (never a broadcast)."""
-    import pandas as pd
-
     from ocr_ray.functions.textstats import bigram_nll
 
     out = bigram_nll(_docs(sf_dir)).to_pandas()
@@ -210,8 +208,6 @@ def _q_docs_semdedup(sf_dir: str):
     within-cluster lower-id cosine >= tau marks a duplicate (4-dp
     quantized on both sides)."""
     import os as _os
-
-    import ray.data as rd
 
     from ocr_ray.functions.similarity import semdedup
 

@@ -29,6 +29,7 @@ __all__ = [
     "redact_batch",
     "repetition_batch",
     "rare_terms",
+    "bigram_nll",
 ]
 
 _WS_RE = re.compile(r"\s+")
@@ -459,11 +460,12 @@ def bigram_nll(docs):
             )
         # adjacent within the same doc only (docs never split across a
         # batch row boundary: one row == one doc)
-        same = pa.array(did[:-1] == did[1:])
+        same_np = did[:-1] == did[1:]
+        same = pa.array(same_np)
         w1 = words.slice(0, len(words) - 1).filter(same)
         w2 = words.slice(1).filter(same)
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(did[:-1][did[:-1] == did[1:]], pa.int64()),
+            {"doc_id": pa.array(did[:-1][same_np], pa.int64()),
              "w1": w1,
              "big": pc.binary_join_element_wise(w1, w2, " ")}
         )
