@@ -1145,6 +1145,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # lineitem_rollup (rollup ⊂ in-window cube), events_corr_stats
     # (scalar moment agg — events_profile supersedes), events_csv_source
     # (source parity — docs_jsonl_source stays).
+    # Round-5 second swap (third continuation): doc_perplexity (the new
+    # bigram-LM scoring pipeline — counts-join-counts + one stream
+    # shuffle, a kernel shape nothing else in the window exercises) and
+    # docs_semdedup (SemDeDup cluster dedup, centroid-literal oracle)
+    # promoted for driver grading. Demoted to the overflow head, both
+    # driver-green in BOTH r3 and r4 and kernel-redundant with in-window
+    # siblings: doc_repetition (map-only textstats — doc_rare_terms and
+    # doc_bm25 stay) and events_value_tiers (CASE bucketing — the
+    # events grouped-agg family stays).
     return {
         # extraction family — doc-path queries with exact SQL twins
         "extract_docs": _q_extract_docs,
@@ -1185,7 +1194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped operators over the events log
         "events_rolling_range": S.rolling_range_sum,
         "events_top_per_user": S.top_events_per_user,
-        "doc_repetition": _q_repetition,
+        # round-5 second-swap-in: self-trained bigram-LM quality scoring
+        "doc_perplexity": _q_doc_perplexity,
         "doc_rare_terms": _q_rare_terms,
         "events_transitions": S.transition_counts,
         # round-5 swap-ins: TPC-H derived-relation tail (partsupp /
@@ -1208,7 +1218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": _q_events_hll_users,
         # relational operator surface (exact SQL twins)
         "lineitem_cube": R.lineitem_cube,
-        "events_value_tiers": R.events_value_tiers,
+        # round-5 second-swap-in: SemDeDup semantic dedup
+        "docs_semdedup": _q_docs_semdedup,
         # graph analytics over derived graphs (iterative integer
         # PageRank + oriented-wedge triangle count; exact SQL twins)
         "graph_pagerank": _q_graph_pagerank,
@@ -1224,6 +1235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4; it is r03-driver-green, so it now leads the overflow and
         # the window above this marker counts EXACTLY 50, verified
         # programmatically in tests/test_entry.py.)
+        # round-5 second-swap demotions (driver-green r3 AND r4):
+        "doc_repetition": _q_repetition,
+        "events_value_tiers": R.events_value_tiers,
         "events_pruned_scan": R.events_pruned_scan,
         # round-5 demotions (driver-green r3 AND r4, kernel-redundant):
         "docs_lang_sample": _q_docs_lang_sample,
@@ -1341,11 +1355,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_join": _q_docs_fuzzy_join,
         # the substring-dedup CUT LIST: merged duplicated token ranges
         "docs_dup_intervals": _q_docs_dup_intervals,
-        # self-trained bigram-LM perplexity scoring (CCNet/KenLM-style
-        # quality filter; counts join back — no model broadcast)
-        "doc_perplexity": _q_doc_perplexity,
-        # SemDeDup-style semantic dedup over the embedding space
-        "docs_semdedup": _q_docs_semdedup,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
