@@ -219,6 +219,15 @@ def _q_docs_semdedup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_train_bpe_merges(sf_dir: str):
+    """Distributed BPE merge learning (Sennrich 2016 vocabulary-level
+    formulation): k rounds of weighted pair count -> argmax -> replace
+    pass over the distinct-word table. Fully unrolled SQL twin."""
+    from ocr_ray.functions.bpe import bpe_merges
+
+    return bpe_merges(_docs(sf_dir), k=6)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from ocr_ray.functions.dedup import minhash_pairs
 
@@ -1355,6 +1364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_join": _q_docs_fuzzy_join,
         # the substring-dedup CUT LIST: merged duplicated token ranges
         "docs_dup_intervals": _q_docs_dup_intervals,
+        # distributed BPE merge learning (tokenizer training; k-round
+        # iterative pair-count -> argmax -> merge, unrolled-CTE oracle)
+        "train_bpe_merges": _q_train_bpe_merges,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -1750,6 +1762,80 @@ def _semdedup_sql(sf_dir: str | None = None) -> str | None:
                     THEN 1 ELSE 0 END AS BIGINT) AS is_dup
         FROM asg a ORDER BY vec_id
     """
+
+
+def _bpe_sql(k: int = 6) -> str:
+    """Exact SQL replay of ``functions.bpe.bpe_merges``: a fully
+    UNROLLED k-round CTE chain — round r computes weighted adjacent-pair
+    counts over the distinct-word symbol table w{r-1} (lead() window per
+    word), picks the winner by (n DESC, pair ASC) excluding prior
+    winners, and applies it with the same single left-to-right
+    non-overlapping replace pass the engine uses (DuckDB replace ==
+    Python str.replace / Arrow replace_substring, verified
+    byte-for-byte). Empty winner rounds no-op via the chr(1) sentinel
+    (chr(1) never occurs in whitespace-split tokens), matching the
+    engine's early break."""
+    parts = [r"""
+        WITH w0 AS (
+          -- regexp '.' matches any char but newline; tokens are
+          -- whitespace-split so they contain neither
+          SELECT array_to_string(regexp_extract_all(tok, '.'), ' ')
+                   AS syms,
+                 freq
+          FROM (
+            SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+              SELECT unnest(list_filter(
+                  string_split_regex(lower(text), '\s+'),
+                  x -> x <> '')) AS tok
+              FROM documents
+            ) GROUP BY tok
+          )
+        )"""]
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        if r == 1:
+            excl = ""
+        else:
+            union = " UNION ALL ".join(
+                f"SELECT pair FROM sel{j}" for j in range(1, r)
+            )
+            excl = f"WHERE pair NOT IN ({union})"
+        parts.append(f"""
+        , p{r} AS (
+          SELECT l || ' ' || r2 AS pair, CAST(sum(freq) AS BIGINT) AS n
+          FROM (
+            SELECT w.freq, t.tok AS l,
+                   lead(t.tok) OVER (
+                     PARTITION BY w.syms ORDER BY t.ord) AS r2
+            FROM {prev} w, LATERAL (
+              SELECT unnest(string_split(w.syms, ' ')) AS tok,
+                     generate_subscripts(string_split(w.syms, ' '), 1)
+                       AS ord
+            ) t
+          ) WHERE r2 IS NOT NULL GROUP BY 1
+        ), sel{r} AS (
+          SELECT pair, n FROM p{r} {excl}
+          ORDER BY n DESC, pair LIMIT 1
+        ), w{r} AS (
+          SELECT trim(replace(' ' || syms || ' ',
+                   COALESCE((SELECT ' ' || pair || ' ' FROM sel{r}),
+                            chr(1)),
+                   COALESCE((SELECT ' ' || replace(pair, ' ', '') || ' '
+                             FROM sel{r}), ''))) AS syms,
+                 freq
+          FROM {prev}
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, pair, n FROM sel{r}" for r in range(1, k + 1)
+    )
+    parts.append(f"""
+        SELECT CAST(rank AS BIGINT) AS rank,
+               string_split(pair, ' ')[1] AS "left",
+               string_split(pair, ' ')[2] AS "right",
+               n
+        FROM ({finals}) ORDER BY rank
+    """)
+    return "".join(parts)
 
 
 _SM_C1 = 0xBF58476D1CE4E5B9
@@ -4586,6 +4672,7 @@ def oracle_sql() -> dict[str, str]:
     sd = _semdedup_sql()
     if sd is not None:
         out["docs_semdedup"] = sd
+    out["train_bpe_merges"] = _bpe_sql(6)
     out["doc_perplexity"] = r"""
         -- add-one-smoothed bigram LM, self-trained on the corpus:
         -- p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V); per-doc mean -log2 p at 4 dp

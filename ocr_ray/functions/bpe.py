@@ -1,0 +1,161 @@
+"""Distributed BPE merge learning over the ``documents`` table — the
+tokenizer-training stage of an LLM-data pipeline (Sennrich et al. 2016
+subword units), expressed Ray-Data-first.
+
+The trainer operates on the DISTINCT-WORD table weighted by corpus
+frequency (the classic vocabulary-level formulation: a word's pair
+counts are computed once and weighted by its occurrence count, so the
+iterative passes touch |vocab| rows, not |corpus| tokens). Each round:
+
+  1. adjacent-symbol pair counts — per-batch Counter weighted by word
+     freq (map-side combiner), then one hash-bucketed grouped sum over
+     the pair key;
+  2. distributed argmax — per-block top-1 after excluding
+     already-chosen pairs (the exclusion set is tiny and rides the
+     closure), then a bounded driver pick over n_blocks candidate rows
+     with the tie-break on the CONCATENATED "left right" string
+     (symbols never contain spaces, and this is exactly the SQL twin's
+     ORDER BY n DESC, pair);
+  3. merge application — one left-to-right non-overlapping
+     delimiter-replace pass over each word's space-joined symbol
+     string: ``(' '+syms+' ').replace(f' {l} {r} ', f' {l}{r} ')``.
+     Python str.replace and DuckDB replace() share this algorithm
+     byte-for-byte (find next occurrence, resume AFTER the
+     replacement), so the oracle replays it exactly.
+
+MERGE-APPLICATION SEMANTICS NOTE: the single replace pass differs from
+textbook BPE inside consecutive repeats of the merged pair ("a b a b"
+merges only the first occurrence, because the shared middle delimiter
+is consumed), so a chosen pair may survive into later rounds; the
+argmax therefore EXCLUDES previously-chosen pairs, keeping the merge
+list duplicate-free. Both sides (engine and SQL) implement the same
+definition, making the operator exactly replayable — the textbook
+greedy rescan is not expressible as a bounded SQL unroll.
+
+Scale shape: the word table stays a Dataset throughout (one grouped
+count builds it; each round is one map pass + one bucketed grouped sum
+over pair keys); the driver holds only n_blocks top-1 candidates per
+round and the K-row merge list. K rounds = K small shuffles — the
+distinct-pair key space shrinks every round.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["bpe_merges"]
+
+
+def _word_counts(docs):
+    """Distinct lowercased whitespace words with corpus occurrence
+    counts — the weighted vocabulary the trainer iterates on."""
+    from ..stages.partial_agg import hash_bucket_sum
+
+    def toks_of(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        flat = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_lower(text))
+        ).combine_chunks()
+        nonempty = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"tok": nonempty})
+
+    return hash_bucket_sum(
+        docs.map_batches(toks_of, batch_format="pyarrow"),
+        ["tok"], [], count_alias="freq",
+    )
+
+
+def bpe_merges(docs, k: int = 6) -> pd.DataFrame:
+    """Learn the first ``k`` BPE merges over the corpus. Returns a
+    DataFrame (rank 1..k, left, right, n) where n is the weighted pair
+    count at selection time; fewer than k rows when the pair space is
+    exhausted. Fully deterministic; exact SQL twin in
+    ``__ray_entry__._bpe_sql`` (same weights, same tie-break, same
+    replace-pass application)."""
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        toks = t.column("tok").to_pylist()
+        return pa.table(
+            {"syms": pa.array([" ".join(w) for w in toks], pa.string()),
+             "freq": t.column("freq").cast(pa.int64())}
+        )
+
+    words = (
+        _word_counts(docs)
+        .map_batches(to_syms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    chosen: list[tuple[str, int]] = []
+    for rank in range(1, k + 1):
+        exclude = frozenset(p for p, _ in chosen)
+
+        def pair_counts(t: pa.Table, exclude=exclude) -> pa.Table:
+            c: collections.Counter = collections.Counter()
+            freqs = t.column("freq").to_pylist()
+            for syms, f in zip(t.column("syms").to_pylist(), freqs):
+                parts = syms.split(" ")
+                for a, b in zip(parts, parts[1:]):
+                    p = a + " " + b
+                    if p not in exclude:
+                        c[p] += f
+            return pa.table(
+                {"pair": pa.array(list(c.keys()), pa.string()),
+                 "n": pa.array(list(c.values()), pa.int64())}
+            )
+
+        def block_top1(df: pd.DataFrame) -> pd.DataFrame:
+            if "pair" not in df.columns or not len(df):
+                return pd.DataFrame(
+                    {"pair": pd.Series([], dtype="object"),
+                     "n": pd.Series([], dtype="int64")}
+                )
+            return df.sort_values(
+                ["n", "pair"], ascending=[False, True], kind="mergesort"
+            ).head(1)[["pair", "n"]]
+
+        cand = (
+            hash_bucket_sum(
+                words.map_batches(pair_counts, batch_format="pyarrow"),
+                ["pair"], ["n"], count_alias="n_parts",
+            )
+            .map_batches(block_top1, batch_format="pandas")
+            .to_pandas()
+        )
+        if not len(cand):
+            break
+        cand = cand.sort_values(
+            ["n", "pair"], ascending=[False, True], kind="mergesort"
+        )
+        pair, n = str(cand.iloc[0]["pair"]), int(cand.iloc[0]["n"])
+        chosen.append((pair, n))
+        left, right = pair.split(" ")
+
+        def apply_merge(t: pa.Table, l=left, r=right) -> pa.Table:
+            syms = t.column("syms")
+            padded = pc.binary_join_element_wise(
+                pa.scalar(""), syms, pa.scalar(""), " "
+            )
+            merged = pc.replace_substring(
+                padded, pattern=f" {l} {r} ", replacement=f" {l}{r} "
+            )
+            stripped = pc.utf8_trim_whitespace(merged)
+            return pa.table({"syms": stripped, "freq": t.column("freq")})
+
+        words = words.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return pd.DataFrame(
+        {"rank": pd.Series(np.arange(1, len(chosen) + 1), dtype="int64"),
+         "left": [p.split(" ")[0] for p, _ in chosen],
+         "right": [p.split(" ")[1] for p, _ in chosen],
+         "n": pd.Series([n for _, n in chosen], dtype="int64")}
+    )
