@@ -48,7 +48,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bpe_merges"]
+__all__ = ["bpe_merges", "bpe_merges_from_words"]
 
 
 def _word_counts(docs):
@@ -77,6 +77,13 @@ def bpe_merges(docs, k: int = 6) -> pd.DataFrame:
     exhausted. Fully deterministic; exact SQL twin in
     ``__ray_entry__._bpe_sql`` (same weights, same tie-break, same
     replace-pass application)."""
+    return bpe_merges_from_words(_word_counts(docs), k)
+
+
+def bpe_merges_from_words(word_counts, k: int = 6) -> pd.DataFrame:
+    """The trainer proper, over a prebuilt (tok, freq) Dataset — the
+    entry point when the weighted vocabulary already exists (or is
+    synthesized, as in the scale demo)."""
 
     def to_syms(t: pa.Table) -> pa.Table:
         toks = t.column("tok").to_pylist()
@@ -86,7 +93,7 @@ def bpe_merges(docs, k: int = 6) -> pd.DataFrame:
         )
 
     words = (
-        _word_counts(docs)
+        word_counts
         .map_batches(to_syms, batch_format="pyarrow")
         .materialize()
     )
