@@ -228,6 +228,15 @@ def _q_train_bpe_merges(sf_dir: str):
     return bpe_merges(_docs(sf_dir), k=6)
 
 
+def _q_docs_bpe_encode(sf_dir: str):
+    """Apply the learned 6-merge BPE tokenizer back to the corpus:
+    per-doc word + subword counts (sequence-length accounting)."""
+    from ocr_ray.functions.bpe import bpe_encode_stats
+
+    out = bpe_encode_stats(_docs(sf_dir), k=6).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from ocr_ray.functions.dedup import minhash_pairs
 
@@ -1367,6 +1376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed BPE merge learning (tokenizer training; k-round
         # iterative pair-count -> argmax -> merge, unrolled-CTE oracle)
         "train_bpe_merges": _q_train_bpe_merges,
+        # tokenizer application: per-doc subword counts under the
+        # learned merges (same unrolled chain, encode-mode oracle)
+        "docs_bpe_encode": _q_docs_bpe_encode,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -1764,7 +1776,7 @@ def _semdedup_sql(sf_dir: str | None = None) -> str | None:
     """
 
 
-def _bpe_sql(k: int = 6) -> str:
+def _bpe_sql(k: int = 6, mode: str = "merges") -> str:
     """Exact SQL replay of ``functions.bpe.bpe_merges``: a fully
     UNROLLED k-round CTE chain — round r computes weighted adjacent-pair
     counts over the distinct-word symbol table w{r-1} (lead() window per
@@ -1825,6 +1837,30 @@ def _bpe_sql(k: int = 6) -> str:
                  freq
           FROM {prev}
         )""")
+    if mode == "encode":
+        # the trained tokenizer's segmentation (w{k}) joined back onto
+        # the corpus token stream: per-doc word + subword counts. The
+        # original word is replace(syms, ' ', '') — symbol concat is
+        # the invariant BPE preserves.
+        parts.append(f"""
+        , seg AS (
+          SELECT replace(syms, ' ', '') AS tok,
+                 CAST(length(syms) - length(replace(syms, ' ', '')) + 1
+                      AS BIGINT) AS n_sub
+          FROM w{k}
+        ), dt AS (
+          SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(text), '\\s+'),
+              x -> x <> '')) AS tok
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_subwords
+        FROM dt JOIN seg USING (tok)
+        GROUP BY doc_id ORDER BY doc_id
+        """)
+        return "".join(parts)
     finals = " UNION ALL ".join(
         f"SELECT {r} AS rank, pair, n FROM sel{r}" for r in range(1, k + 1)
     )
@@ -4673,6 +4709,7 @@ def oracle_sql() -> dict[str, str]:
     if sd is not None:
         out["docs_semdedup"] = sd
     out["train_bpe_merges"] = _bpe_sql(6)
+    out["docs_bpe_encode"] = _bpe_sql(6, mode="encode")
     out["doc_perplexity"] = r"""
         -- add-one-smoothed bigram LM, self-trained on the corpus:
         -- p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V); per-doc mean -log2 p at 4 dp

@@ -48,7 +48,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bpe_merges", "bpe_merges_from_words"]
+__all__ = ["bpe_merges", "bpe_merges_from_words", "bpe_encode_stats"]
 
 
 def _word_counts(docs):
@@ -84,6 +84,20 @@ def bpe_merges_from_words(word_counts, k: int = 6) -> pd.DataFrame:
     """The trainer proper, over a prebuilt (tok, freq) Dataset — the
     entry point when the weighted vocabulary already exists (or is
     synthesized, as in the scale demo)."""
+    chosen, _ = _train(word_counts, k)
+    return pd.DataFrame(
+        {"rank": pd.Series(np.arange(1, len(chosen) + 1), dtype="int64"),
+         "left": [p.split(" ")[0] for p, _ in chosen],
+         "right": [p.split(" ")[1] for p, _ in chosen],
+         "n": pd.Series([n for _, n in chosen], dtype="int64")}
+    )
+
+
+def _train(word_counts, k: int):
+    """Run the k training rounds; returns (chosen merge list, final
+    segmented word Dataset (syms, freq)). The final table is the
+    trained tokenizer's segmentation of every vocabulary word —
+    ``bpe_encode_stats`` joins it back onto the corpus."""
 
     def to_syms(t: pa.Table) -> pa.Table:
         toks = t.column("tok").to_pylist()
@@ -160,9 +174,87 @@ def bpe_merges_from_words(word_counts, k: int = 6) -> pd.DataFrame:
             apply_merge, batch_format="pyarrow"
         ).materialize()
 
-    return pd.DataFrame(
-        {"rank": pd.Series(np.arange(1, len(chosen) + 1), dtype="int64"),
-         "left": [p.split(" ")[0] for p, _ in chosen],
-         "right": [p.split(" ")[1] for p, _ in chosen],
-         "n": pd.Series([n for _, n in chosen], dtype="int64")}
+    return chosen, words
+
+
+def bpe_encode_stats(docs, k: int = 6):
+    """Apply the learned tokenizer back to the corpus: per-doc word and
+    subword counts under the first ``k`` BPE merges — the
+    sequence-length accounting step of tokenizer training (how much
+    does the vocab compress the corpus?). Returns a Dataset of
+    (doc_id, n_words, n_subwords); docs with no tokens emit no row
+    (matching the SQL twin's inner join + GROUP BY).
+
+    Scale shape: the segmented word table comes straight out of the
+    trainer (it already exists, distributed); each word's subword count
+    is one vectorized count_substring; the corpus token stream joins it
+    via the partitioned bucket hash join (large-large: token stream ~
+    corpus) and one bucketed grouped sum folds per-doc totals. The
+    original word is recovered as replace(syms, ' ', '') — symbol
+    concatenation is the identity BPE preserves, so no extra column
+    rides the k training passes."""
+    from ..pipelines.joins import bucket_hash_join
+    from ..stages.partial_agg import hash_bucket_sum
+
+    _, words = _train(_word_counts(docs), k)
+
+    def seg_of(t: pa.Table) -> pa.Table:
+        syms = t.column("syms")
+        n_sub = pc.add(pc.count_substring(syms, " "), 1).cast(pa.int64())
+        return pa.table(
+            {"tok": pc.replace_substring(syms, pattern=" ", replacement=""),
+             "n_sub": n_sub}
+        )
+
+    seg = words.map_batches(seg_of, batch_format="pyarrow").materialize()
+
+    def doc_toks(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(did[keep], pa.int64()),
+             "tok": flat.filter(pa.array(keep))}
+        )
+
+    stream = docs.map_batches(doc_toks, batch_format="pyarrow")
+    joined = bucket_hash_join(stream, seg, on="tok", arrow_kernel=True)
+
+    def ones(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_sub": pa.array([], pa.int64()),
+                 "one": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "n_sub": t.column("n_sub"),
+             "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        )
+
+    per_doc = hash_bucket_sum(
+        joined.map_batches(ones, batch_format="pyarrow"),
+        ["doc_id"], ["n_sub", "one"], count_alias="n_parts",
     )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_words": pd.Series([], dtype="int64"),
+                 "n_subwords": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "n_words": df["one"].astype("int64"),
+             "n_subwords": df["n_sub"].astype("int64")}
+        )
+
+    return per_doc.map_batches(finish, batch_format="pandas")

@@ -90,3 +90,58 @@ def test_bpe_exhaustion_and_ties(ray_session):
     # ties broken by the concatenated pair string ascending
     chosen2, _ = _run(ray_session, ["ab cd ab cd"], 1)
     assert chosen2 == [("a b", 2)]
+
+
+def test_bpe_encode_stats_matches_replay(ray_session):
+    """Per-doc subword accounting == replaying the final segmentation
+    table single-process, including repeated words and untouched docs."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.bpe import bpe_encode_stats
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wider wide widest",
+        "low low lower",
+        "",
+    ]
+    docs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )
+    ).repartition(3)
+    got = (
+        bpe_encode_stats(docs, k=6)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # replay: learn merges (shared replay helper semantics), then apply
+    # the final segmentation to every doc
+    chosen = _replay(texts, 6)
+    wc = collections.Counter()
+    for t in texts:
+        wc.update(t.lower().split())
+    seg = {w: " ".join(w) for w in wc}
+    for pair, _ in chosen:
+        l, r = pair.split(" ")
+        seg = {
+            w: (" " + s + " ").replace(f" {l} {r} ", f" {l}{r} ").strip()
+            for w, s in seg.items()
+        }
+    want = []
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        if not toks:
+            continue  # inner-join semantics: no row
+        want.append(
+            (i, len(toks), sum(len(seg[w].split(" ")) for w in toks))
+        )
+    assert list(map(tuple, got.to_numpy())) == want
+    # merges actually compressed something: subwords < raw chars
+    assert (got["n_subwords"] < [len(t.replace(" ", "")) for t, _ in
+                                 [(texts[i], None) for i, _, _ in want]]).any()
