@@ -159,6 +159,9 @@ def run_bench(ncpu: int) -> dict:
         "events_window_join",
         "events_hdr_quantiles",
         "graph_triangles",
+        "doc_perplexity",
+        "docs_semdedup",
+        "train_bpe_merges",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver

@@ -70,6 +70,68 @@ def _word_counts(docs):
     )
 
 
+# below this many distinct words the k training rounds run driver-local
+# on one Arrow table (identical kernels, bit-equal results) instead of
+# paying 2k dataset executions of fixed overhead
+_BPE_LOCAL_GATE_WORDS = 200_000
+
+
+def _pair_counts_table(t: pa.Table, exclude) -> "collections.Counter":
+    """Weighted adjacent-pair counts of one (syms, freq) table — the
+    shared kernel of the distributed combiner and the local path."""
+    c: collections.Counter = collections.Counter()
+    freqs = t.column("freq").to_pylist()
+    for syms, f in zip(t.column("syms").to_pylist(), freqs):
+        parts = syms.split(" ")
+        for a, b in zip(parts, parts[1:]):
+            p = a + " " + b
+            if p not in exclude:
+                c[p] += f
+    return c
+
+
+def _apply_merge_table(t: pa.Table, l: str, r: str) -> pa.Table:
+    """One left-to-right non-overlapping replace pass (see module
+    docstring) over a (syms, freq) table — shared by both paths."""
+    syms = t.column("syms")
+    padded = pc.binary_join_element_wise(
+        pa.scalar(""), syms, pa.scalar(""), " "
+    )
+    merged = pc.replace_substring(
+        padded, pattern=f" {l} {r} ", replacement=f" {l}{r} "
+    )
+    return pa.table(
+        {"syms": pc.utf8_trim_whitespace(merged), "freq": t.column("freq")}
+    )
+
+
+def _train_local(tbl: pa.Table, k: int):
+    """Driver-local k rounds over one table (below-gate path)."""
+    chosen: list[tuple[str, int]] = []
+    for _ in range(k):
+        cnt = _pair_counts_table(tbl, frozenset(p for p, _ in chosen))
+        if not cnt:
+            break
+        pair = min(cnt, key=lambda p: (-cnt[p], p))
+        chosen.append((pair, int(cnt[pair])))
+        l, r = pair.split(" ")
+        tbl = _apply_merge_table(tbl, l, r)
+    return chosen, tbl
+
+
+def _dataset_to_table(ds) -> pa.Table:
+    import ray
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return pa.table({"syms": pa.array([], pa.string()),
+                         "freq": pa.array([], pa.int64())})
+    tabs = [t for t in ray.get(refs) if t.num_rows > 0] or [ray.get(refs[0])]
+    return pa.concat_tables(
+        [t.select(["syms", "freq"]) for t in tabs]
+    ).combine_chunks()
+
+
 def bpe_merges(docs, k: int = 6) -> pd.DataFrame:
     """Learn the first ``k`` BPE merges over the corpus. Returns a
     DataFrame (rank 1..k, left, right, n) where n is the weighted pair
@@ -112,6 +174,17 @@ def _train(word_counts, k: int):
         .materialize()
     )
 
+    # below-gate driver-local fast path (the graph_triangles lesson: k
+    # rounds x 2 dataset executions on a tiny vocabulary is pure fixed
+    # overhead). Runs the IDENTICAL batch kernels on one local table —
+    # same pair counter, same tie-break, same replace pass — so results
+    # are bit-equal to the distributed plan by construction.
+    if words.count() < _BPE_LOCAL_GATE_WORDS:
+        chosen, tbl = _train_local(_dataset_to_table(words), k)
+        import ray.data as rd
+
+        return chosen, rd.from_arrow(tbl)
+
     from ..stages.partial_agg import hash_bucket_sum
 
     chosen: list[tuple[str, int]] = []
@@ -119,14 +192,7 @@ def _train(word_counts, k: int):
         exclude = frozenset(p for p, _ in chosen)
 
         def pair_counts(t: pa.Table, exclude=exclude) -> pa.Table:
-            c: collections.Counter = collections.Counter()
-            freqs = t.column("freq").to_pylist()
-            for syms, f in zip(t.column("syms").to_pylist(), freqs):
-                parts = syms.split(" ")
-                for a, b in zip(parts, parts[1:]):
-                    p = a + " " + b
-                    if p not in exclude:
-                        c[p] += f
+            c = _pair_counts_table(t, exclude)
             return pa.table(
                 {"pair": pa.array(list(c.keys()), pa.string()),
                  "n": pa.array(list(c.values()), pa.int64())}
@@ -160,15 +226,7 @@ def _train(word_counts, k: int):
         left, right = pair.split(" ")
 
         def apply_merge(t: pa.Table, l=left, r=right) -> pa.Table:
-            syms = t.column("syms")
-            padded = pc.binary_join_element_wise(
-                pa.scalar(""), syms, pa.scalar(""), " "
-            )
-            merged = pc.replace_substring(
-                padded, pattern=f" {l} {r} ", replacement=f" {l}{r} "
-            )
-            stripped = pc.utf8_trim_whitespace(merged)
-            return pa.table({"syms": stripped, "freq": t.column("freq")})
+            return _apply_merge_table(t, l, r)
 
         words = words.map_batches(
             apply_merge, batch_format="pyarrow"

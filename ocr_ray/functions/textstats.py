@@ -396,6 +396,11 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
 # invisible at 4 dp
 _NLL_DECIMALS = 4
 
+# below this many documents the whole model trains driver-local on one
+# Arrow table (identical kernels; see the fast-path comment in
+# bigram_nll) instead of paying five dataset executions
+_NLL_LOCAL_GATE_DOCS = 50_000
+
 
 def bigram_nll(docs):
     """Bigram language-model quality scoring — the KenLM-style perplexity
@@ -478,6 +483,51 @@ def bigram_nll(docs):
             pc.not_equal(flat, "")).column("tok"))
         # block-local distinct: only unique tokens ride the shuffle
         return pa.table({"tok": pc.unique(out)})
+
+    # below-gate driver-local fast path (the graph_triangles lesson:
+    # five dataset executions on a tiny corpus is pure fixed overhead).
+    # Reuses the IDENTICAL Arrow tokenize/bigram kernels on one local
+    # table; counts are the same integers, terms the same float64
+    # log2 values, and the per-doc mean lands on the same 4-dp grid the
+    # oracle compares (association noise ~1e-13 on either path).
+    if docs.count() < _NLL_LOCAL_GATE_DOCS:
+        import ray
+
+        import ray.data as rd
+
+        from ..stages.partial_agg import from_pandas
+
+        refs = docs.to_arrow_refs()
+        tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+        if not tabs:
+            return rd.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64()),
+                 "nll_bits": pa.array([], pa.float64())}))
+        full = pa.concat_tables(
+            [t.select(["doc_id", "text"]) for t in tabs]
+        ).combine_chunks()
+        bgt = bigrams_of(full).to_pandas()
+        v = len(pc.unique(uni_of(full).column("tok")))
+        if not len(bgt):
+            return rd.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64()),
+                 "nll_bits": pa.array([], pa.float64())}))
+        nb = bgt.groupby("big")["doc_id"].size()
+        ncx = bgt.groupby("w1")["doc_id"].size()
+        term = (np.log2(ncx.loc[bgt["w1"]].to_numpy() + float(v))
+                - np.log2(nb.loc[bgt["big"]].to_numpy() + 1.0))
+        per = pd.DataFrame({"doc_id": bgt["doc_id"].to_numpy(),
+                            "nll": term}).groupby("doc_id")["nll"]
+        out = pd.DataFrame(
+            {"doc_id": per.sum().index.to_numpy().astype("int64"),
+             "n_bigrams": per.size().to_numpy().astype("int64"),
+             "nll_bits": np.round(
+                 per.sum().to_numpy() / per.size().to_numpy(),
+                 _NLL_DECIMALS)}
+        )
+        return rd.from_arrow(from_pandas(out))
 
     # materialized: the bigram stream feeds three consumers (two counts +
     # the scoring join) — without this the tokenization re-executes per

@@ -145,3 +145,16 @@ def test_bpe_encode_stats_matches_replay(ray_session):
     # merges actually compressed something: subwords < raw chars
     assert (got["n_subwords"] < [len(t.replace(" ", "")) for t, _ in
                                  [(texts[i], None) for i, _, _ in want]]).any()
+
+
+def test_bpe_distributed_path_matches_local(ray_session, monkeypatch):
+    """Forcing the word gate to 0 must give the identical merge list
+    via the full distributed rounds (bucketed sums + block top-1)."""
+    import ocr_ray.functions.bpe as B
+
+    texts = ["low lower lowest low low", "new newer newest new",
+             "wider wide widest", "low low lower"]
+    local, _ = _run(ray_session, texts, 5)
+    monkeypatch.setattr(B, "_BPE_LOCAL_GATE_WORDS", 0)
+    dist, got = _run(ray_session, texts, 5)
+    assert dist == local == _replay(texts, 5)

@@ -372,3 +372,24 @@ def test_semdedup_matches_brute(ray_session, monkeypatch):
             g = np.round(u[kept] @ u[kept].T, 4)
             np.fill_diagonal(g, 0.0)
             assert (g < 0.9).all()
+
+
+def test_bigram_nll_distributed_path_matches_local(ray_session, monkeypatch):
+    """Forcing the gate to 0 must give the identical result via the
+    full distributed plan (counts-join-counts + one stream shuffle)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ocr_ray.functions.textstats as T
+
+    texts = ["the quick brown fox the quick", "one two one two",
+             "alpha beta gamma alpha beta", "", "solo"]
+    docs = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts})).repartition(3)
+    local = T.bigram_nll(docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    monkeypatch.setattr(T, "_NLL_LOCAL_GATE_DOCS", 0)
+    dist = T.bigram_nll(docs).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert dist.equals(local)
