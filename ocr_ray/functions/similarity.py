@@ -313,6 +313,27 @@ SEMDEDUP_TAU = 0.35
 # O(cluster_size * _SEMDEDUP_CHUNK * 8B) instead of O(cluster_size^2)
 _SEMDEDUP_CHUNK = 1024
 
+# below this many vectors the whole dedup runs driver-local on one
+# matrix (identical kernels; the graph_triangles tiny-data lesson)
+_SEMDEDUP_LOCAL_GATE = 20_000
+
+
+def _dup_flags(mat: np.ndarray, tau: float) -> np.ndarray:
+    """Chunked lower-id near-dup flags over one cluster's unit rows
+    (ascending-vec_id order) — shared by the distributed group kernel
+    and the below-gate local path."""
+    n = len(mat)
+    dup = np.zeros(n, dtype=bool)
+    chunk = _SEMDEDUP_CHUNK
+    for i0 in range(1, n, chunk):
+        i1 = min(i0 + chunk, n)
+        # candidates i0..i1 against ALL lower-index rows 0..i1-1;
+        # row j may refute column i only when j < i (strict lower id)
+        g = np.round(mat[:i1] @ mat[i0:i1].T, _COS_DECIMALS)
+        lower = np.arange(i1)[:, None] < np.arange(i0, i1)[None, :]
+        dup[i0:i1] = ((g >= tau) & lower).any(axis=0)
+    return dup
+
 
 def semdedup(
     embs: rd.Dataset,
@@ -349,6 +370,35 @@ def semdedup(
     sample = _lowest_ids(embs, train_sample)
     train = _unit(np.array(sample["embedding"].tolist(), dtype=np.float64))
     cent = train_centroids(train, n_clusters, 10)
+
+    if embs.count() < _SEMDEDUP_LOCAL_GATE:
+        # driver-local fast path: one assignment matmul + the same
+        # per-cluster chunked kernel, skipping the cluster shuffle
+        import pandas as _pd
+
+        refs = embs.to_arrow_refs()
+        tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+        if not tabs:
+            return rd.from_arrow(pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64()),
+                 "is_dup": pa.array([], pa.int64())}))
+        full = pa.concat_tables(
+            [t.select(["vec_id", "embedding"]) for t in tabs]
+        ).combine_chunks()
+        ids = np.asarray(full.column("vec_id"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        mat = _unit(_to_matrix(full))[order]
+        ids = ids[order]
+        asg = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        dup = np.zeros(len(ids), dtype=bool)
+        for c in np.unique(asg):
+            idx = np.where(asg == c)[0]  # ascending == vec_id order
+            dup[idx] = _dup_flags(mat[idx], tau)
+        out = pa.table({"vec_id": ids, "cluster": asg,
+                        "is_dup": dup.astype(np.int64)})
+        return rd.from_arrow(out)
+
     cref = ray.put(cent)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
@@ -377,16 +427,7 @@ def semdedup(
         ids = np.asarray(t.column("vec_id"), dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         mat = _unit(_to_matrix(t))[order]
-        n = len(mat)
-        dup = np.zeros(n, dtype=bool)
-        chunk = _SEMDEDUP_CHUNK
-        for i0 in range(1, n, chunk):
-            i1 = min(i0 + chunk, n)
-            # candidates i0..i1 against ALL lower-index rows 0..i1-1;
-            # row j may refute column i only when j < i (strict lower id)
-            g = np.round(mat[:i1] @ mat[i0:i1].T, _COS_DECIMALS)
-            lower = np.arange(i1)[:, None] < np.arange(i0, i1)[None, :]
-            dup[i0:i1] = ((g >= tau) & lower).any(axis=0)
+        dup = _dup_flags(mat, tau)
         return pa.Table.from_pydict(
             {"vec_id": ids[order],
              "cluster": np.asarray(t.column("cluster"),

@@ -393,3 +393,28 @@ def test_bigram_nll_distributed_path_matches_local(ray_session, monkeypatch):
     dist = T.bigram_nll(docs).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert dist.equals(local)
+
+
+def test_semdedup_distributed_path_matches_local(ray_session, monkeypatch):
+    """Forcing the vector gate to 0 must give the identical flags via
+    the cluster-shuffle plan."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ocr_ray.functions.similarity as S
+
+    rng = np.random.RandomState(11)
+    mat = np.vstack([rng.randn(8) + 0.02 * rng.randn(8) for _ in range(60)])
+    rows = [{"vec_id": 50 + i, "embedding": mat[i].tolist()}
+            for i in range(60)]
+    embs = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    local = S.semdedup(embs, n_clusters=3, tau=0.9,
+                       train_sample=32).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    monkeypatch.setattr(S, "_SEMDEDUP_LOCAL_GATE", 0)
+    dist = S.semdedup(embs, n_clusters=3, tau=0.9,
+                      train_sample=32).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert dist.equals(local)
