@@ -1640,7 +1640,9 @@ def _knn_ivf_sql(sf_dir: str | None = None) -> str | None:
         SELECT query_id, neighbor_id, round(cs, {_COS_DECIMALS}) AS cosine FROM (
           SELECT query_id, neighbor_id, cs,
                  row_number() OVER (
-                   PARTITION BY query_id ORDER BY cs DESC, neighbor_id
+                   -- quantized ranking: same contract as knn_brute
+                   PARTITION BY query_id
+                   ORDER BY round(cs, {_COS_DECIMALS}) DESC, neighbor_id
                  ) AS rn
           FROM cos
         ) WHERE rn <= 10
@@ -2986,7 +2988,12 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {_COS_DECIMALS}) AS cosine,
                      row_number() OVER (
                        PARTITION BY q.qid
-                       ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                       -- rank on the SAME 4-dp grid the engine ranks
+                       -- and both sides emit: full-precision ranking
+                       -- lets a ~1e-9 association gap flip top-k
+                       -- MEMBERSHIP at the rank-k boundary (one sf0.1
+                       -- tie pair did exactly that)
+                       ORDER BY round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {_COS_DECIMALS}) DESC,
                                 e.vec_id
                      ) AS rn
               FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
@@ -3511,7 +3518,12 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {_COS_DECIMALS}) AS cosine,
                      row_number() OVER (
                        PARTITION BY q.qid
-                       ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                       -- rank on the SAME 4-dp grid the engine ranks
+                       -- and both sides emit: full-precision ranking
+                       -- lets a ~1e-9 association gap flip top-k
+                       -- MEMBERSHIP at the rank-k boundary (one sf0.1
+                       -- tie pair did exactly that)
+                       ORDER BY round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), {_COS_DECIMALS}) DESC,
                                 e.vec_id
                      ) AS rn
               FROM q CROSS JOIN embeddings e
