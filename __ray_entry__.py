@@ -144,6 +144,15 @@ def _q_winnow(sf_dir: str):
     return _docs(sf_dir).map_batches(winnow_batch, batch_format="pyarrow")
 
 
+def _q_token_entropy(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy (lexical-diversity
+    quality signal): zero-shuffle block-local vectorized kernel; 4-dp
+    grid on the emitted bits (doc_perplexity association envelope)."""
+    from ocr_ray.functions.textstats import token_entropy_batch
+
+    return _docs(sf_dir).map_batches(token_entropy_batch, batch_format="pyarrow")
+
+
 def _q_bigram_topk(sf_dir: str):
     from ocr_ray.functions.textstats import bigram_topk
 
@@ -1379,6 +1388,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer application: per-doc subword counts under the
         # learned merges (same unrolled chain, encode-mode oracle)
         "docs_bpe_encode": _q_docs_bpe_encode,
+        # per-doc token-distribution Shannon entropy (lexical-diversity
+        # quality signal; zero-shuffle block-local vectorized kernel)
+        "doc_token_entropy": _q_token_entropy,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -4760,4 +4772,26 @@ def oracle_sql() -> dict[str, str]:
     out["events_kmv_overlap"] = _kmv_overlap_sql()
     out["events_profile"] = _profile_sql()
     out["events_winsorized_stats"] = _winsor_sql()
+    out["doc_token_entropy"] = r"""
+        -- per-doc token-distribution Shannon entropy:
+        -- H = log2(n) - sum(c*log2(c))/n over per-token counts c;
+        -- 4-dp grid (mean of log2-of-integer terms, association ~1e-13)
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), c AS (
+          SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+        ), s AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS sclc
+          FROM c GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               round(log2(CAST(n_tokens AS DOUBLE))
+                     - sclc / CAST(n_tokens AS DOUBLE), 4) AS entropy_bits
+        FROM s ORDER BY doc_id
+    """
     return out

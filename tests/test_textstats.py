@@ -418,3 +418,41 @@ def test_semdedup_distributed_path_matches_local(ray_session, monkeypatch):
                       train_sample=32).to_pandas().sort_values(
         "vec_id").reset_index(drop=True)
     assert dist.equals(local)
+
+
+def test_token_entropy_matches_brute():
+    import collections
+    import math
+
+    import pyarrow as pa
+
+    from ocr_ray.functions.textstats import token_entropy_batch
+
+    texts = [
+        "a b c a b c a b c",        # skewed counts
+        "x",                          # single token: entropy 0
+        "",                           # zero tokens: dropped
+        "  one   TWO two One  ",      # case-fold + multi-space edges
+        "w " * 500 + "z",             # long repeated run
+    ]
+    t = pa.table({"doc_id": [10, 11, 12, 13, 14], "text": texts})
+    out = token_entropy_batch(t).to_pandas().set_index("doc_id")
+    assert 12 not in out.index  # zero-token doc dropped (SQL twin parity)
+    for did, text in zip([10, 11, 13, 14], [texts[0], texts[1], texts[3], texts[4]]):
+        cnt = collections.Counter(text.lower().split())
+        n = sum(cnt.values())
+        ent = round(
+            math.log2(n) - sum(c * math.log2(c) for c in cnt.values()) / n, 4
+        )
+        assert out.loc[did, "n_tokens"] == n
+        assert out.loc[did, "n_distinct"] == len(cnt)
+        assert out.loc[did, "entropy_bits"] == ent
+    # single-token doc: exactly 0 bits
+    assert out.loc[11, "entropy_bits"] == 0.0
+    # empty batch passes through typed
+    empty = token_entropy_batch(t.slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["doc_id", "n_tokens", "n_distinct", "entropy_bits"]
+    # all-whitespace batch hits the zero-kept-token branch
+    ws = token_entropy_batch(pa.table({"doc_id": [1], "text": ["   "]}))
+    assert ws.num_rows == 0
