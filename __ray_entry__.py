@@ -153,6 +153,28 @@ def _q_token_entropy(sf_dir: str):
     return _docs(sf_dir).map_batches(token_entropy_batch, batch_format="pyarrow")
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1): per-doc rule
+    features + composite keep verdict; zero-shuffle vectorized kernel.
+    All ratio features are single divisions of exact integers — no
+    float-association risk anywhere."""
+    from ocr_ray.functions.textstats import gopher_rules_batch
+
+    return _docs(sf_dir).map_batches(gopher_rules_batch, batch_format="pyarrow")
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-ratio of target (lang='en') vs raw corpus distributions; two
+    streaming passes + one 256-key exchange, model broadcast in the
+    task closure; score at the 4-dp grid."""
+    from ocr_ray.functions.textstats import dsir_logratio
+
+    docs = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    return dsir_logratio(docs, target_lang="en")
+
+
 def _q_bigram_topk(sf_dir: str):
     from ocr_ray.functions.textstats import bigram_topk
 
@@ -1391,6 +1413,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc token-distribution Shannon entropy (lexical-diversity
         # quality signal; zero-shuffle block-local vectorized kernel)
         "doc_token_entropy": _q_token_entropy,
+        # Gopher-rule quality gate (Rae et al. 2021): features + keep
+        # verdict per doc; zero-shuffle, integer-exact ratios
+        "docs_gopher_filter": _q_gopher_filter,
+        # DSIR importance weights (Xie et al. 2023): hashed-unigram
+        # target/raw log-ratio scores; 256-bucket model, broadcast scorer
+        "docs_dsir_weights": _q_dsir_weights,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -4793,5 +4821,84 @@ def oracle_sql() -> dict[str, str]:
                round(log2(CAST(n_tokens AS DOUBLE))
                      - sclc / CAST(n_tokens AS DOUBLE), 4) AS entropy_bits
         FROM s ORDER BY doc_id
+    """
+    out["docs_gopher_filter"] = r"""
+        -- Gopher quality rules (Rae et al. 2021 A1.1, document-level):
+        -- thresholds applied to the ROUNDED 6-dp features on both sides;
+        -- every feature is a single division of exact integers
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents
+        ), f AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 round(sum(length(w)) * 1.0 / count(*), 6) AS mean_word_len,
+                 round(count(*) FILTER (WHERE regexp_matches(w, '[A-Za-z]'))
+                       * 1.0 / count(*), 6) AS alpha_ratio,
+                 CAST(count(*) FILTER (
+                   WHERE w IN ('the', 'a', 'of', 'and', 'to')) AS BIGINT)
+                   AS n_stop
+          FROM toks GROUP BY doc_id
+        ), sym AS (
+          SELECT doc_id,
+                 (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_sym
+          FROM documents
+        ), j AS (
+          SELECT d.doc_id,
+                 coalesce(f.n_words, 0) AS n_words,
+                 coalesce(f.mean_word_len, 0.0) AS mean_word_len,
+                 coalesce(f.alpha_ratio, 0.0) AS alpha_ratio,
+                 CASE WHEN coalesce(f.n_words, 0) = 0 THEN 0.0
+                      ELSE round(s.n_sym * 1.0 / f.n_words, 6)
+                 END AS symbol_ratio,
+                 coalesce(f.n_stop, 0) AS n_stop
+          FROM documents d
+          LEFT JOIN f ON f.doc_id = d.doc_id
+          JOIN sym s ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio,
+               n_stop,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio <= 0.1
+                AND alpha_ratio >= 0.8
+                AND n_stop >= 2) AS keep
+        FROM j ORDER BY doc_id
+    """
+    out["docs_dsir_weights"] = rf"""
+        -- DSIR importance weights (Xie et al. 2023): hashed-unigram
+        -- (md5-le64 % 256) add-one-smoothed target-vs-raw log-ratio,
+        -- summed per doc as c * term over (doc, bucket) groups; 4-dp
+        -- grid (sum of <= 256 count*log2-of-integer-ratio terms)
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), tb AS (
+          SELECT doc_id, lang,
+                 CAST(({_md5_le64_terms("tok")}) % 256 AS BIGINT) AS b
+          FROM toks
+        ), model AS (
+          SELECT b, count(*) AS n_raw,
+                 count(*) FILTER (WHERE lang = 'en') AS n_tgt
+          FROM tb GROUP BY b
+        ), tots AS (
+          SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM model
+        ), term AS (
+          SELECT b,
+                 log2((n_tgt + 1) / (tot_tgt + 256.0))
+                 - log2((n_raw + 1) / (tot_raw + 256.0)) AS term
+          FROM model, tots
+        ), dc AS (
+          SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b
+        )
+        SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               round(sum(c * term), 4) AS dsir_logratio
+        FROM dc JOIN term USING (b)
+        GROUP BY dc.doc_id ORDER BY dc.doc_id
     """
     return out

@@ -48,6 +48,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partial_agg import contiguous_array, split_ws
+
 __all__ = ["bpe_merges", "bpe_merges_from_words", "bpe_encode_stats"]
 
 
@@ -57,10 +59,10 @@ def _word_counts(docs):
     from ..stages.partial_agg import hash_bucket_sum
 
     def toks_of(t: pa.Table) -> pa.Table:
-        text = pc.fill_null(t.column("text"), "")
-        flat = pc.list_flatten(
-            pc.utf8_split_whitespace(pc.utf8_lower(text))
-        ).combine_chunks()
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        flat = contiguous_array(pc.list_flatten(
+            split_ws(pc.utf8_lower(text))
+        ))
         nonempty = flat.filter(pc.not_equal(flat, ""))
         return pa.table({"tok": nonempty})
 
@@ -267,9 +269,9 @@ def bpe_encode_stats(docs, k: int = 6):
     seg = words.map_batches(seg_of, batch_format="pyarrow").materialize()
 
     def doc_toks(t: pa.Table) -> pa.Table:
-        text = pc.fill_null(t.column("text"), "")
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-        flat = pc.list_flatten(toks).combine_chunks()
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        toks = split_ws(pc.utf8_lower(text))
+        flat = contiguous_array(pc.list_flatten(toks))
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         did = np.repeat(
             t.column("doc_id").to_numpy(zero_copy_only=False),

