@@ -1203,12 +1203,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # siblings: doc_repetition (map-only textstats — doc_rare_terms and
     # doc_bm25 stay) and events_value_tiers (CASE bucketing — the
     # events grouped-agg family stays).
+    # Round-5 third swap (fourth continuation): docs_dsir_weights (DSIR
+    # importance model — 256-bucket estimator + closure-broadcast
+    # scorer, a model-fit-then-score shape new to the window),
+    # docs_gopher_filter (published-rule quality gate with a BOOLEAN
+    # verdict column — a dtype-parity class no in-window query covers)
+    # and doc_token_entropy (packed-key np.unique segmented statistic)
+    # promoted. Demoted to the overflow head, all driver-green in BOTH
+    # r3 and r4 and kernel-redundant: kmeans_clusters (same
+    # trainer/assign kernel as in-window knn_ivf), events_top_per_user
+    # (grouped_topn — the same stage backs overflow-green
+    # order_revenue_topk / docs_lang_sample) and extract_docs_html
+    # (three extraction chains remain in-window).
     return {
         # extraction family — doc-path queries with exact SQL twins
         "extract_docs": _q_extract_docs,
         "extract_units_html": _q_extract_units_html,
-        "extract_docs_html": _q_extract_docs_html,
         "extract_docs_pdfish": _q_extract_docs_pdfish,
+        # round-5 third-swap-in: token-distribution entropy (packed-key
+        # segmented statistic)
+        "doc_token_entropy": _q_token_entropy,
         # text retrieval (BM25 ranking + boolean search)
         "doc_bm25": _q_bm25,
         "doc_bool_search": _q_bool_search,
@@ -1234,7 +1248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / clustering
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
-        "kmeans_clusters": _q_kmeans,
+        # round-5 third-swap-in: DSIR importance weights (model
+        # estimator + broadcast scorer)
+        "docs_dsir_weights": _q_dsir_weights,
         # training-side replay (reference train.py / DataGen.py: T4-T8)
         "train_lr_schedule": _q_train_lr_schedule,
         "train_gt_labels": _q_train_gt_labels,
@@ -1242,7 +1258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_checkpoints": _q_train_checkpoints,
         # stream-shaped operators over the events log
         "events_rolling_range": S.rolling_range_sum,
-        "events_top_per_user": S.top_events_per_user,
+        # round-5 third-swap-in: Gopher-rule quality gate (boolean
+        # verdict dtype parity)
+        "docs_gopher_filter": _q_gopher_filter,
         # round-5 second-swap-in: self-trained bigram-LM quality scoring
         "doc_perplexity": _q_doc_perplexity,
         "doc_rare_terms": _q_rare_terms,
@@ -1284,6 +1302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4; it is r03-driver-green, so it now leads the overflow and
         # the window above this marker counts EXACTLY 50, verified
         # programmatically in tests/test_entry.py.)
+        # round-5 third-swap demotions (driver-green r3 AND r4):
+        "kmeans_clusters": _q_kmeans,
+        "events_top_per_user": S.top_events_per_user,
+        "extract_docs_html": _q_extract_docs_html,
         # round-5 second-swap demotions (driver-green r3 AND r4):
         "doc_repetition": _q_repetition,
         "events_value_tiers": R.events_value_tiers,
@@ -1410,15 +1432,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer application: per-doc subword counts under the
         # learned merges (same unrolled chain, encode-mode oracle)
         "docs_bpe_encode": _q_docs_bpe_encode,
-        # per-doc token-distribution Shannon entropy (lexical-diversity
-        # quality signal; zero-shuffle block-local vectorized kernel)
-        "doc_token_entropy": _q_token_entropy,
-        # Gopher-rule quality gate (Rae et al. 2021): features + keep
-        # verdict per doc; zero-shuffle, integer-exact ratios
-        "docs_gopher_filter": _q_gopher_filter,
-        # DSIR importance weights (Xie et al. 2023): hashed-unigram
-        # target/raw log-ratio scores; 256-bucket model, broadcast scorer
-        "docs_dsir_weights": _q_dsir_weights,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
