@@ -162,6 +162,8 @@ def run_bench(ncpu: int) -> dict:
         "doc_perplexity",
         "docs_semdedup",
         "train_bpe_merges",
+        "docs_dsir_weights",
+        "docs_gopher_filter",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver

@@ -764,6 +764,10 @@ def gopher_rules_batch(batch: pa.Table) -> pa.Table:
 
 _DSIR_BUCKETS = 256
 _DSIR_DECIMALS = 4
+# below this many documents the estimate+score runs driver-local on one
+# table (identical kernels, bit-equal results) instead of paying two
+# dataset executions of fixed overhead
+_DSIR_LOCAL_GATE_DOCS = 50_000
 
 
 def _token_buckets(batch: pa.Table):
@@ -821,11 +825,18 @@ def dsir_logratio(docs, target_lang: str = "en"):
     log-ratio vector in the task closure and scores each block locally
     (packed (row, bucket) np.unique + one bincount dot). No shuffle ever
     touches a token row; skew-free by construction (buckets are md5
-    hashes).
+    hashes). Below ``_DSIR_LOCAL_GATE_DOCS`` the whole estimate+score
+    runs driver-local on one table through the IDENTICAL kernels (the
+    graph_triangles fixed-overhead lesson) — bit-equal by construction:
+    bucket counts are the same integers either way, and a document's
+    score sums its sorted (bucket, count) terms identically in any
+    batching.
     """
+    import ray
+
     import ray.data as rd
 
-    from ..stages.partial_agg import hash_bucket_sum, to_pandas_typed
+    from ..stages.partial_agg import from_pandas, hash_bucket_sum, to_pandas_typed
 
     B = _DSIR_BUCKETS
 
@@ -850,13 +861,29 @@ def dsir_logratio(docs, target_lang: str = "en"):
              "n_raw": pa.array(n_raw[nz]),
              "n_tgt": pa.array(n_tgt[nz])})
 
-    model = to_pandas_typed(
-        hash_bucket_sum(
-            docs.map_batches(counts_of, batch_format="pyarrow"),
-            ["b"], ["n_raw", "n_tgt"], count_alias="n_parts",
-        ),
-        {"b": "int64", "n_raw": "int64", "n_tgt": "int64"},
-    )
+    local_tab = None
+    if docs.count() < _DSIR_LOCAL_GATE_DOCS:
+        refs = docs.to_arrow_refs()
+        tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+        local_tab = (
+            pa.concat_tables(
+                [t.select(["doc_id", "text", "lang"]) for t in tabs]
+            ).combine_chunks()
+            if tabs
+            else pa.table({"doc_id": pa.array([], pa.int64()),
+                           "text": pa.array([], pa.string()),
+                           "lang": pa.array([], pa.string())})
+        )
+        part = counts_of(local_tab).to_pandas()
+        model = part  # counts_of emits each bucket once — already grouped
+    else:
+        model = to_pandas_typed(
+            hash_bucket_sum(
+                docs.map_batches(counts_of, batch_format="pyarrow"),
+                ["b"], ["n_raw", "n_tgt"], count_alias="n_parts",
+            ),
+            {"b": "int64", "n_raw": "int64", "n_tgt": "int64"},
+        )
     raw = np.zeros(B, dtype=np.float64)
     tgt = np.zeros(B, dtype=np.float64)
     raw[model["b"].to_numpy()] = model["n_raw"].to_numpy()
@@ -887,4 +914,6 @@ def dsir_logratio(docs, target_lang: str = "en"):
              "n_tokens": n_tok[nz],
              "dsir_logratio": pa.array(np.round(sc[nz], _DSIR_DECIMALS))})
 
+    if local_tab is not None:
+        return rd.from_arrow(score_of(local_tab))
     return docs.map_batches(score_of, batch_format="pyarrow")

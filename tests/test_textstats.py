@@ -547,3 +547,28 @@ def test_dsir_logratio_matches_brute(ray_session):
         assert abs(out.loc[did, "dsir_logratio"] - round(score, 4)) < 2e-4
     # target docs must score above the clearly off-target doc 3
     assert out.loc[0, "dsir_logratio"] > out.loc[3, "dsir_logratio"]
+
+
+def test_dsir_distributed_path_matches_local(ray_session, monkeypatch):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ocr_ray.functions.textstats as T
+
+    rng = np.random.RandomState(3)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(words, size=12).tolist()),
+         "lang": "en" if i % 3 == 0 else "xx"}
+        for i in range(120)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    local = T.dsir_logratio(ds, "en").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    monkeypatch.setattr(T, "_DSIR_LOCAL_GATE_DOCS", 0)
+    dist = T.dsir_logratio(ds, "en").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert dist.equals(local)
