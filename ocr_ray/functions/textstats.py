@@ -836,7 +836,7 @@ def dsir_logratio(docs, target_lang: str = "en"):
 
     import ray.data as rd
 
-    from ..stages.partial_agg import from_pandas, hash_bucket_sum, to_pandas_typed
+    from ..stages.partial_agg import hash_bucket_sum, to_pandas_typed
 
     B = _DSIR_BUCKETS
 
