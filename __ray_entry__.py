@@ -1017,6 +1017,18 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_embeddings_quantized(sf_dir: str):
+    """int8-style linear quantization of the embedding column: exact
+    per-dim min/max -> floor codes in [0,254] -> per-vector integer
+    summaries. EXACT oracle (selections + identical IEEE op order +
+    integer aggregates — no association envelope)."""
+    from ocr_ray.functions.similarity import embedding_quantize
+
+    embs = _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return embedding_quantize(embs)
+
+
 def _q_embedding_dim_stats(sf_dir: str):
     """Per-dimension min/max/count over the embedding list column — the
     UNNEST-with-ordinality aggregate computed as columnwise block
@@ -1450,6 +1462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature-based data mixing (alpha-sampling; float-exact
         # closed-form thresholds)
         "docs_temperature_mix": _q_docs_temperature_mix,
+        # int8-style embedding quantization (exact integer-summary oracle)
+        "embeddings_quantized": _q_embeddings_quantized,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -4845,6 +4859,32 @@ def oracle_sql() -> dict[str, str]:
     out["events_kmv_overlap"] = _kmv_overlap_sql()
     out["events_profile"] = _profile_sql()
     out["events_winsorized_stats"] = _winsor_sql()
+    out["embeddings_quantized"] = r"""
+        -- linear quantization: per-dim exact min/max, floor codes in
+        -- [0,254] (identical IEEE op order as the engine: f32->double
+        -- cast, subtract, multiply by 254, divide, floor, clip),
+        -- degenerate dims coded 0; per-vector INTEGER summaries
+        WITH e AS (
+          SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings
+        ), s AS (
+          SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+        ), c AS (
+          SELECT e.vec_id,
+                 CASE WHEN s.mx = s.mn THEN 0
+                      ELSE CAST(least(greatest(floor(
+                        (CAST(e.v AS DOUBLE) - CAST(s.mn AS DOUBLE)) * 254.0
+                        / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE))), 0), 254) AS BIGINT)
+                 END AS code
+          FROM e JOIN s USING (dim)
+        )
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+               CAST(sum(code) AS BIGINT) AS code_sum,
+               CAST(min(code) AS BIGINT) AS code_min,
+               CAST(max(code) AS BIGINT) AS code_max
+        FROM c GROUP BY vec_id ORDER BY vec_id
+    """
     out["doc_token_entropy"] = r"""
         -- per-doc token-distribution Shannon entropy:
         -- H = log2(n) - sum(c*log2(c))/n over per-token counts c;

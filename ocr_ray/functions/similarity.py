@@ -24,7 +24,7 @@ import ray.data as rd
 from .dedup import _COS_DECIMALS
 
 __all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign",
-           "train_centroids", "semdedup"]
+           "train_centroids", "semdedup", "embedding_quantize"]
 
 _SEED = 42
 
@@ -443,3 +443,90 @@ def semdedup(
         _ensure_cols({"vec_id": "int64", "cluster": "int64", "is_dup": "int64"}),
         batch_format="pandas",
     )
+
+
+_QUANT_LEVELS = 254  # codes 0..254 (int8-representable with a null spare)
+# below this many vectors both passes run driver-local on one table
+# (identical kernels, bit-equal results) instead of paying two dataset
+# executions of fixed overhead
+_QUANT_LOCAL_GATE = 50_000
+
+
+def embedding_quantize(ds: rd.Dataset) -> rd.Dataset:
+    """Linear int8-style quantization of the embedding column — the
+    standard 4x memory/bandwidth cut for vector corpora at scale (the
+    compressed codes, not the float32 vectors, ride shuffles and ANN
+    scans; cf. IVF+scalar-quantization in Faiss). Per-dimension code:
+
+        code = floor((v - min_d) * 254 / (max_d - min_d))   in [0, 254]
+
+    with degenerate dimensions (max == min) coded 0. Emits a compact
+    per-vector proof instead of 64 exploded rows: (vec_id, n_dims,
+    code_sum, code_min, code_max) — any code error almost surely moves
+    code_sum, and the summaries are EXACT integers.
+
+    EXACT oracle, no float-association envelope anywhere: min/max are
+    exact selections of float32 values (not sums), every quantization
+    step is one correctly-rounded IEEE op applied in the identical
+    order on both sides (float32->double cast, subtract, multiply,
+    divide, floor, clip), and the summaries are integer aggregates.
+
+    Scale shape: pass 1 is :func:`embedding_dim_stats` (per-block
+    columnwise (dim, min, max) partials, O(blocks*d) driver merge —
+    bounded); pass 2 broadcasts the two 64-double vectors in the task
+    closure and encodes each block with one vectorized matrix pass.
+    Below ``_QUANT_LOCAL_GATE`` both passes run driver-local on one
+    table through the identical kernels.
+    """
+    import ray
+
+    def enc_of(mn: np.ndarray, rng: np.ndarray):
+        def enc(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.Table.from_pydict(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "n_dims": pa.array([], pa.int64()),
+                     "code_sum": pa.array([], pa.int64()),
+                     "code_min": pa.array([], pa.int64()),
+                     "code_max": pa.array([], pa.int64())})
+            mat = _to_matrix(batch)
+            code = np.clip(
+                np.floor((mat - mn) * float(_QUANT_LEVELS) / rng),
+                0, _QUANT_LEVELS,
+            ).astype(np.int64)
+            return pa.Table.from_pydict(
+                {"vec_id": batch.column("vec_id"),
+                 "n_dims": np.full(mat.shape[0], mat.shape[1], np.int64),
+                 "code_sum": code.sum(axis=1),
+                 "code_min": code.min(axis=1),
+                 "code_max": code.max(axis=1)})
+
+        return enc
+
+    def stats_to_rng(stats):
+        mn = stats["vmin"].to_numpy(dtype=np.float64)
+        mx = stats["vmax"].to_numpy(dtype=np.float64)
+        rng = mx - mn
+        degen = rng == 0.0
+        rng[degen] = 1.0  # (v - mn) is 0 on degenerate dims -> code 0
+        return mn, rng
+
+    if ds.count() < _QUANT_LOCAL_GATE:
+        refs = ds.to_arrow_refs()
+        tabs = [t for t in ray.get(refs) if t.num_rows > 0]
+        if not tabs:
+            return rd.from_arrow(enc_of(np.zeros(0), np.ones(0))(
+                pa.table({"vec_id": pa.array([], pa.int64()),
+                          "embedding": pa.array([], pa.list_(pa.float32()))})))
+        full = pa.concat_tables(
+            [t.select(["vec_id", "embedding"]) for t in tabs]
+        ).combine_chunks()
+        mat = _to_matrix(full)
+        mn = mat.min(axis=0)
+        mx = mat.max(axis=0)
+        rng = mx - mn
+        rng[rng == 0.0] = 1.0
+        return rd.from_arrow(enc_of(mn, rng)(full))
+
+    mn, rng = stats_to_rng(embedding_dim_stats(ds))
+    return ds.map_batches(enc_of(mn, rng), batch_format="pyarrow")

@@ -572,3 +572,36 @@ def test_dsir_distributed_path_matches_local(ray_session, monkeypatch):
     dist = T.dsir_logratio(ds, "en").to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert dist.equals(local)
+
+
+def test_embedding_quantize_matches_brute(ray_session, monkeypatch):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import ocr_ray.functions.similarity as S
+
+    rng = np.random.RandomState(21)
+    mat = rng.randn(80, 6).astype(np.float32)
+    mat[:, 3] = 2.5  # degenerate dimension -> code 0
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(80)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = S.embedding_quantize(ds).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    m = mat.astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    r = mx - mn
+    r[r == 0] = 1.0
+    code = np.clip(np.floor((m - mn) * 254.0 / r), 0, 254).astype(np.int64)
+    assert (out["n_dims"].to_numpy() == 6).all()
+    assert (out["code_sum"].to_numpy() == code.sum(axis=1)).all()
+    assert (out["code_min"].to_numpy() == code.min(axis=1)).all()
+    assert (out["code_max"].to_numpy() == code.max(axis=1)).all()
+    # every min-attaining / max-attaining element hits the code rails
+    assert code.max() == 254 and code.min() == 0
+    # forced-distributed path is bit-equal to the local path
+    monkeypatch.setattr(S, "_QUANT_LOCAL_GATE", 0)
+    dist = S.embedding_quantize(ds).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert dist.equals(out)
