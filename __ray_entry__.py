@@ -1017,6 +1017,18 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_dedup_snm(sf_dir: str):
+    """Sorted-neighborhood (merge/purge) near-dup pairs: sort by a
+    16-char blocking key, compare each doc to its <=4 successors in the
+    sorted order, keep exact distinct-token-set Jaccard >= 9/10 —
+    integer-compared, so the oracle is float-free. The third member of
+    the blocking family next to LSH banding (minhash) and bit banding
+    (simhash)."""
+    from ocr_ray.functions.dedup import snm_pairs
+
+    return snm_pairs(_docs(sf_dir))
+
+
 def _q_embeddings_quantized(sf_dir: str):
     """int8-style linear quantization of the embedding column: exact
     per-dim min/max -> floor codes in [0,254] -> per-vector integer
@@ -1464,6 +1476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_temperature_mix": _q_docs_temperature_mix,
         # int8-style embedding quantization (exact integer-summary oracle)
         "embeddings_quantized": _q_embeddings_quantized,
+        # sorted-neighborhood (merge/purge) dedup: the third blocking
+        # family next to minhash LSH / simhash bit bands; integer-exact
+        # token-set Jaccard verify
+        "dedup_snm": _q_dedup_snm,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -4985,5 +5001,46 @@ def oracle_sql() -> dict[str, str]:
                round(sum(c * term), 4) AS dsir_logratio
         FROM dc JOIN term USING (b)
         GROUP BY dc.doc_id ORDER BY dc.doc_id
+    """
+    out["dedup_snm"] = f"""
+        -- sorted-neighborhood dedup (Hernandez & Stolfo 1995): rank by
+        -- (16-char alnum key, doc_id), pair docs at rank distance 1..4,
+        -- verify exact distinct-token-set Jaccard >= 9/10 compared as
+        -- integers (10*inter >= 9*uni) — no float envelope; token sets
+        -- are the SAME md5-le64 %% (2^61-1) hashes the engine computes
+        WITH key AS (
+          SELECT doc_id,
+                 substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                        1, 16) AS k
+          FROM documents
+        ), r AS (
+          SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rnk
+          FROM key
+        ), p AS (
+          SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                 greatest(a.doc_id, b.doc_id) AS doc_b
+          FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 4
+        ), tokraw AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+          FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id,
+                 ({_md5_le64_terms("tok")}) % 2305843009213693951 AS h
+          FROM tokraw
+        ), sz AS (
+          SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+        ), iv AS (
+          SELECT p.doc_a, p.doc_b, count(*) AS inter FROM p
+          JOIN tok ta ON ta.doc_id = p.doc_a
+          JOIN tok tb ON tb.doc_id = p.doc_b AND tb.h = ta.h
+          GROUP BY 1, 2
+        )
+        SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, iv.inter AS inter,
+               sa.n + sb.n - iv.inter AS uni
+        FROM p JOIN iv ON iv.doc_a = p.doc_a AND iv.doc_b = p.doc_b
+        JOIN sz sa ON sa.doc_id = p.doc_a
+        JOIN sz sb ON sb.doc_id = p.doc_b
+        WHERE 10 * iv.inter >= 9 * (sa.n + sb.n - iv.inter)
+        ORDER BY p.doc_a, p.doc_b
     """
     return out

@@ -44,6 +44,7 @@ __all__ = [
     "dedup_drop_ids",
     "dedup_keep_list",
     "shingle_hash_rows",
+    "snm_pairs",
     "decontaminate",
     "contamination_scores",
 ]
@@ -1554,3 +1555,313 @@ def _embedding_near_dup_rows(
         return out[out["cosine"] >= threshold]
 
     return j.map_batches(cos_pairs, batch_format="pandas")
+
+
+# --- sorted-neighborhood (SNM) dedup ---------------------------------------
+# Hernandez & Stolfo 1995 ("The merge/purge problem"): sort the corpus by a
+# blocking key, then compare only records within a fixed-size sliding window
+# of the sorted order — O(n*w) candidate pairs instead of O(n^2), catching
+# near-duplicates whose noisy variants agree on a key prefix. The classic
+# third member of the blocking family next to LSH banding (minhash_pairs)
+# and bit-banding (simhash_pairs).
+
+_SNM_WINDOW = 5
+_SNM_KEY_LEN = 16
+# keep pairs with token-set Jaccard >= 9/10, compared as integers
+# (10*inter >= 9*uni) so the oracle has NO float envelope at all
+_SNM_TAU_NUM, _SNM_TAU_DEN = 9, 10
+# below this many docs the whole pass runs driver-local through the same
+# kernels (the graph_triangles fixed-overhead lesson); the sort + two
+# boundary passes + verify join are pure overhead on sandbox SFs
+_SNM_LOCAL_GATE_DOCS = 50_000
+
+
+def _snm_keys_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, snm_key) per row: the SNM blocking key is the first 16
+    chars of the lowercased text with every non-[a-z0-9] run stripped —
+    vectorized Arrow kernels only, ASCII-only output so Arrow / pandas /
+    DuckDB byte orderings of the key all agree."""
+    import pyarrow.compute as pc
+
+    squash = pc.replace_substring_regex(
+        pc.utf8_lower(t.column("text")), r"[^a-z0-9]+", ""
+    )
+    return pa.table({
+        "doc_id": t.column("doc_id"),
+        "snm_key": pc.utf8_slice_codeunits(squash, 0, _SNM_KEY_LEN),
+    })
+
+
+def _snm_window_pairs(ids: np.ndarray, window: int):
+    """All canonical (min,max) id pairs at sorted-rank distance
+    1..window-1 within ONE contiguous rank run (``ids`` already in global
+    sort order). Vectorized: rank distance d pairs are zip(ids, ids[d:])."""
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    n = ids.size
+    for d in range(1, window):
+        if d >= n:
+            break
+        outs_a.append(ids[:-d])
+        outs_b.append(ids[d:])
+    if not outs_a:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    a = np.concatenate(outs_a)
+    b = np.concatenate(outs_b)
+    return np.minimum(a, b).astype(np.int64), np.maximum(a, b).astype(np.int64)
+
+
+def _snm_token_hashes(text: str, fast: bool | None = None) -> np.ndarray:
+    """Sorted unique 61-bit hashes of the doc's lowercased whitespace
+    tokens. Default md5-le64 path is replayed bit-for-bit by the oracle
+    (`_md5_le64_terms`); OCR_RAY_FAST_HASH=1 swaps in one vectorized
+    pandas hash_array pass (same convention as `_token_hashes`)."""
+    toks = np.unique(np.array(text.lower().split() or [""], dtype=object))
+    if fast is None:
+        fast = os.environ.get("OCR_RAY_FAST_HASH", "") not in ("", "0")
+    if fast:
+        return np.unique(
+            pd.util.hash_array(toks, categorize=False) % _MERSENNE
+        )
+    out = np.empty(toks.size, dtype=np.uint64)
+    for i, tk in enumerate(toks):
+        out[i] = int.from_bytes(
+            hashlib.md5(tk.encode("utf-8")).digest()[:8], "little"
+        ) % _MERSENNE
+    return np.unique(out)
+
+
+def _snm_verify(tok_of: dict, a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Exact token-set Jaccard verify of candidate id pairs against a
+    doc_id -> sorted-unique-hash-array lookup; keeps pairs passing the
+    integer threshold. Shared by the local path and the broadcast leg."""
+    keep_a: list[int] = []
+    keep_b: list[int] = []
+    keep_i: list[int] = []
+    keep_u: list[int] = []
+    for x, y in zip(a, b):
+        sa = tok_of[int(x)]
+        sb = tok_of[int(y)]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        uni = sa.size + sb.size - inter
+        if _SNM_TAU_DEN * inter >= _SNM_TAU_NUM * uni:
+            keep_a.append(int(x))
+            keep_b.append(int(y))
+            keep_i.append(inter)
+            keep_u.append(uni)
+    return pd.DataFrame({
+        "doc_a": pd.Series(keep_a, dtype="int64"),
+        "doc_b": pd.Series(keep_b, dtype="int64"),
+        "inter": pd.Series(keep_i, dtype="int64"),
+        "uni": pd.Series(keep_u, dtype="int64"),
+    })
+
+
+def snm_pairs(
+    docs: rd.Dataset,
+    window: int = _SNM_WINDOW,
+    *,
+    force_distributed: bool = False,
+) -> pd.DataFrame:
+    """Sorted-neighborhood near-duplicate pairs: sort every doc by
+    (snm_key, doc_id), compare each doc to its <= window-1 successors in
+    the sorted order, keep pairs whose exact distinct-token-set Jaccard
+    clears 9/10 (integer-compared). Emits (doc_a, doc_b, inter, uni),
+    canonical doc_a < doc_b, one row per unordered pair.
+
+    Scale shape (the 100 TB design):
+    - the sort exchange carries ONLY (snm_key[16], doc_id) — the payload
+      never shuffles; this is the one wide step.
+    - pair generation is split exactly like reconcile_sorted's seam walk:
+      in-block pairs come from a vectorized per-block pass (ranks inside
+      a sorted block are contiguous, so distance-d pairs are plain array
+      shifts), and the O(blocks*window) head/tail boundary rows are the
+      ONLY rows the driver sees — it prefix-walks block counts to global
+      ranks and emits the cross-block pairs locally (every cross-block
+      pair has both ends within window-1 of a block edge, so the
+      boundary set is sufficient; same-block pairs found there are
+      skipped as the per-block pass owns them).
+    - verify never broadcasts the corpus: above the pair gate the
+      (doc_id, token-hash-set) table ships to its pairs via the same
+      partitioned `cogroup_bucket_join` legs minhash_pairs uses. Every
+      doc is a candidate by construction (each has a window), so there
+      is no Bloom semi-filter step — the tok table IS the corpus
+      projection.
+    """
+    import ray
+
+    from ..pipelines.joins import cogroup_bucket_join
+    from ..stages.partial_agg import from_pandas as _fp
+
+    w = int(window)
+    if w < 2:
+        raise ValueError("snm window must be >= 2")
+
+    n_docs = docs.count()
+    empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "inter": pd.Series([], dtype="int64"),
+        "uni": pd.Series([], dtype="int64"),
+    })
+    if n_docs == 0:
+        return empty
+
+    if n_docs < _SNM_LOCAL_GATE_DOCS and not force_distributed:
+        # driver-local path through the IDENTICAL kernels: one pull of
+        # (doc_id, text), key batch -> pandas sort -> single-run pair
+        # generation -> dict verify. Bit-equal to the distributed plan
+        # by construction (forced-distributed parity test pins both).
+        refs = docs.to_arrow_refs()
+        tabs = [t.select(["doc_id", "text"]) for t in ray.get(refs)
+                if t.num_rows > 0]
+        if not tabs:
+            return empty
+        full = pa.concat_tables(tabs).combine_chunks()
+        keys = _snm_keys_batch(full).to_pandas()
+        keys = keys.sort_values(["snm_key", "doc_id"], kind="mergesort")
+        a, b = _snm_window_pairs(keys["doc_id"].to_numpy(np.int64), w)
+        tok_of = {
+            int(did): _snm_token_hashes(txt)
+            for did, txt in zip(full.column("doc_id").to_pylist(),
+                                full.column("text").to_pylist())
+        }
+        out = _snm_verify(tok_of, a, b)
+        return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # ---- distributed plan ----
+    nblocks = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized() else 8
+    )
+    sorted_ds = (
+        docs.map_batches(_snm_keys_batch, batch_format="pyarrow")
+        .repartition(nblocks)
+        .sort(["snm_key", "doc_id"])
+        .materialize()
+    )
+
+    _BOUND = pa.schema([
+        ("bk_key", pa.string()), ("bk_id", pa.int64()),
+        ("cnt", pa.int64()), ("loc", pa.int64()), ("doc_id", pa.int64()),
+    ])
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        # batch == block (batch_size=None on a materialized sorted ds):
+        # emit this block's head/tail rows + its boundary identity
+        n = t.num_rows
+        if n == 0:
+            return _BOUND.empty_table()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        k0 = str(t.column("snm_key")[0].as_py())
+        i0 = int(ids[0])
+        loc = np.arange(n, dtype=np.int64)
+        mask = (loc < w - 1) | (loc >= n - (w - 1))
+        sel = loc[mask]
+        return pa.Table.from_pydict({
+            "bk_key": [k0] * sel.size,
+            "bk_id": np.full(sel.size, i0, dtype=np.int64),
+            "cnt": np.full(sel.size, n, dtype=np.int64),
+            "loc": sel,
+            "doc_id": ids[mask].astype(np.int64),
+        }, schema=_BOUND)
+
+    bound = sorted_ds.map_batches(
+        boundary_rows, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()  # O(blocks * window) rows
+
+    # driver seam walk: block start ranks by boundary order, then the
+    # cross-block pairs among the boundary rows (both ends of any
+    # cross-block pair are within window-1 of a block edge)
+    cross = empty[["doc_a", "doc_b"]]
+    if len(bound):
+        blocks = (
+            bound[["bk_key", "bk_id", "cnt"]]
+            .drop_duplicates()
+            .sort_values(["bk_key", "bk_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        starts = np.r_[0, np.cumsum(blocks["cnt"].to_numpy(np.int64))[:-1]]
+        blocks["start"] = starts
+        blocks["blk"] = np.arange(len(blocks), dtype=np.int64)
+        bb = bound.merge(blocks, on=["bk_key", "bk_id", "cnt"], how="left")
+        bb["rank"] = bb["start"] + bb["loc"]
+        bb = bb.sort_values("rank", kind="mergesort").reset_index(drop=True)
+        r = bb["rank"].to_numpy(np.int64)
+        ids_b = bb["doc_id"].to_numpy(np.int64)
+        blk = bb["blk"].to_numpy(np.int64)
+        ca: list[int] = []
+        cb: list[int] = []
+        m = len(bb)
+        for i in range(m):
+            j = i + 1
+            while j < m and r[j] - r[i] <= w - 1:
+                if blk[j] != blk[i]:
+                    ca.append(int(min(ids_b[i], ids_b[j])))
+                    cb.append(int(max(ids_b[i], ids_b[j])))
+                j += 1
+        cross = pd.DataFrame({
+            "doc_a": pd.Series(ca, dtype="int64"),
+            "doc_b": pd.Series(cb, dtype="int64"),
+        })
+
+    _PAIR = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def inblock_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PAIR.empty_table()
+        a, b = _snm_window_pairs(
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64), w
+        )
+        return pa.Table.from_pydict({"doc_a": a, "doc_b": b}, schema=_PAIR)
+
+    pairs = sorted_ds.map_batches(
+        inblock_pairs, batch_size=None, batch_format="pyarrow"
+    )
+    if len(cross):
+        pairs = pairs.union(rd.from_arrow(_fp(cross)))
+    pairs = pairs.materialize()
+
+    # ---- verify: ship each doc's token-hash set to its pairs ----
+    def tok_blob(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            out_id, out_tk = [], []
+            for did, txt in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+                out_id.append(did)
+                out_tk.append(_snm_token_hashes(txt).tobytes())
+            return pa.Table.from_pydict(
+                {cols[0]: pa.array(out_id, pa.int64()),
+                 cols[1]: pa.array(out_tk, pa.binary())}
+            )
+        return fn
+
+    n_pairs = pairs.count()
+    tok_a = docs.map_batches(tok_blob(["doc_a", "tk_a"]), batch_format="pyarrow")
+    tok_b = docs.map_batches(tok_blob(["doc_b", "tk_b"]), batch_format="pyarrow")
+    nb = min(256, max(8, n_pairs // 20_000))
+    # materialized between the chained cogroups (schema-probe re-execution)
+    j = cogroup_bucket_join(pairs, tok_a, "doc_a", n_buckets=nb).materialize()
+    j = cogroup_bucket_join(j, tok_b, "doc_b", n_buckets=nb)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        tok_of = {}
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        for x, blob in zip(a, df["tk_a"]):
+            tok_of[int(x)] = np.frombuffer(blob, dtype=np.uint64)
+        for y, blob in zip(b, df["tk_b"]):
+            tok_of[int(y)] = np.frombuffer(blob, dtype=np.uint64)
+        return _snm_verify(tok_of, a, b)
+
+    out = (
+        j.map_batches(verify, batch_format="pandas")
+        .map_batches(_ensure_cols(
+            {"doc_a": "int64", "doc_b": "int64",
+             "inter": "int64", "uni": "int64"}), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

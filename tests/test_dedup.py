@@ -594,3 +594,121 @@ def test_fast_hash_flag_dup_spans(ray_session, monkeypatch):
     # different hash space, same content-equality duplicate decisions
     pd.testing.assert_frame_equal(got, want)
     pd.testing.assert_frame_equal(got_iv, want_iv)
+
+
+# --- sorted-neighborhood (SNM) -------------------------------------------
+
+
+def _snm_corpus(n=40, seed=7):
+    """Seeded corpus with planted sorted-neighbor near-dups: pairs share
+    the blocking prefix and ~95% of their token set."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    vocab = np.array(
+        ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron"]
+    )
+    rows = []
+    did = 0
+    for i in range(n):
+        toks = list(rng.choice(vocab, size=rng.randint(12, 30)))
+        rows.append({"doc_id": did, "text": " ".join(toks)})
+        did += 1
+        if i % 4 == 0:  # planted variant: same prefix, one token swapped
+            v = list(toks)
+            v[-1] = "swapped"
+            rows.append({"doc_id": did, "text": " ".join(v)})
+            did += 1
+    return pa.Table.from_pylist(rows)
+
+
+def _snm_brute(tbl, window=5, tau=(9, 10)):
+    """Independent replay: python re/hashlib, no engine kernels."""
+    import hashlib
+    import re
+
+    M = 2305843009213693951
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    key = {
+        d: re.sub(r"[^a-z0-9]+", "", t.lower())[:16]
+        for d, t in zip(ids, texts)
+    }
+    toks = {
+        d: {
+            int.from_bytes(
+                hashlib.md5(w.encode()).digest()[:8], "little") % M
+            for w in t.lower().split()
+        }
+        for d, t in zip(ids, texts)
+    }
+    order = sorted(ids, key=lambda d: (key[d], d))
+    out = []
+    for i, a in enumerate(order):
+        for j in range(i + 1, min(i + window, len(order))):
+            b = order[j]
+            inter = len(toks[a] & toks[b])
+            uni = len(toks[a] | toks[b])
+            if tau[1] * inter >= tau[0] * uni:
+                out.append((min(a, b), max(a, b), inter, uni))
+    out.sort()
+    return pd.DataFrame(
+        out, columns=["doc_a", "doc_b", "inter", "uni"]
+    ).astype("int64")
+
+
+def test_snm_pairs_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import snm_pairs
+
+    tbl = _snm_corpus()
+    out = snm_pairs(rd.from_arrow(tbl))
+    exp = _snm_brute(tbl)
+    assert len(exp) > 0  # planted variants must surface
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+
+
+def test_snm_pairs_distributed_matches_local(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import snm_pairs
+
+    tbl = _snm_corpus(n=60, seed=11)
+    ds = rd.from_arrow(tbl)
+    loc = snm_pairs(ds)
+    dist = snm_pairs(ds, force_distributed=True)
+    pd.testing.assert_frame_equal(
+        dist.reset_index(drop=True), loc.reset_index(drop=True)
+    )
+
+
+def test_snm_pairs_distributed_tiny_blocks(ray_session):
+    """Blocks smaller than the window: cross-block pairs span >2 sorted
+    blocks, exercising the boundary-set sufficiency argument."""
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import snm_pairs
+
+    tbl = _snm_corpus(n=8, seed=3)  # ~10 docs over 4 blocks
+    ds = rd.from_arrow(tbl)
+    loc = snm_pairs(ds)
+    dist = snm_pairs(ds, force_distributed=True)
+    pd.testing.assert_frame_equal(
+        dist.reset_index(drop=True), loc.reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc.reset_index(drop=True), _snm_brute(tbl))
+
+
+def test_snm_window_pairs_edges():
+    from ocr_ray.functions.dedup import _snm_window_pairs
+
+    a, b = _snm_window_pairs(np.array([], dtype=np.int64), 5)
+    assert a.size == 0 and b.size == 0
+    a, b = _snm_window_pairs(np.array([42], dtype=np.int64), 5)
+    assert a.size == 0
+    # n=3, w=5: all 3 unordered pairs, canonical order
+    a, b = _snm_window_pairs(np.array([9, 2, 5], dtype=np.int64), 5)
+    got = sorted(zip(a.tolist(), b.tolist()))
+    assert got == [(2, 5), (2, 9), (5, 9)]
