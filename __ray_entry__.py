@@ -1041,6 +1041,32 @@ def _q_embeddings_quantized(sf_dir: str):
     return embedding_quantize(embs)
 
 
+def _q_embeddings_covariance(sf_dir: str):
+    """Distributed sample covariance of the embedding matrix (the PCA
+    moment pass): per-block Gram/sum/count partials merged by one
+    bucketed grouped sum, upper triangle emitted at the 4-dp grid.
+    Twin: dims-cross-join covar_samp."""
+    from ocr_ray.functions.similarity import embedding_covariance
+
+    return embedding_covariance(
+        _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    )
+
+
+def _q_embeddings_pca(sf_dir: str):
+    """PCA projection onto the top-4 principal components (rows-only:
+    eigenvectors aren't SQL-expressible; numpy-replay parity is pinned
+    in tests/test_similarity_pca.py)."""
+    from ocr_ray.functions.similarity import pca_project
+
+    out = pca_project(
+        _read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]), k=4,
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_embedding_dim_stats(sf_dir: str):
     """Per-dimension min/max/count over the embedding list column — the
     UNNEST-with-ordinality aggregate computed as columnwise block
@@ -1480,6 +1506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family next to minhash LSH / simhash bit bands; integer-exact
         # token-set Jaccard verify
         "dedup_snm": _q_dedup_snm,
+        # distributed covariance (PCA moment pass; covar_samp twin)
+        "embeddings_covariance": _q_embeddings_covariance,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -1489,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_propose": _q_extract_propose,
         "extract_assistant": _q_extract_assistant,
         "media_features": _q_media_features,
+        "embeddings_pca": _q_embeddings_pca,
         "media_frames": _q_media_frames,
         "train_build_examples": _q_train_build_examples,
         "train_build_batches": _q_train_build_batches,
@@ -5042,5 +5071,19 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sb ON sb.doc_id = p.doc_b
         WHERE 10 * iv.inter >= 9 * (sa.n + sb.n - iv.inter)
         ORDER BY p.doc_a, p.doc_b
+    """
+    out["embeddings_covariance"] = r"""
+        -- sample covariance of the embedding matrix, upper triangle,
+        -- 4-dp grid (engine: per-block Gram partials + grouped sum;
+        -- association noise vs this covar_samp stream ~1e-11)
+        WITH e AS (
+          SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings
+        )
+        SELECT a.dim - 1 AS dim_i, b.dim - 1 AS dim_j,
+               round(covar_samp(a.v, b.v), 4) AS cov
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     return out

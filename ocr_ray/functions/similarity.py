@@ -24,7 +24,8 @@ import ray.data as rd
 from .dedup import _COS_DECIMALS
 
 __all__ = ["default_queries", "knn_brute", "knn_ivf", "kmeans_assign",
-           "train_centroids", "semdedup", "embedding_quantize"]
+           "train_centroids", "semdedup", "embedding_quantize",
+           "embedding_covariance", "pca_project"]
 
 _SEED = 42
 
@@ -530,3 +531,154 @@ def embedding_quantize(ds: rd.Dataset) -> rd.Dataset:
 
     mn, rng = stats_to_rng(embedding_dim_stats(ds))
     return ds.map_batches(enc_of(mn, rng), batch_format="pyarrow")
+
+
+# --- distributed PCA (covariance + projection) -----------------------------
+# The embedding-pipeline preprocessing primitive (whitening / dimensionality
+# reduction before IVF or semantic dedup): sample covariance of the
+# embedding matrix by mergeable per-block moment partials, eigendecomposed
+# on the driver (d x d is tiny), projection broadcast back as a closure.
+
+# below this many vectors the moment accumulation runs driver-local on one
+# concatenated table (the graph_triangles fixed-overhead lesson); the
+# result is the same moment rows, just without the grouped-sum exchange
+_PCA_LOCAL_GATE = 50_000
+
+
+def _cov_moment_rows(batch: pa.Table) -> pa.Table:
+    """One block's second-moment partial as SUMMABLE rows: (dim_i, dim_j,
+    v) holds sum(x_i * x_j) for i <= j (the Gram upper triangle, ONE
+    numpy matmul), dim_j = -1 rows hold sum(x_i), and the (-1, -1) row
+    holds the row count. Rows from different blocks merge by grouped sum
+    — the sketch partial/merge shape, O(d^2) rows per block regardless
+    of block height."""
+    if batch.num_rows == 0:
+        return pa.table({
+            "dim_i": pa.array([], pa.int64()),
+            "dim_j": pa.array([], pa.int64()),
+            "v": pa.array([], pa.float64()),
+        })
+    mat = _to_matrix(batch)
+    d = mat.shape[1]
+    g = mat.T @ mat
+    iu, ju = np.triu_indices(d)
+    s = mat.sum(axis=0)
+    dim_i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+    dim_j = np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64)
+    v = np.concatenate([g[iu, ju], s, [float(mat.shape[0])]])
+    return pa.table({"dim_i": dim_i, "dim_j": dim_j, "v": v})
+
+
+def _cov_from_moments(mom: "pd.DataFrame"):
+    """(n, mean, sample covariance) from summed moment rows."""
+    import pandas as pd  # noqa: F401
+
+    n = int(round(float(
+        mom.loc[(mom["dim_i"] == -1) & (mom["dim_j"] == -1), "v"].iloc[0]
+    )))
+    srows = mom[(mom["dim_i"] >= 0) & (mom["dim_j"] == -1)].sort_values("dim_i")
+    s = srows["v"].to_numpy(np.float64)
+    d = s.size
+    grows = mom[mom["dim_j"] >= 0]
+    g = np.zeros((d, d), dtype=np.float64)
+    gi = grows["dim_i"].to_numpy(np.int64)
+    gj = grows["dim_j"].to_numpy(np.int64)
+    g[gi, gj] = grows["v"].to_numpy(np.float64)
+    g[gj, gi] = g[gi, gj]
+    if n < 2:
+        return n, (s / max(n, 1)), np.zeros((d, d))
+    c = (g - np.outer(s, s) / n) / (n - 1)
+    return n, s / n, c
+
+
+def _pca_moments(ds: rd.Dataset) -> "pd.DataFrame":
+    """Summed moment rows for the dataset: driver-local single partial
+    below the gate, per-block partials + ONE bucketed grouped sum above
+    it (never a driver structure beyond O(d^2) rows either way)."""
+    import ray
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    if ds.count() < _PCA_LOCAL_GATE:
+        tabs = [t.select(["embedding"]) for t in ray.get(ds.to_arrow_refs())
+                if t.num_rows > 0]
+        if not tabs:
+            return _cov_moment_rows(
+                pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+            ).to_pandas()
+        return _cov_moment_rows(
+            pa.concat_tables(tabs).combine_chunks()
+        ).to_pandas()
+    summed = hash_bucket_sum(
+        ds.map_batches(_cov_moment_rows, batch_format="pyarrow"),
+        keys=["dim_i", "dim_j"], sum_cols=["v"], n_buckets=16,
+    )
+    out = summed.to_pandas()
+    return out[["dim_i", "dim_j", "v"]]
+
+
+def embedding_covariance(ds: rd.Dataset) -> "pd.DataFrame":
+    """Sample covariance of the embedding matrix as (dim_i, dim_j, cov)
+    upper-triangle rows, 4-dp quantized at the emit boundary (sums of
+    ~n float64 products; association noise ~1e-11 against the oracle's
+    covar_samp stream — five orders under the grid). The SQL twin is the
+    dims-cross-join covar_samp aggregate."""
+    import pandas as pd
+
+    mom = _pca_moments(ds)
+    if not len(mom[(mom["dim_i"] == -1)]):
+        return pd.DataFrame({
+            "dim_i": pd.Series([], dtype="int64"),
+            "dim_j": pd.Series([], dtype="int64"),
+            "cov": pd.Series([], dtype="float64"),
+        })
+    _, _, c = _cov_from_moments(mom)
+    iu, ju = np.triu_indices(c.shape[0])
+    return pd.DataFrame({
+        "dim_i": iu.astype(np.int64),
+        "dim_j": ju.astype(np.int64),
+        "cov": np.round(c[iu, ju], 4),
+    })
+
+
+def pca_project(ds: rd.Dataset, k: int = 4) -> rd.Dataset:
+    """Project embeddings onto the top-k principal components:
+    (vec_id, pc0..pc{k-1}). One moment pass (shared with
+    embedding_covariance), a d x d eigh on the driver, then a map-only
+    centered matmul per block with the (mean, components) pair shipped
+    in the task closure (d*k floats — never a shuffle). Component signs
+    are canonicalized (largest-|loading| entry positive) so output is
+    deterministic up to float noise."""
+    mom = _pca_moments(ds)
+    if not len(mom[(mom["dim_i"] == -1)]):
+        return rd.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             **{f"pc{j}": pa.array([], pa.float64()) for j in range(k)}}
+        ))
+    n, mean, c = _cov_from_moments(mom)
+    d = c.shape[0]
+    k = min(k, d)
+    w, vecs = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:k]
+    comp = vecs[:, order]
+    for j in range(comp.shape[1]):
+        i_max = int(np.argmax(np.abs(comp[:, j])))
+        if comp[i_max, j] < 0:
+            comp[:, j] = -comp[:, j]
+
+    names = [f"pc{j}" for j in range(k)]
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 **{nm: pa.array([], pa.float64()) for nm in names}}
+            )
+        mat = _to_matrix(batch)
+        proj = (mat - mean) @ comp
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             **{nm: proj[:, j] for j, nm in enumerate(names)}}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
