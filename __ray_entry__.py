@@ -1017,6 +1017,15 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_docs_pmi_collocations(sf_dir: str):
+    """Top-50 collocations by pointwise mutual information over the
+    corpus bigram table (Church & Hanks 1990), min bigram count 5,
+    ranked (4-dp pmi desc, w1, w2) on both sides."""
+    from ocr_ray.functions.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir))
+
+
 def _q_dedup_snm(sf_dir: str):
     """Sorted-neighborhood (merge/purge) near-dup pairs: sort by a
     16-char blocking key, compare each doc to its <=4 successors in the
@@ -1508,6 +1517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_snm": _q_dedup_snm,
         # distributed covariance (PCA moment pass; covar_samp twin)
         "embeddings_covariance": _q_embeddings_covariance,
+        # PMI collocation mining over the corpus bigram table
+        "docs_pmi_collocations": _q_docs_pmi_collocations,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5085,5 +5096,39 @@ def oracle_sql() -> dict[str, str]:
                round(covar_samp(a.v, b.v), 4) AS cov
         FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    out["docs_pmi_collocations"] = r"""
+        -- top-50 PMI collocations: marginals and N from the bigram
+        -- relation itself; both sides rank on the EMITTED 4-dp grid
+        -- with (w1, w2) tie-break (the knn rank-boundary contract)
+        WITH toksrc AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS tl
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(tl) AS tok,
+                 generate_subscripts(tl, 1) AS ord
+          FROM toksrc
+        ), bg AS (
+          SELECT doc_id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+          FROM toks QUALIFY w2 IS NOT NULL
+        ), c AS (
+          SELECT w1, w2, count(*) AS nxy FROM bg GROUP BY 1, 2
+        ), nx AS (
+          SELECT w1, sum(nxy) AS nx FROM c GROUP BY 1
+        ), ny AS (
+          SELECT w2, sum(nxy) AS ny FROM c GROUP BY 1
+        ), nn AS (
+          SELECT sum(nxy) AS nn FROM c
+        )
+        SELECT c.w1, c.w2, CAST(c.nxy AS BIGINT) AS nxy,
+               round(log2(CAST(c.nxy AS DOUBLE)) + log2(CAST(nn.nn AS DOUBLE))
+                     - log2(CAST(nx.nx AS DOUBLE))
+                     - log2(CAST(ny.ny AS DOUBLE)), 4) AS pmi
+        FROM c JOIN nx USING (w1) JOIN ny USING (w2) CROSS JOIN nn
+        WHERE c.nxy >= 5
+        ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50
     """
     return out

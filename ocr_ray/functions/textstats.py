@@ -917,3 +917,161 @@ def dsir_logratio(docs, target_lang: str = "en"):
     if local_tab is not None:
         return rd.from_arrow(score_of(local_tab))
     return docs.map_batches(score_of, batch_format="pyarrow")
+
+
+# --- PMI collocations -------------------------------------------------------
+
+_PMI_DECIMALS = 4
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+_PMI_LOCAL_GATE_DOCS = 50_000
+
+
+def _pmi_partial(t: pa.Table) -> pa.Table:
+    """Per-block bigram Counter partial (map-side combiner): only
+    distinct (w1, w2) keys per block ride the shuffle."""
+    import collections
+
+    c: collections.Counter = collections.Counter()
+    for txt in t.column("text").to_pylist():
+        toks = txt.lower().split()
+        c.update(zip(toks, toks[1:]))
+    if not c:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    w1, w2 = zip(*c.keys())
+    return pa.table({"w1": pa.array(list(w1), pa.string()),
+                     "w2": pa.array(list(w2), pa.string()),
+                     "n": pa.array(list(c.values()), pa.int64())})
+
+
+def _pmi_rank_cut(df, k: int):
+    """The shared ranking contract: rounded-pmi desc, then (w1, w2) —
+    both the engine and the SQL twin rank on the EMITTED grid (the knn
+    rank-boundary lesson)."""
+    return df.sort_values(
+        ["pmi", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+
+
+def pmi_collocations(docs, min_count: int = _PMI_MIN_COUNT,
+                     k: int = _PMI_TOPK):
+    """Top-k collocations by pointwise mutual information over the
+    corpus bigram table: pmi = log2(c_xy * N / (c_x * c_y)) with left /
+    right marginals and N taken from the bigram relation itself, cut to
+    bigrams with c_xy >= min_count — the collocation-extraction /
+    phrase-mining staple (Church & Hanks 1990). Emits (w1, w2, nxy, pmi)
+    ranked (pmi desc, w1, w2), pmi on the 4-dp grid (four
+    log2-of-integer terms; association noise ~1e-15).
+
+    Scale shape: the occurrence stream folds to per-block Counter
+    partials -> ONE bucketed grouped sum at distinct-bigram cardinality.
+    Marginals derive from that COUNT table (never a second pass over the
+    stream) as two more bucketed sums; they ride back as partitioned
+    bucket hash joins (vocabulary ~ corpus at web scale — no broadcast).
+    The top-k cut is per-bucket (each bigram lives in exactly one bucket)
+    with a bounded n_buckets * k driver merge. Below the doc gate the
+    identical Counter/rank kernels run driver-local."""
+    import collections  # noqa: F401  (used via _pmi_partial)
+
+    import pandas as pd
+
+    from ..stages.partial_agg import hash_bucket_sum
+
+    empty = pd.DataFrame({
+        "w1": pd.Series([], dtype="object"),
+        "w2": pd.Series([], dtype="object"),
+        "nxy": pd.Series([], dtype="int64"),
+        "pmi": pd.Series([], dtype="float64"),
+    })
+
+    def finish_local(cxy: pd.DataFrame) -> pd.DataFrame:
+        if not len(cxy):
+            return empty
+        nn = float(cxy["n"].sum())
+        nx = cxy.groupby("w1")["n"].sum()
+        ny = cxy.groupby("w2")["n"].sum()
+        sub = cxy[cxy["n"] >= min_count]
+        if not len(sub):
+            return empty
+        pmi = np.round(
+            np.log2(sub["n"].to_numpy(np.float64)) + np.log2(nn)
+            - np.log2(nx.loc[sub["w1"]].to_numpy(np.float64))
+            - np.log2(ny.loc[sub["w2"]].to_numpy(np.float64)),
+            _PMI_DECIMALS,
+        )
+        out = pd.DataFrame({
+            "w1": sub["w1"].to_numpy(),
+            "w2": sub["w2"].to_numpy(),
+            "nxy": sub["n"].to_numpy(np.int64),
+            "pmi": pmi,
+        })
+        return _pmi_rank_cut(out, k).reset_index(drop=True)
+
+    if docs.count() < _PMI_LOCAL_GATE_DOCS:
+        import ray
+
+        refs = docs.to_arrow_refs()
+        tabs = [t.select(["text"]) for t in ray.get(refs) if t.num_rows > 0]
+        if not tabs:
+            return empty
+        cxy = _pmi_partial(
+            pa.concat_tables(tabs).combine_chunks()
+        ).to_pandas()
+        return finish_local(cxy)
+
+    from ..pipelines.joins import bucket_hash_join
+
+    cxy = hash_bucket_sum(
+        docs.map_batches(_pmi_partial, batch_format="pyarrow"),
+        ["w1", "w2"], ["n"], count_alias="n_partials",
+    ).select_columns(["w1", "w2", "n"]).materialize()
+
+    nn = float(cxy.sum("n") or 0)
+    if nn == 0:
+        return empty
+
+    def rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(c, c) for c in t.column_names])
+        return fn
+
+    nx = hash_bucket_sum(
+        cxy.select_columns(["w1", "n"]), ["w1"], ["n"], count_alias="np1"
+    ).select_columns(["w1", "n"]).map_batches(
+        rename({"n": "nx"}), batch_format="pyarrow").materialize()
+    ny = hash_bucket_sum(
+        cxy.select_columns(["w2", "n"]), ["w2"], ["n"], count_alias="np2"
+    ).select_columns(["w2", "n"]).map_batches(
+        rename({"n": "ny"}), batch_format="pyarrow").materialize()
+
+    filt = cxy.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"), min_count)),
+        batch_format="pyarrow",
+    )
+    j = bucket_hash_join(filt, nx, on="w1", arrow_kernel=True).materialize()
+    j = bucket_hash_join(j, ny, on="w2", arrow_kernel=True)
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "w1" not in df.columns:
+            return empty
+        pmi = np.round(
+            np.log2(df["n"].to_numpy(np.float64)) + np.log2(nn)
+            - np.log2(df["nx"].to_numpy(np.float64))
+            - np.log2(df["ny"].to_numpy(np.float64)),
+            _PMI_DECIMALS,
+        )
+        out = pd.DataFrame({
+            "w1": df["w1"].to_numpy(),
+            "w2": df["w2"].to_numpy(),
+            "nxy": df["n"].to_numpy(np.int64),
+            "pmi": pmi,
+        })
+        # per-block partial cut: each bigram lives in exactly one block
+        return _pmi_rank_cut(out, k)
+
+    merged = j.map_batches(score_block, batch_format="pandas").to_pandas()
+    if not len(merged):
+        return empty
+    return _pmi_rank_cut(merged, k).reset_index(drop=True)

@@ -605,3 +605,92 @@ def test_embedding_quantize_matches_brute(ray_session, monkeypatch):
     dist = S.embedding_quantize(ds).to_pandas().sort_values(
         "vec_id").reset_index(drop=True)
     assert dist.equals(out)
+
+
+# --- PMI collocations ------------------------------------------------------
+
+
+def test_pmi_collocations_matches_brute(ray_session):
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import pmi_collocations
+
+    rng = np.random.RandomState(17)
+    vocab = ["red", "blue", "fish", "ray", "data", "arrow", "block"]
+    rows = []
+    for i in range(120):
+        toks = list(rng.choice(vocab, size=rng.randint(8, 20)))
+        if i % 3 == 0:
+            toks[2:2] = ["new", "york"]  # planted collocation
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    tbl = pa.Table.from_pylist(rows)
+
+    out = pmi_collocations(rd.from_arrow(tbl), min_count=3, k=10)
+
+    # brute replay: Counter over all docs, marginals from the count table
+    c = collections.Counter()
+    for r in rows:
+        t = r["text"].lower().split()
+        c.update(zip(t, t[1:]))
+    nn = float(sum(c.values()))
+    nx = collections.Counter()
+    ny = collections.Counter()
+    for (a, b), n in c.items():
+        nx[a] += n
+        ny[b] += n
+    exp = []
+    for (a, b), n in c.items():
+        if n >= 3:
+            pmi = round(
+                float(np.log2(n) + np.log2(nn)
+                      - np.log2(nx[a]) - np.log2(ny[b])), 4)
+            exp.append((a, b, n, pmi))
+    exp.sort(key=lambda r: (-r[3], r[0], r[1]))
+    expdf = pd.DataFrame(
+        exp[:10], columns=["w1", "w2", "nxy", "pmi"]
+    ).astype({"nxy": "int64"})
+    pd.testing.assert_frame_equal(out, expdf)
+    # the planted pair must rank first
+    assert (out.loc[0, "w1"], out.loc[0, "w2"]) == ("new", "york")
+
+
+def test_pmi_collocations_distributed_matches_local(ray_session, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ocr_ray.functions.textstats as TS
+
+    rng = np.random.RandomState(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=rng.randint(10, 25)))}
+        for i in range(200)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    loc = TS.pmi_collocations(ds, min_count=2, k=15)
+    monkeypatch.setattr(TS, "_PMI_LOCAL_GATE_DOCS", 0)
+    dist = TS.pmi_collocations(ds, min_count=2, k=15)
+    pd.testing.assert_frame_equal(dist, loc)
+
+
+def test_pmi_collocations_empty_and_below_min(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import pmi_collocations
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    assert len(pmi_collocations(rd.from_arrow(empty))) == 0
+    one = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["unique words only here"], pa.string())})
+    # every bigram count is 1 < min_count=5
+    assert len(pmi_collocations(rd.from_arrow(one))) == 0
