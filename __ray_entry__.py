@@ -1017,6 +1017,17 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_docs_ppl_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity terciles: bigram-LM score,
+    then NTILE(3) per lang by (4-dp nll_bits, doc_id) ascending —
+    bucket 1 = head / most fluent (Wenzek et al. 2020)."""
+    from ocr_ray.functions.textstats import ppl_buckets
+
+    langs = _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang"])
+    return ppl_buckets(_docs(sf_dir), langs)
+
+
 def _q_docs_pmi_collocations(sf_dir: str):
     """Top-50 collocations by pointwise mutual information over the
     corpus bigram table (Church & Hanks 1990), min bigram count 5,
@@ -1519,6 +1530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_covariance": _q_embeddings_covariance,
         # PMI collocation mining over the corpus bigram table
         "docs_pmi_collocations": _q_docs_pmi_collocations,
+        # CCNet-style per-language perplexity terciles (NTILE oracle)
+        "docs_ppl_buckets": _q_docs_ppl_buckets,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5130,5 +5143,44 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN nx USING (w1) JOIN ny USING (w2) CROSS JOIN nn
         WHERE c.nxy >= 5
         ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50
+    """
+    out["docs_ppl_buckets"] = r"""
+        -- CCNet perplexity terciles: the doc_perplexity LM chain, then
+        -- NTILE(3) per language ordered by the EMITTED 4-dp nll_bits
+        -- (both sides rank on the rounded grid) with doc_id tie-break
+        WITH toksrc AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS tl
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(tl) AS tok,
+                 generate_subscripts(tl, 1) AS ord
+          FROM toksrc
+        ), bg AS (
+          SELECT doc_id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+          FROM toks QUALIFY w2 IS NOT NULL
+        ), bc AS (
+          SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2
+        ), cc AS (
+          SELECT w1, count(*) AS nc FROM bg GROUP BY 1
+        ), v AS (
+          SELECT count(DISTINCT tok) AS v FROM toks
+        ), nll AS (
+          SELECT bg.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 round(sum(log2(cc.nc + v.v) - log2(bc.nb + 1.0))
+                       / count(*), 4) AS nll_bits
+          FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+          GROUP BY bg.doc_id
+        )
+        SELECT nll.doc_id, d.lang, nll.n_bigrams, nll.nll_bits,
+               CAST(ntile(3) OVER (
+                 PARTITION BY d.lang
+                 ORDER BY nll.nll_bits, nll.doc_id) AS BIGINT)
+                 AS ppl_bucket
+        FROM nll JOIN documents d ON d.doc_id = nll.doc_id
+        ORDER BY nll.doc_id
     """
     return out

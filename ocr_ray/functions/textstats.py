@@ -1075,3 +1075,168 @@ def pmi_collocations(docs, min_count: int = _PMI_MIN_COUNT,
     if not len(merged):
         return empty
     return _pmi_rank_cut(merged, k).reset_index(drop=True)
+
+
+# --- CCNet-style perplexity buckets ----------------------------------------
+
+_PPL_BUCKETS = 3
+_PPL_LOCAL_GATE_DOCS = 50_000
+
+
+def _ntile_of(ranks: np.ndarray, n_g: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket (1-based) for 0-based dense ranks within a
+    group of n_g rows: the first n_g % k buckets get ceil(n_g/k) rows."""
+    q, r = divmod(int(n_g), k)
+    head = r * (q + 1)
+    return np.where(
+        ranks < head,
+        ranks // max(q + 1, 1),
+        r + (ranks - head) // max(q, 1),
+    ).astype(np.int64) + 1
+
+
+def ppl_buckets(docs, langs, k: int = _PPL_BUCKETS):
+    """CCNet-style per-language perplexity terciles (Wenzek et al. 2020):
+    score every doc with the self-trained bigram LM (`bigram_nll`), then
+    NTILE(k) each language's docs by ascending (4-dp nll_bits, doc_id) —
+    bucket 1 = head (most fluent), k = tail. Emits
+    (doc_id, lang, n_bigrams, nll_bits, ppl_bucket).
+
+    Scale shape: the LM scoring is bigram_nll's partitioned-join plan;
+    lang attaches via ONE bucket hash join on doc_id (big-big safe).
+    The NTILE needs each doc's dense rank WITHIN its language — computed
+    the reconcile_sorted way: one (lang, nll_bits, doc_id) range sort
+    (rows are (id, lang, float) triples — the payload never shuffles),
+    a per-block O(blocks + langs) run summary, a driver prefix walk over
+    block boundaries (state O(langs)), then a vectorized per-block rank
+    + NTILE assignment. No task ever holds a whole language's rows —
+    a hot language just spans more sorted blocks."""
+    import pandas as pd
+
+    import ray
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "lang": pd.Series([], dtype="object"),
+        "n_bigrams": pd.Series([], dtype="int64"),
+        "nll_bits": pd.Series([], dtype="float64"),
+        "ppl_bucket": pd.Series([], dtype="int64"),
+    })
+
+    nll = bigram_nll(docs)
+
+    def finish_local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        df = df.sort_values(
+            ["lang", "nll_bits", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        sizes = df.groupby("lang", sort=False)["doc_id"].transform("size")
+        ranks = df.groupby("lang", sort=False).cumcount().to_numpy()
+        buckets = np.empty(len(df), dtype=np.int64)
+        for n_g in np.unique(sizes.to_numpy()):
+            m = (sizes == n_g).to_numpy()
+            buckets[m] = _ntile_of(ranks[m], int(n_g), k)
+        out = df[["doc_id", "lang", "n_bigrams", "nll_bits"]].copy()
+        out["ppl_bucket"] = buckets
+        return (out.sort_values("doc_id").reset_index(drop=True)
+                .astype({"doc_id": "int64", "n_bigrams": "int64",
+                         "ppl_bucket": "int64"}))
+
+    if docs.count() < _PPL_LOCAL_GATE_DOCS:
+        ndf = nll.to_pandas()
+        ldf = langs.to_pandas()
+        return finish_local(ndf.merge(ldf, on="doc_id", how="inner"))
+
+    from ..pipelines.joins import bucket_hash_join
+
+    joined = bucket_hash_join(nll, langs, on="doc_id", arrow_kernel=True)
+
+    nblocks = (
+        int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized() else 8
+    )
+    sorted_ds = (
+        joined.repartition(nblocks)
+        .sort(["lang", "nll_bits", "doc_id"])
+        .materialize()
+    )
+
+    _SUM = pa.schema([
+        ("bk_lang", pa.string()), ("bk_nll", pa.float64()),
+        ("bk_id", pa.int64()), ("lang", pa.string()), ("cnt", pa.int64()),
+    ])
+
+    def _runs(t: pa.Table):
+        g = t.column("lang").to_numpy(zero_copy_only=False)
+        n = len(g)
+        change = np.r_[True, g[1:] != g[:-1]]
+        starts = np.nonzero(change)[0]
+        cnts = np.diff(np.append(starts, n))
+        bk = (str(g[0]),
+              float(t.column("nll_bits")[0].as_py()),
+              int(t.column("doc_id")[0].as_py()))
+        return g, starts, cnts, bk
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SUM.empty_table()
+        g, starts, cnts, bk = _runs(t)
+        m = len(starts)
+        return pa.Table.from_pydict(
+            {"bk_lang": [bk[0]] * m, "bk_nll": [bk[1]] * m,
+             "bk_id": [bk[2]] * m,
+             "lang": [str(x) for x in g[starts]],
+             "cnt": cnts.astype(np.int64)},
+            schema=_SUM,
+        )
+
+    summary = sorted_ds.map_batches(
+        summarize, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()
+    if not len(summary):
+        return empty
+    summary = summary.sort_values(
+        ["bk_lang", "bk_nll", "bk_id"], kind="mergesort"
+    )
+    running: dict = {}
+    offsets: dict = {}
+    for row in summary.itertuples(index=False):
+        offsets[(row.bk_lang, row.bk_nll, row.bk_id, row.lang)] = (
+            running.get(row.lang, 0)
+        )
+        running[row.lang] = running.get(row.lang, 0) + int(row.cnt)
+    totals = dict(running)  # per-lang group sizes, O(langs)
+    oref = ray.put(offsets)
+    tref = ray.put(totals)
+
+    _OUT = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()),
+        ("n_bigrams", pa.int64()), ("nll_bits", pa.float64()),
+        ("ppl_bucket", pa.int64()),
+    ])
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        offs, tots = ray.get(oref), ray.get(tref)
+        g, starts, cnts, bk = _runs(t)
+        buckets = np.empty(t.num_rows, dtype=np.int64)
+        for s, c, lg in zip(starts, cnts, g[starts]):
+            lg = str(lg)
+            base = offs[(bk[0], bk[1], bk[2], lg)]
+            ranks = base + np.arange(c, dtype=np.int64)
+            buckets[s:s + c] = _ntile_of(ranks, tots[lg], k)
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("lang"),
+             t.column("n_bigrams"), t.column("nll_bits"),
+             pa.array(buckets)],
+            schema=_OUT,
+        )
+
+    out = sorted_ds.map_batches(
+        assign, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_bigrams": "int64",
+                     "ppl_bucket": "int64"}))

@@ -694,3 +694,54 @@ def test_pmi_collocations_empty_and_below_min(ray_session):
                     "text": pa.array(["unique words only here"], pa.string())})
     # every bigram count is 1 < min_count=5
     assert len(pmi_collocations(rd.from_arrow(one))) == 0
+
+
+# --- perplexity buckets ----------------------------------------------------
+
+
+def test_ntile_of_matches_duckdb():
+    import duckdb
+    import numpy as np
+
+    from ocr_ray.functions.textstats import _ntile_of
+
+    con = duckdb.connect()
+    for n_g in (1, 2, 3, 4, 7, 10, 100):
+        for k in (2, 3, 4):
+            exp = [
+                r[0] for r in con.sql(
+                    f"SELECT ntile({k}) OVER (ORDER BY i) FROM range({n_g}) t(i)"
+                ).fetchall()
+            ]
+            got = _ntile_of(np.arange(n_g), n_g, k).tolist()
+            assert got == exp, (n_g, k)
+
+
+def test_ppl_buckets_distributed_matches_local(ray_session, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ocr_ray.functions.textstats as TS
+
+    rng = np.random.RandomState(31)
+    vocab = ["kk", "ll", "mm", "nn", "oo", "pp", "qq"]
+    rows = []
+    for i in range(150):
+        rows.append({
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab, size=rng.randint(8, 30))),
+            "lang": ["en", "de", "fr"][i % 3],
+        })
+    tbl = pa.Table.from_pylist(rows)
+    docs = rd.from_arrow(tbl.select(["doc_id", "text"])).repartition(5)
+    langs = rd.from_arrow(tbl.select(["doc_id", "lang"])).repartition(4)
+    loc = TS.ppl_buckets(docs, langs)
+    monkeypatch.setattr(TS, "_PPL_LOCAL_GATE_DOCS", 0)
+    monkeypatch.setattr(TS, "_NLL_LOCAL_GATE_DOCS", 0)
+    dist = TS.ppl_buckets(docs, langs)
+    pd.testing.assert_frame_equal(dist, loc)
+    # every lang's buckets are 1..3 with NTILE-balanced sizes
+    sizes = loc.groupby(["lang", "ppl_bucket"]).size().groupby("lang")
+    assert (sizes.max() - sizes.min() <= 1).all()
