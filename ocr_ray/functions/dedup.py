@@ -1824,22 +1824,30 @@ def snm_pairs(
     pairs = pairs.materialize()
 
     # ---- verify: ship each doc's token-hash set to its pairs ----
-    def tok_blob(cols: list[str]):
+    def tok_blob(t: pa.Table) -> pa.Table:
+        out_id, out_tk = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            out_id.append(did)
+            out_tk.append(_snm_token_hashes(txt).tobytes())
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "tk": pa.array(out_tk, pa.binary())}
+        )
+
+    def rename_arrow(cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            out_id, out_tk = [], []
-            for did, txt in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-                out_id.append(did)
-                out_tk.append(_snm_token_hashes(txt).tobytes())
-            return pa.Table.from_pydict(
-                {cols[0]: pa.array(out_id, pa.int64()),
-                 cols[1]: pa.array(out_tk, pa.binary())}
-            )
+            return t.rename_columns(cols)
         return fn
 
     n_pairs = pairs.count()
-    tok_a = docs.map_batches(tok_blob(["doc_a", "tk_a"]), batch_format="pyarrow")
-    tok_b = docs.map_batches(tok_blob(["doc_b", "tk_b"]), batch_format="pyarrow")
+    # hash the corpus ONCE; the two join legs are zero-copy renames of
+    # the same materialized blob table (the minhash sh_ds idiom)
+    tok_ds = docs.map_batches(tok_blob, batch_format="pyarrow").materialize()
+    tok_a = tok_ds.map_batches(
+        rename_arrow(["doc_a", "tk_a"]), batch_format="pyarrow")
+    tok_b = tok_ds.map_batches(
+        rename_arrow(["doc_b", "tk_b"]), batch_format="pyarrow")
     nb = min(256, max(8, n_pairs // 20_000))
     # materialized between the chained cogroups (schema-probe re-execution)
     j = cogroup_bucket_join(pairs, tok_a, "doc_a", n_buckets=nb).materialize()
