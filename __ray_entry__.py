@@ -1017,6 +1017,15 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_doc_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords (tf * ln(N/df)), ranked on the
+    emitted 4-dp score with term-asc tie-break on both sides."""
+    from ocr_ray.functions.textstats import tfidf_topk
+
+    out = tfidf_topk(_docs(sf_dir), n=3).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def _q_docs_ppl_buckets(sf_dir: str):
     """CCNet-style per-language perplexity terciles: bigram-LM score,
     then NTILE(3) per lang by (4-dp nll_bits, doc_id) ascending —
@@ -1532,6 +1541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pmi_collocations": _q_docs_pmi_collocations,
         # CCNet-style per-language perplexity terciles (NTILE oracle)
         "docs_ppl_buckets": _q_docs_ppl_buckets,
+        # per-doc TF-IDF keywords (transcendental sibling of rare_terms)
+        "doc_tfidf_terms": _q_doc_tfidf_terms,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5182,5 +5193,37 @@ def oracle_sql() -> dict[str, str]:
                  AS ppl_bucket
         FROM nll JOIN documents d ON d.doc_id = nll.doc_id
         ORDER BY nll.doc_id
+    """
+    out["doc_tfidf_terms"] = r"""
+        -- per-doc top-3 TF-IDF keywords: score = tf * ln(N/df), both
+        -- sides rank on the emitted 4-dp score with term-asc tie-break
+        WITH toksrc AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS tl
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(tl) AS tok FROM toksrc
+        ), tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+          SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        ), nd AS (
+          SELECT count(*) AS nd FROM documents
+        ), s AS (
+          SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                 round(tf.tf * ln(CAST(nd.nd AS DOUBLE) / df.df), 4)
+                   AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN nd
+        ), r AS (
+          SELECT doc_id, tok, tf, df, score,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, tok
+                 ) AS BIGINT) AS rank
+          FROM s
+        )
+        SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, score, rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank
     """
     return out

@@ -1240,3 +1240,75 @@ def ppl_buckets(docs, langs, k: int = _PPL_BUCKETS):
     return (out.sort_values("doc_id").reset_index(drop=True)
             .astype({"doc_id": "int64", "n_bigrams": "int64",
                      "ppl_bucket": "int64"}))
+
+
+# --- TF-IDF keywords -------------------------------------------------------
+
+_TFIDF_DECIMALS = 4
+
+
+def tfidf_topk(docs, n: int = 3):
+    """Per-doc top-n keywords by TF-IDF: score = tf * ln(N / df) with raw
+    in-doc term counts, corpus document frequency and N = corpus doc
+    count — the transcendental sibling of `rare_terms` (which ranks by
+    integer df to stay float-free). Both sides rank on the EMITTED 4-dp
+    score with term-asc tie-break (the knn rank-boundary contract).
+
+    Scale shape (same as rare_terms): per-batch (doc_id, tok, tf) rows
+    via one vectorized tokenize + batch-local groupby (a doc never
+    crosses blocks, so in-doc counts are exact locally); df is ONE
+    hash-bucketed grouped count over those rows; df rides back via the
+    partitioned bucket hash join; the cut is the shared grouped_topn
+    partial-combiner kernel. N is the one driver scalar."""
+    import pandas as pd
+
+    from ..pipelines.joins import bucket_hash_join
+    from ..stages.partial_agg import grouped_topn, hash_bucket_sum
+
+    def tf_of(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        toks = split_ws(pc.utf8_lower(text))
+        flat = contiguous_array(pc.list_flatten(toks))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame(
+                {"doc_id": did[keep],
+                 "tok": flat.to_pandas().to_numpy()[keep]}
+            )
+            .groupby(["doc_id", "tok"], as_index=False)
+            .size()
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+             "tok": pa.array(g["tok"], pa.string()),
+             "tf": pa.array(g["size"].to_numpy(np.int64))}
+        )
+
+    n_docs = float(docs.count())
+    # materialized: df count + join both read the tf rows
+    tf = docs.map_batches(tf_of, batch_format="pyarrow").materialize()
+    dfs = hash_bucket_sum(tf.select_columns(["tok"]), ["tok"], [],
+                          count_alias="df").materialize()
+    joined = bucket_hash_join(tf, dfs, on="tok", arrow_kernel=True)
+
+    def score_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = np.round(
+            df["tf"].to_numpy(np.float64)
+            * np.log(n_docs / df["df"].to_numpy(np.float64)),
+            _TFIDF_DECIMALS,
+        )
+        return df
+
+    return grouped_topn(
+        joined, "doc_id", ["score", "tok"], [False, True], n,
+        payload_cols=["doc_id", "tok", "tf", "df", "score"],
+        out_dtypes={"doc_id": "int64", "tok": "object", "tf": "int64",
+                    "df": "int64", "score": "float64"},
+        prep=score_of,
+    )

@@ -745,3 +745,57 @@ def test_ppl_buckets_distributed_matches_local(ray_session, monkeypatch):
     # every lang's buckets are 1..3 with NTILE-balanced sizes
     sizes = loc.groupby(["lang", "ppl_bucket"]).size().groupby("lang")
     assert (sizes.max() - sizes.min() <= 1).all()
+
+
+# --- TF-IDF keywords -------------------------------------------------------
+
+
+def test_tfidf_topk_matches_brute(ray_session):
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import tfidf_topk
+
+    rng = np.random.RandomState(41)
+    vocab = ["common"] * 0 + ["aa", "bb", "cc", "dd", "ee", "rare1", "rare2"]
+    rows = []
+    for i in range(60):
+        toks = list(rng.choice(vocab[:5], size=rng.randint(6, 15)))
+        if i % 7 == 0:
+            toks.append("rare1")
+        if i % 11 == 0:
+            toks.append("rare2")
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    tbl = pa.Table.from_pylist(rows)
+
+    out = tfidf_topk(rd.from_arrow(tbl), n=3).to_pandas()
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    # brute replay
+    tf: dict = {}
+    dfc: collections.Counter = collections.Counter()
+    for r in rows:
+        c = collections.Counter(r["text"].lower().split())
+        tf[r["doc_id"]] = c
+        dfc.update(c.keys())
+    nd = float(len(rows))
+    exp_rows = []
+    for did in sorted(tf):
+        scored = sorted(
+            ((tok, n_, dfc[tok],
+              round(float(n_ * np.log(nd / dfc[tok])), 4))
+             for tok, n_ in tf[did].items()),
+            key=lambda r: (-r[3], r[0]),
+        )[:3]
+        for rk, (tok, n_, df_, sc) in enumerate(scored, 1):
+            exp_rows.append((did, tok, n_, df_, sc, rk))
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["doc_id", "tok", "tf", "df", "score", "rank"],
+    ).astype({"doc_id": "int64", "tf": "int64", "df": "int64",
+              "rank": "int64"})
+    pd.testing.assert_frame_equal(out, exp)
