@@ -164,6 +164,10 @@ def run_bench(ncpu: int) -> dict:
         "train_bpe_merges",
         "docs_dsir_weights",
         "docs_gopher_filter",
+        "dedup_snm",
+        "docs_pmi_collocations",
+        "doc_tfidf_terms",
+        "embeddings_covariance",
     ]
     # min-of-N per query too (not just the headline): the first run doubles
     # as warm-up and min absorbs contended-VM windows — the round-2 driver

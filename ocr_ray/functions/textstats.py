@@ -1245,6 +1245,7 @@ def ppl_buckets(docs, langs, k: int = _PPL_BUCKETS):
 # --- TF-IDF keywords -------------------------------------------------------
 
 _TFIDF_DECIMALS = 4
+_TFIDF_LOCAL_GATE_DOCS = 50_000
 
 
 def tfidf_topk(docs, n: int = 3):
@@ -1290,6 +1291,54 @@ def tfidf_topk(docs, n: int = 3):
         )
 
     n_docs = float(docs.count())
+
+    # below-gate driver-local fast path (the graph_triangles lesson:
+    # four dataset executions on a tiny corpus is pure fixed overhead).
+    # IDENTICAL kernels: tf_of on one concatenated table, pandas df
+    # count, the same rounded score and (score desc, tok) rank cut.
+    if n_docs < _TFIDF_LOCAL_GATE_DOCS:
+        import ray
+
+        import ray.data as rd
+
+        from ..stages.partial_agg import from_pandas as _fp
+
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "tok": pd.Series([], dtype="object"),
+            "tf": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int64"),
+        })
+        tabs = [t.select(["doc_id", "text"]) for t in
+                ray.get(docs.to_arrow_refs()) if t.num_rows > 0]
+        if not tabs:
+            return rd.from_arrow(_fp(empty))
+        tfl = tf_of(
+            pa.concat_tables(tabs).combine_chunks()
+        ).to_pandas()
+        if not len(tfl):
+            return rd.from_arrow(_fp(empty))
+        dfl = tfl.groupby("tok")["doc_id"].size()
+        tfl["df"] = dfl.loc[tfl["tok"]].to_numpy(np.int64)
+        tfl["score"] = np.round(
+            tfl["tf"].to_numpy(np.float64)
+            * np.log(n_docs / tfl["df"].to_numpy(np.float64)),
+            _TFIDF_DECIMALS,
+        )
+        tfl = tfl.sort_values(
+            ["doc_id", "score", "tok"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        r = tfl.groupby("doc_id", sort=False).cumcount()
+        out = tfl[r < n].copy()
+        out["rank"] = (r[r < n] + 1).to_numpy(np.int64)
+        out = out[["doc_id", "tok", "tf", "df", "score", "rank"]].astype(
+            {"doc_id": "int64", "tf": "int64", "df": "int64",
+             "rank": "int64"})
+        return rd.from_arrow(_fp(out.reset_index(drop=True)))
+
     # materialized: df count + join both read the tf rows
     tf = docs.map_batches(tf_of, batch_format="pyarrow").materialize()
     dfs = hash_bucket_sum(tf.select_columns(["tok"]), ["tok"], [],

@@ -799,3 +799,27 @@ def test_tfidf_topk_matches_brute(ray_session):
     ).astype({"doc_id": "int64", "tf": "int64", "df": "int64",
               "rank": "int64"})
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_tfidf_topk_distributed_matches_local(ray_session, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ocr_ray.functions.textstats as TS
+
+    rng = np.random.RandomState(47)
+    vocab = ["tt", "uu", "vv", "ww", "xx", "yy"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=rng.randint(5, 18)))}
+        for i in range(180)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+    loc = TS.tfidf_topk(ds, n=3).to_pandas().sort_values(
+        ["doc_id", "rank"]).reset_index(drop=True)
+    monkeypatch.setattr(TS, "_TFIDF_LOCAL_GATE_DOCS", 0)
+    dist = TS.tfidf_topk(ds, n=3).to_pandas().sort_values(
+        ["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, loc)
