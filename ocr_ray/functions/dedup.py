@@ -1616,8 +1616,12 @@ def _snm_token_hashes(text: str, fast: bool | None = None) -> np.ndarray:
     """Sorted unique 61-bit hashes of the doc's lowercased whitespace
     tokens. Default md5-le64 path is replayed bit-for-bit by the oracle
     (`_md5_le64_terms`); OCR_RAY_FAST_HASH=1 swaps in one vectorized
-    pandas hash_array pass (same convention as `_token_hashes`)."""
-    toks = np.unique(np.array(text.lower().split() or [""], dtype=object))
+    pandas hash_array pass (same convention as `_token_hashes`). A
+    token-less doc yields an EMPTY set (its pairs then fail the verify
+    below, mirroring the oracle's inner joins which drop such docs)."""
+    toks = np.unique(np.array(text.lower().split(), dtype=object))
+    if toks.size == 0:
+        return np.empty(0, dtype=np.uint64)
     if fast is None:
         fast = os.environ.get("OCR_RAY_FAST_HASH", "") not in ("", "0")
     if fast:
@@ -1645,7 +1649,10 @@ def _snm_verify(tok_of: dict, a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
         sb = tok_of[int(y)]
         inter = np.intersect1d(sa, sb, assume_unique=True).size
         uni = sa.size + sb.size - inter
-        if _SNM_TAU_DEN * inter >= _SNM_TAU_NUM * uni:
+        # uni == 0 (two token-less docs) never emits: the SQL twin's
+        # inner joins drop docs with no tokens, and 0 >= 0 would
+        # otherwise pass the integer threshold vacuously
+        if uni > 0 and _SNM_TAU_DEN * inter >= _SNM_TAU_NUM * uni:
             keep_a.append(int(x))
             keep_b.append(int(y))
             keep_i.append(inter)

@@ -973,8 +973,6 @@ def pmi_collocations(docs, min_count: int = _PMI_MIN_COUNT,
     The top-k cut is per-bucket (each bigram lives in exactly one bucket)
     with a bounded n_buckets * k driver merge. Below the doc gate the
     identical Counter/rank kernels run driver-local."""
-    import collections  # noqa: F401  (used via _pmi_partial)
-
     import pandas as pd
 
     from ..stages.partial_agg import hash_bucket_sum

@@ -712,3 +712,20 @@ def test_snm_window_pairs_edges():
     a, b = _snm_window_pairs(np.array([9, 2, 5], dtype=np.int64), 5)
     got = sorted(zip(a.tolist(), b.tolist()))
     assert got == [(2, 5), (2, 9), (5, 9)]
+
+
+def test_snm_tokenless_docs_never_pair(ray_session):
+    """Two adjacent token-less docs (empty key, empty token sets) must
+    NOT emit a pair — the SQL twin's inner joins drop such docs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.dedup import snm_pairs
+
+    tbl = pa.Table.from_pylist([
+        {"doc_id": 0, "text": "   "},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "real tokens in this one here yes"},
+    ])
+    out = snm_pairs(rd.from_arrow(tbl))
+    assert len(out) == 0
