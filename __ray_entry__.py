@@ -1017,6 +1017,17 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (LBFS/rsync-style, token granularity):
+    chunk boundaries where md5-le64(token) % 16 == 0 — the
+    dedup-friendly alternative to fixed-stride chunking. All-integer
+    output, exact oracle."""
+    from ocr_ray.functions.packing import cdc_chunks
+
+    out = cdc_chunks(_docs(sf_dir)).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def _q_doc_tfidf_terms(sf_dir: str):
     """Per-doc top-3 TF-IDF keywords (tf * ln(N/df)), ranked on the
     emitted 4-dp score with term-asc tie-break on both sides."""
@@ -1558,6 +1569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_temperature_mix": _q_docs_temperature_mix,
         # int8-style embedding quantization (exact integer-summary oracle)
         "embeddings_quantized": _q_embeddings_quantized,
+        # content-defined chunking (map-only, all-integer exact oracle)
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5240,5 +5253,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
                CAST(df AS BIGINT) AS df, score, rank
         FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+    out["docs_cdc_chunks"] = f"""
+        -- content-defined chunking: boundary AFTER any token whose
+        -- md5-le64 61-bit hash is 0 mod 16 (the engine's hash_token,
+        -- replayed bit-for-bit); chunk id = 1 + count of boundaries
+        -- among STRICTLY PRECEDING tokens of the doc
+        WITH toksrc AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS tl
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(tl) AS tok,
+                 generate_subscripts(tl, 1) AS ord
+          FROM toksrc
+        ), b AS (
+          SELECT doc_id, ord,
+                 CASE WHEN ({_md5_le64_terms("tok")})
+                        % 2305843009213693951 % 16 = 0
+                      THEN 1 ELSE 0 END AS bnd
+          FROM toks
+        ), seg AS (
+          SELECT doc_id, ord,
+                 1 + coalesce(sum(bnd) OVER (
+                   PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS chunk_idx
+          FROM b
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(min(ord) AS BIGINT) AS start_tok,
+               CAST(max(ord) AS BIGINT) AS end_tok,
+               count(*) AS n_tokens
+        FROM seg GROUP BY doc_id, chunk_idx
+        ORDER BY doc_id, chunk_idx
     """
     return out

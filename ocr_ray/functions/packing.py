@@ -21,8 +21,8 @@ import ray.data as rd
 
 from ..stages.partial_agg import contiguous_array
 
-__all__ = ["pack_sequences", "chunk_documents", "PACK_CAP", "PACK_SHARD",
-           "CHUNK_TOKENS", "CHUNK_STRIDE"]
+__all__ = ["pack_sequences", "chunk_documents", "cdc_chunks", "PACK_CAP",
+           "PACK_SHARD", "CHUNK_TOKENS", "CHUNK_STRIDE", "CDC_MODULUS"]
 
 PACK_CAP = 512    # max tokens per packed sequence
 PACK_SHARD = 256  # docs per contiguous packing shard
@@ -141,6 +141,84 @@ def chunk_documents(
             {"doc_id": t.column("doc_id").to_numpy(zero_copy_only=False)[row_idx],
              "chunk_idx": chunk_idx, "start_tok": start_tok, "n_tok": n_tok,
              "start_char": start_char, "n_chars": n_chars},
+            schema=out_schema,
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+# --- content-defined chunking ----------------------------------------------
+
+CDC_MODULUS = 16  # expected chunk length in tokens (geometric)
+
+
+def cdc_chunks(docs: rd.Dataset, modulus: int = CDC_MODULUS) -> rd.Dataset:
+    """Content-defined chunking at token granularity (the
+    dedup-friendly alternative to fixed-stride `chunk_documents`, per
+    LBFS/rsync-style CDC): a chunk BOUNDARY falls after any token whose
+    md5-le64 61-bit hash is 0 mod ``modulus``, so an edit moves at most
+    the two chunks it touches — every other chunk's (content, boundary)
+    pair is unchanged, which is the whole point for chunk-level dedup.
+    Emits (doc_id, chunk_idx 1-based, start_tok, end_tok 1-based
+    inclusive, n_tokens) — ALL integers, an exact oracle.
+
+    Scale shape: map-only. One vectorized tokenize + flatten per block,
+    per-token boundary bits, segment ids via cumsum, and one
+    np.unique/reduceat sweep per block — no shuffle, no driver state;
+    the token hash is the same md5-le64 the oracle replays
+    (`hash_token`)."""
+    from .textstats import hash_token
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("chunk_idx", pa.int64()),
+        ("start_tok", pa.int64()), ("end_tok", pa.int64()),
+        ("n_tokens", pa.int64()),
+    ])
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..stages.partial_agg import split_ws
+
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        text = pc.fill_null(contiguous_array(t.column("text")), "")
+        toks = split_ws(pc.utf8_lower(text))
+        flat = contiguous_array(pc.list_flatten(toks))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did_all = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_pandas().to_numpy()[keep]
+        did = did_all[keep]
+        if words.size == 0:
+            return out_schema.empty_table()
+        # per-doc 1-based token ordinals
+        new_doc = np.r_[True, did[1:] != did[:-1]]
+        first = np.flatnonzero(new_doc)
+        ord_ = np.arange(did.size, dtype=np.int64) - np.repeat(
+            first, np.diff(np.append(first, did.size))) + 1
+        # boundary AFTER token i iff hash % modulus == 0; a new chunk
+        # starts at doc start or right after a boundary
+        h = np.fromiter(
+            (hash_token(w) for w in words), dtype=np.int64, count=words.size
+        )
+        bnd = (h % modulus) == 0
+        new_chunk = new_doc | np.r_[False, bnd[:-1]]
+        starts = np.flatnonzero(new_chunk)
+        seg_doc = did[starts]
+        # chunk_idx: 1-based per doc
+        new_doc_seg = np.r_[True, seg_doc[1:] != seg_doc[:-1]]
+        first_seg = np.flatnonzero(new_doc_seg)
+        chunk_idx = np.arange(starts.size, dtype=np.int64) - np.repeat(
+            first_seg, np.diff(np.append(first_seg, starts.size))) + 1
+        counts = np.diff(np.append(starts, did.size))
+        return pa.Table.from_pydict(
+            {"doc_id": seg_doc.astype(np.int64),
+             "chunk_idx": chunk_idx,
+             "start_tok": ord_[starts],
+             "end_tok": ord_[starts] + counts - 1,
+             "n_tokens": counts.astype(np.int64)},
             schema=out_schema,
         )
 

@@ -332,3 +332,76 @@ def test_temperature_mix_matches_brute(ray_session):
 
     with pytest.raises(ValueError):
         temperature_mix(ds, "lang", "doc_id", alpha=1.5)
+
+
+# --- content-defined chunking ----------------------------------------------
+
+
+def test_cdc_chunks_matches_brute(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.packing import cdc_chunks
+
+    M = (1 << 61) - 1
+    rng = np.random.RandomState(53)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab, size=rng.randint(1, 60)))}
+        for i in range(80)
+    ] + [{"doc_id": 999, "text": "   "}]  # token-less doc -> no chunks
+
+    out = cdc_chunks(
+        rd.from_arrow(pa.Table.from_pylist(rows))
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    def h(w):
+        return int.from_bytes(
+            hashlib.md5(w.encode()).digest()[:8], "little") % M
+
+    exp = []
+    for r in rows:
+        toks = r["text"].lower().split()
+        ci, start = 1, 1
+        for i, w in enumerate(toks, 1):
+            if h(w) % 16 == 0 or i == len(toks):
+                exp.append((r["doc_id"], ci, start, i, i - start + 1))
+                ci, start = ci + 1, i + 1
+    expdf = pd.DataFrame(
+        exp, columns=["doc_id", "chunk_idx", "start_tok", "end_tok",
+                      "n_tokens"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, expdf)
+    # coverage invariant: chunk token counts tile each doc exactly
+    got_tot = out.groupby("doc_id")["n_tokens"].sum()
+    for r in rows:
+        n = len(r["text"].split())
+        if n:
+            assert got_tot[r["doc_id"]] == n
+
+
+def test_cdc_chunks_edit_locality(ray_session):
+    """The CDC property: editing one token changes only the chunk(s)
+    containing it — all other (start, end) chunk spans survive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.packing import cdc_chunks
+
+    base = " ".join(f"w{i:04d}" for i in range(200))
+    edited = base.replace("w0100", "CHANGED")
+    tbl = pa.Table.from_pylist(
+        [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": edited}])
+    out = cdc_chunks(rd.from_arrow(tbl)).to_pandas()
+    a = set(map(tuple, out[out.doc_id == 0][
+        ["start_tok", "end_tok"]].to_numpy()))
+    b = set(map(tuple, out[out.doc_id == 1][
+        ["start_tok", "end_tok"]].to_numpy()))
+    # at most the chunks bordering position 101 differ
+    assert len(a ^ b) <= 4
+    assert len(a & b) >= len(a) - 2
