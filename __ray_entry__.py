@@ -1571,6 +1571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_quantized": _q_embeddings_quantized,
         # content-defined chunking (map-only, all-integer exact oracle)
         "docs_cdc_chunks": _q_docs_cdc_chunks,
+        # per-user EWMA (bit-exact recursion vs a recursive-CTE twin)
+        "events_ewma": S.ewma_values,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5288,5 +5290,27 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_tokens
         FROM seg GROUP BY doc_id, chunk_idx
         ORDER BY doc_id, chunk_idx
+    """
+    out["events_ewma"] = r"""
+        -- per-user EWMA, ewma_1 = x_1, ewma_t = 0.3*x_t + 0.7*prev —
+        -- the engine evaluates the IDENTICAL IEEE expression per step,
+        -- so pre-rounding doubles are bit-equal; emitted at 4 dp
+        WITH RECURSIVE ev AS (
+          SELECT event_id, user_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ), rec AS (
+          SELECT event_id, user_id, value,
+                 CAST(value AS DOUBLE) AS ewma, rn
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.event_id, e.user_id, e.value,
+                 0.3 * e.value + 0.7 * r.ewma, e.rn
+          FROM ev e JOIN rec r
+            ON r.user_id = e.user_id AND e.rn = r.rn + 1
+        )
+        SELECT event_id, user_id, value, round(ewma, 4) AS ewma
+        FROM rec ORDER BY event_id
     """
     return out

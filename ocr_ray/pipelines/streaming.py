@@ -55,6 +55,7 @@ __all__ = [
     "retention_cohorts",
     "window_distinct_users",
     "first_touch_attribution",
+    "ewma_values",
 ]
 
 SESSION_GAP_MIN = 30
@@ -1614,3 +1615,78 @@ def user_value_p90(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return res.sort_values("user_id").reset_index(drop=True)
+
+
+EWMA_ALPHA = 0.3
+
+
+def ewma_values(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially weighted moving average of event values:
+    ewma_1 = x_1, ewma_t = 0.3*x_t + 0.7*ewma_{t-1} ordered by
+    (ts, event_id) — the infinite-memory recurrence sibling of the
+    bounded-frame moving_avg. The per-step update is evaluated in the
+    EXACT IEEE op order of the SQL twin's recursive CTE
+    (0.3*x + 0.7*prev, float64), so pre-rounding values are
+    bit-identical; emission rounds at 4 dp on both sides.
+
+    Scale shape: one user-hash bucket shuffle, then a single ordered
+    pass per bucket (users are contiguous after the in-bucket sort; the
+    recurrence resets at each segment start). The sequential dependency
+    is PER USER, so parallelism scales with buckets — a user's history
+    is the irreducible sequential unit, never the corpus. The Python
+    step loop is the price of bit-exact recursion order; at ~10^4 rows
+    per bucket it is noise against the shuffle."""
+    from ..stages.partial_agg import add_hash_bucket
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    bucketed = ds.map_batches(
+        lambda t: add_hash_bucket(t, ["user_id"], 64), batch_format="pyarrow"
+    )
+
+    a = EWMA_ALPHA
+    b = 1.0 - EWMA_ALPHA
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64),
+             "user_id": pd.Series([], dtype=np.int64),
+             "value": pd.Series([], dtype=np.float64),
+             "ewma": pd.Series([], dtype=np.float64)}
+        )
+        if not len(g) or "user_id" not in g.columns:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        users = g["user_id"].to_numpy()
+        vals = g["value"].to_numpy(np.float64)
+        n = len(vals)
+        out = np.empty(n, dtype=np.float64)
+        prev_u = None
+        prev = 0.0
+        for i in range(n):
+            v = float(vals[i])
+            u = users[i]
+            e = v if u != prev_u else a * v + b * prev
+            out[i] = e
+            prev = e
+            prev_u = u
+        # half-away-from-zero at 4 dp (DuckDB round(); np.round is
+        # half-even): the recursion doubles are BIT-IDENTICAL to the
+        # oracle's, so exact grid midpoints occur (2-dec inputs times
+        # 0.3/0.7) and the rounding RULE must match — unlike the
+        # noise-separated 4-dp emissions (nll/cosine/pmi), where the
+        # two sides never land on the same exact midpoint
+        r4 = np.sign(out) * np.floor(np.abs(out) * 1e4 + 0.5) / 1e4
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64),
+             "user_id": users.astype(np.int64),
+             "value": vals,
+             "ewma": r4}
+        )
+
+    res = (
+        bucketed.groupby("bucket")
+        .map_groups(kern, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values("event_id").reset_index(drop=True)

@@ -1059,3 +1059,55 @@ def test_bucket_hash_join_explicit_dtypes_skip_probe(ray_session):
         .to_pandas().sort_values(["k", "a", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(probe, explicit)
+
+
+# --- EWMA ------------------------------------------------------------------
+
+
+def test_ewma_matches_brute_recursion(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.streaming import ewma_values
+
+    rng = np.random.RandomState(59)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 12, size=n).astype(np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, size=n), unit="s"),
+        "value": np.round(rng.uniform(-50, 200, size=n), 2),
+        "event_type": ["x"] * n,
+        "props": ["{}"] * n,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = ewma_values(str(tmp_path))
+
+    # brute sequential replay in the exact same op order
+    exp = {}
+    for _, r in df.sort_values(["user_id", "ts", "event_id"]).iterrows():
+        u = r["user_id"]
+        v = float(r["value"])
+        e = v if u not in exp or exp[u] is None else 0.3 * v + 0.7 * exp[u]
+        exp[u] = e
+        exp[("row", int(r["event_id"]))] = e
+    got = out.set_index("event_id")["ewma"]
+    for eid in df["event_id"]:
+        x = exp[("row", int(eid))]
+        want = float(np.sign(x) * np.floor(abs(x) * 1e4 + 0.5) / 1e4)
+        assert got[eid] == want, eid
+
+
+def test_ewma_midpoint_rounds_half_away():
+    # 0.15 * 1 + 0 ... craft a value whose double sits exactly on a
+    # 4-dp midpoint: 0.00005 scaled -> floor(0.5+0.5)=1 -> 0.0001
+    import numpy as np
+
+    x = np.float64(0.00005)
+    r4 = np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+    assert r4 == 0.0001  # np.round would give 0.0 (half-even)
+    assert np.round(x, 4) == 0.0
