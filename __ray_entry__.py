@@ -1573,6 +1573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         # per-user EWMA (bit-exact recursion vs a recursive-CTE twin)
         "events_ewma": S.ewma_values,
+        # market-basket association rules over per-user type baskets
+        "events_assoc_rules": R.events_assoc_rules,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5312,5 +5314,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, user_id, value, round(ewma, 4) AS ewma
         FROM rec ORDER BY event_id
+    """
+    out["events_assoc_rules"] = r"""
+        -- market-basket association rules over per-user event-type
+        -- baskets: support / confidence / lift from single integer
+        -- divisions (bit-identical doubles; half-away 6-dp both sides)
+        WITH bp AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ), n AS (
+          SELECT count(DISTINCT user_id) AS nn FROM events
+        ), na AS (
+          SELECT event_type, count(*) AS c FROM bp GROUP BY 1
+        ), ab AS (
+          SELECT a.event_type AS ante, b.event_type AS cons,
+                 count(*) AS n_both
+          FROM bp a JOIN bp b
+            ON a.user_id = b.user_id AND a.event_type <> b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT ab.ante, ab.cons, ab.n_both,
+               na1.c AS n_ante, na2.c AS n_cons,
+               round(ab.n_both * 1.0 / n.nn, 6) AS support,
+               round(ab.n_both * 1.0 / na1.c, 6) AS confidence,
+               round(CAST(ab.n_both AS DOUBLE) * n.nn
+                     / (na1.c * na2.c), 6) AS lift
+        FROM ab
+        JOIN na na1 ON na1.event_type = ab.ante
+        JOIN na na2 ON na2.event_type = ab.cons
+        CROSS JOIN n
+        ORDER BY ab.ante, ab.cons
     """
     return out

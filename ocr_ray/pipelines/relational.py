@@ -54,6 +54,7 @@ __all__ = [
     "events_value_decile",
     "events_csv_source",
     "events_value_quantiles_cont",
+    "events_assoc_rules",
     "docs_source_lang_pivot",
     "events_user_type_count",
     "lineitem_rollup",
@@ -2165,3 +2166,81 @@ def null_profile(sf_dir: str) -> pd.DataFrame:
         out.sort_values(["table_name", "column_name"])
         .reset_index(drop=True)
     )
+
+
+def events_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Association rules over per-user event-type baskets (market-basket
+    support / confidence / lift, Agrawal et al. 1993): for each ordered
+    type pair (ante -> cons), n_both = users with both types, support =
+    n_both/N, confidence = n_both/n_ante, lift = n_both*N/(n_ante *
+    n_cons); N = distinct users. Single integer divisions on both sides
+    are bit-identical doubles, so emission rounds HALF-AWAY at 6 dp
+    (DuckDB round — the events_ewma midpoint lesson).
+
+    Scale shape: ONE bucketed grouped distinct collapses the event
+    stream to (user, type) basket rows (types ~ 5, users ~ corpus);
+    per-type counts fold from the basket rows; co-occurrence explodes
+    each user's <=T^2 ordered pairs inside a user-hash bucket pass and
+    folds by ONE tiny grouped sum (T^2 keys). No driver structure
+    beyond O(T^2)."""
+    from ..stages.partial_agg import add_hash_bucket, hash_bucket_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    baskets = hash_bucket_sum(
+        ds, ["user_id", "event_type"], [], count_alias="n_ev"
+    ).select_columns(["user_id", "event_type"]).materialize()
+
+    n_users = hash_bucket_sum(
+        baskets.select_columns(["user_id"]), ["user_id"], [],
+        count_alias="n_t",
+    ).count()
+
+    na = (
+        baskets.groupby("event_type").count().to_pandas()
+        .set_index("event_type")["count()"].to_dict()
+    )
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame(
+                {"ante": pd.Series([], dtype="object"),
+                 "cons": pd.Series([], dtype="object"),
+                 "n_both": pd.Series([], dtype="int64")}
+            )
+        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] != m["event_type_b"]]
+        out = m.groupby(
+            ["event_type_a", "event_type_b"], as_index=False
+        ).size()
+        return out.rename(columns={
+            "event_type_a": "ante", "event_type_b": "cons",
+            "size": "n_both"}).astype({"n_both": "int64"})
+
+    co = (
+        baskets.map_batches(
+            lambda t: add_hash_bucket(t, ["user_id"], 64),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(pair_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["ante", "cons"], as_index=False)["n_both"].sum()
+    )
+
+    def r6(x: np.ndarray) -> np.ndarray:
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    nb = co["n_both"].to_numpy(np.float64)
+    n_ante = np.array([na[a] for a in co["ante"]], dtype=np.int64)
+    n_cons = np.array([na[c] for c in co["cons"]], dtype=np.int64)
+    out = pd.DataFrame({
+        "ante": co["ante"],
+        "cons": co["cons"],
+        "n_both": co["n_both"].astype(np.int64),
+        "n_ante": n_ante,
+        "n_cons": n_cons,
+        "support": r6(nb / n_users),
+        "confidence": r6(nb / n_ante),
+        "lift": r6(nb * float(n_users) / (n_ante * n_cons).astype(np.float64)),
+    })
+    return out.sort_values(["ante", "cons"]).reset_index(drop=True)

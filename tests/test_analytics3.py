@@ -884,3 +884,56 @@ def test_profile_parquet_empty_table(ray_session, tmp_path):
     assert (got[["n", "n_null", "n_distinct"]] == 0).all().all()
     assert got["min_num"].isna().all() and got["max_num"].isna().all()
     assert (got[["n", "n_null", "n_distinct"]].dtypes == "int64").all()
+
+
+# --- association rules -----------------------------------------------------
+
+
+def test_assoc_rules_matches_brute(ray_session, tmp_path):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.relational import events_assoc_rules
+
+    rng = np.random.RandomState(61)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 40, size=n).astype(np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, size=n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "d"], size=n),
+        "value": np.round(rng.uniform(0, 100, size=n), 2),
+        "props": ["{}"] * n,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = events_assoc_rules(str(tmp_path))
+
+    baskets = df.groupby("user_id")["event_type"].agg(set)
+    nn = len(baskets)
+    na = {}
+    for s in baskets:
+        for t in s:
+            na[t] = na.get(t, 0) + 1
+    exp = []
+    types = sorted(na)
+    for a, b in itertools.permutations(types, 2):
+        nb = sum(1 for s in baskets if a in s and b in s)
+        if nb == 0:
+            continue
+
+        def r6(x):
+            return float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6)
+
+        exp.append((a, b, nb, na[a], na[b], r6(nb / nn), r6(nb / na[a]),
+                    r6(nb * float(nn) / float(na[a] * na[b]))))
+    expdf = pd.DataFrame(
+        exp, columns=["ante", "cons", "n_both", "n_ante", "n_cons",
+                      "support", "confidence", "lift"]
+    ).astype({"n_both": "int64", "n_ante": "int64", "n_cons": "int64"})
+    pd.testing.assert_frame_equal(out, expdf)
