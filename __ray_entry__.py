@@ -1017,6 +1017,17 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_docs_source_kl(sf_dir: str):
+    """Per-source token-distribution KL divergence vs the corpus (bits,
+    4-dp) — the domain-shift / mixture-diagnostics measurement."""
+    from ocr_ray.functions.textstats import source_kl
+
+    return source_kl(
+        _read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["source", "text"])
+    )
+
+
 def _q_docs_cdc_chunks(sf_dir: str):
     """Content-defined chunking (LBFS/rsync-style, token granularity):
     chunk boundaries where md5-le64(token) % 16 == 0 — the
@@ -1575,6 +1586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": S.ewma_values,
         # market-basket association rules over per-user type baskets
         "events_assoc_rules": R.events_assoc_rules,
+        # per-source KL divergence vs the corpus token distribution
+        "docs_source_kl": _q_docs_source_kl,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5343,5 +5356,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN na na2 ON na2.event_type = ab.cons
         CROSS JOIN n
         ORDER BY ab.ante, ab.cons
+    """
+    out["docs_source_kl"] = r"""
+        -- KL(P_source || P_corpus) in bits over tokens present in the
+        -- source (q's support covers p's, no smoothing); term form
+        -- mirrored exactly: (c/ns) * (log2(c*n) - log2(ct*ns))
+        WITH toksrc AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents
+        ), st AS (
+          SELECT source, tok, count(*) AS c FROM toksrc GROUP BY 1, 2
+        ), ct AS (
+          SELECT tok, sum(c) AS ct FROM st GROUP BY 1
+        ), ns AS (
+          SELECT source, sum(c) AS ns FROM st GROUP BY 1
+        ), n AS (
+          SELECT sum(c) AS n FROM st
+        )
+        SELECT st.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(sum((st.c * 1.0 / ns.ns)
+                         * (log2(CAST(st.c AS DOUBLE) * n.n)
+                            - log2(CAST(ct.ct AS DOUBLE) * ns.ns))), 4)
+                 AS kl_bits
+        FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
+        GROUP BY st.source, ns.ns ORDER BY st.source
     """
     return out

@@ -1359,3 +1359,103 @@ def tfidf_topk(docs, n: int = 3):
                     "df": "int64", "score": "float64"},
         prep=score_of,
     )
+
+
+# --- per-source KL divergence ----------------------------------------------
+
+_KL_DECIMALS = 4
+
+
+def source_kl(docs_with_source) -> "pd.DataFrame":
+    """Per-source token-distribution drift: KL(P_source || P_corpus) in
+    bits over the tokens PRESENT in the source (p = c_st/n_s, q =
+    c_t/n; q >= p's support by construction, so no smoothing is
+    needed) — the domain-shift / mixture-diagnostics measurement of a
+    data-curation pipeline. Emits (source, n_tokens, n_distinct,
+    kl_bits) with kl_bits on the 4-dp grid (a sum of ~vocab log terms;
+    association noise ~1e-13 against the SQL stream — the
+    noise-separated class, per the doc_perplexity envelope).
+
+    Scale shape: per-block (source, tok) Counter partials -> ONE
+    bucketed grouped sum at distinct-(source, tok) cardinality; corpus
+    token counts fold FROM that table (never a second stream pass);
+    counts join counts via the partitioned bucket hash join; per-source
+    totals are O(sources) driver rows and the final reduce is one tiny
+    grouped sum. Term form mirrored exactly in SQL:
+    (c_st/n_s) * (log2(c_st * n) - log2(c_t * n_s))."""
+    import collections
+
+    import pandas as pd
+
+    from ..pipelines.joins import bucket_hash_join
+    from ..stages.partial_agg import hash_bucket_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for src, txt in zip(t.column("source").to_pylist(),
+                            t.column("text").to_pylist()):
+            for w in txt.lower().split():
+                c[(src, w)] += 1
+        if not c:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        src, tok = zip(*c.keys())
+        return pa.table({"source": pa.array(list(src), pa.string()),
+                         "tok": pa.array(list(tok), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    st = hash_bucket_sum(
+        docs_with_source.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"], ["c"], count_alias="n_p",
+    ).select_columns(["source", "tok", "c"]).materialize()
+
+    ct = hash_bucket_sum(
+        st.select_columns(["tok", "c"]), ["tok"], ["c"], count_alias="n_s2"
+    ).select_columns(["tok", "c"]).map_batches(
+        lambda t: t.rename_columns(["tok", "ct"]), batch_format="pyarrow"
+    ).materialize()
+
+    totals = (
+        st.groupby("source").sum("c").to_pandas()
+        .set_index("source")["sum(c)"].to_dict()
+    )
+    n_corpus = float(sum(totals.values()))
+    if not totals:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "kl_bits": pd.Series([], dtype="float64"),
+        })
+
+    joined = bucket_hash_join(st, ct, on="tok", arrow_kernel=True)
+
+    def term_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "source" not in df.columns:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "kl_part": pd.Series([], dtype="float64"),
+                 "n_distinct": pd.Series([], dtype="int64")}
+            )
+        ns = np.array([totals[s] for s in df["source"]], dtype=np.float64)
+        cst = df["c"].to_numpy(np.float64)
+        ctt = df["ct"].to_numpy(np.float64)
+        term = (cst / ns) * (np.log2(cst * n_corpus) - np.log2(ctt * ns))
+        g = pd.DataFrame({"source": df["source"], "term": term}).groupby(
+            "source", as_index=False
+        ).agg(kl_part=("term", "sum"), n_distinct=("term", "size"))
+        return g.astype({"n_distinct": "int64"})
+
+    parts = joined.map_batches(term_partial, batch_format="pandas").to_pandas()
+    fin = parts.groupby("source", as_index=False).agg(
+        kl_part=("kl_part", "sum"), n_distinct=("n_distinct", "sum"))
+    out = pd.DataFrame({
+        "source": fin["source"],
+        "n_tokens": np.array([totals[s] for s in fin["source"]],
+                             dtype=np.int64),
+        "n_distinct": fin["n_distinct"].astype(np.int64),
+        "kl_bits": np.round(fin["kl_part"].to_numpy(np.float64),
+                            _KL_DECIMALS),
+    })
+    return out.sort_values("source").reset_index(drop=True)

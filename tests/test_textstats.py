@@ -823,3 +823,59 @@ def test_tfidf_topk_distributed_matches_local(ray_session, monkeypatch):
     dist = TS.tfidf_topk(ds, n=3).to_pandas().sort_values(
         ["doc_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(dist, loc)
+
+
+# --- per-source KL ---------------------------------------------------------
+
+
+def test_source_kl_matches_brute(ray_session):
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.functions.textstats import source_kl
+
+    rng = np.random.RandomState(67)
+    vocabs = {"s1": ["aa", "bb", "cc"], "s2": ["bb", "cc", "dd", "ee"]}
+    rows = []
+    for i in range(120):
+        src = "s1" if i % 2 else "s2"
+        rows.append({
+            "doc_id": i, "source": src,
+            "text": " ".join(rng.choice(vocabs[src],
+                                        size=rng.randint(5, 20)))})
+    out = source_kl(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4))
+
+    st: collections.Counter = collections.Counter()
+    for r in rows:
+        for w in r["text"].lower().split():
+            st[(r["source"], w)] += 1
+    ct: collections.Counter = collections.Counter()
+    ns: collections.Counter = collections.Counter()
+    for (s, w), c in st.items():
+        ct[w] += c
+        ns[s] += c
+    n = float(sum(ns.values()))
+    exp = []
+    for s in sorted(ns):
+        terms = [
+            (c / float(ns[s])) * (np.log2(c * n)
+                                  - np.log2(ct[w] * float(ns[s])))
+            for (s2, w), c in st.items() if s2 == s
+        ]
+        nd = sum(1 for (s2, _) in st if s2 == s)
+        exp.append((s, ns[s], nd, round(float(np.sum(
+            np.sort(np.asarray(terms)))), 4)))
+    # engine sums in its own order; compare at the emitted grid with a
+    # one-ulp tolerance on the grid boundary
+    got = out.set_index("source")
+    for s, n_tok, nd, kl in exp:
+        assert got.loc[s, "n_tokens"] == n_tok
+        assert got.loc[s, "n_distinct"] == nd
+        assert abs(got.loc[s, "kl_bits"] - kl) <= 1e-4
+    # distribution drift must be positive for disjoint-ish vocabs
+    assert (out["kl_bits"] > 0).all()
