@@ -1017,6 +1017,15 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_graph_bfs(sf_dir: str):
+    """BFS hop distance (0..3) from supplier 0 over the co-part graph —
+    the frontier-expansion member of the graph family; unrolled
+    level-set oracle."""
+    from ocr_ray.pipelines.graph import bfs_hops, copart_edges
+
+    return bfs_hops(copart_edges(sf_dir), seed=0, k=3)
+
+
 def _q_docs_source_kl(sf_dir: str):
     """Per-source token-distribution KL divergence vs the corpus (bits,
     4-dp) — the domain-shift / mixture-diagnostics measurement."""
@@ -1588,6 +1597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_assoc_rules": R.events_assoc_rules,
         # per-source KL divergence vs the corpus token distribution
         "docs_source_kl": _q_docs_source_kl,
+        # BFS level sets over the co-part graph (frontier expansion)
+        "graph_bfs_hops": _q_graph_bfs,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5383,5 +5394,45 @@ def oracle_sql() -> dict[str, str]:
                  AS kl_bits
         FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
         GROUP BY st.source, ns.ns ORDER BY st.source
+    """
+    out["graph_bfs_hops"] = """
+        -- BFS level sets from supplier 0, k = 3, over the co-part
+        -- graph (same derived-edge CTE as graph_triangles); each level
+        -- = neighbors of the previous minus all earlier levels
+        WITH ps AS (
+          SELECT DISTINCT p_partkey AS p,
+                 (p_partkey + i * ((SELECT count(*) FROM supplier)
+                                   // 4 + 1))
+                   % (SELECT count(*) FROM supplier) AS s
+          FROM part, range(4) t(i)
+        ), e AS (
+          SELECT DISTINCT x.s AS lo, y.s AS hi
+          FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+        ), es AS (
+          SELECT lo AS src, hi AS dst FROM e
+          UNION ALL SELECT hi, lo FROM e
+        ), d0 AS (
+          SELECT CAST(0 AS BIGINT) AS node
+        ), d1 AS (
+          SELECT DISTINCT dst AS node FROM es
+          WHERE src IN (SELECT node FROM d0)
+            AND dst NOT IN (SELECT node FROM d0)
+        ), d2 AS (
+          SELECT DISTINCT dst AS node FROM es
+          WHERE src IN (SELECT node FROM d1)
+            AND dst NOT IN (SELECT node FROM d0 UNION ALL
+                            SELECT node FROM d1)
+        ), d3 AS (
+          SELECT DISTINCT dst AS node FROM es
+          WHERE src IN (SELECT node FROM d2)
+            AND dst NOT IN (SELECT node FROM d0 UNION ALL
+                            SELECT node FROM d1 UNION ALL
+                            SELECT node FROM d2)
+        )
+        SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+        UNION ALL SELECT node, 1 FROM d1
+        UNION ALL SELECT node, 2 FROM d2
+        UNION ALL SELECT node, 3 FROM d3
+        ORDER BY node
     """
     return out

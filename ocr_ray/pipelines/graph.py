@@ -62,6 +62,7 @@ __all__ = [
     "orient_edges_by_degree",
     "triangle_count_copart",
     "triangle_count_edges",
+    "bfs_hops",
     "SUPP_NODE_NEG_BASE",
     "PR_SCALE",
     "PR_ITERS",
@@ -542,3 +543,112 @@ def triangle_count_edges(
     )
     n = semi_anti_join(wedges, ekeys, on="pk", assume_distinct=True).count()
     return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+
+# --- BFS hop distance ------------------------------------------------------
+
+BFS_SEED = 0
+BFS_MAX_HOPS = 3
+# below this many edges the frontier expansion runs driver-local on the
+# pulled (lo, hi) arrays (the triangle_count gate class: the sf0.1
+# co-part graph is ~3k edges and three distributed semi/anti rounds are
+# pure fixed overhead there)
+_BFS_DRIVER_GATE = 20_000
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    seed: int = BFS_SEED,
+    k: int = BFS_MAX_HOPS,
+    *,
+    force_distributed: bool = False,
+) -> pd.DataFrame:
+    """Hop distance of every node within ``k`` hops of ``seed`` over an
+    undirected (lo, hi) edge list — the frontier-expansion member of
+    the graph family (pagerank = full propagation, components = label
+    consensus, triangles = wedge closing, BFS = level sets). Emits
+    (node, dist), dist 0..k, sorted by node.
+
+    Scale shape (the iterative-join plan): per hop, neighbors of the
+    frontier come from ONE adaptive semi join of the symmetric edge
+    table against the frontier (broadcast below the key gate, marker
+    cogroup join above — `semi_anti_join`), folded to distinct by one
+    bucketed grouped count, then an anti join against the visited set
+    drops known nodes. Frontier and visited STAY Datasets; the driver
+    sees only the per-hop row counts and the final (node, dist) result
+    (which IS the query output). k is a constant, so the plan is k
+    sequential rounds — the same unrolled shape the SQL twin states."""
+    from .joins import semi_anti_join
+
+    edges = edges.materialize()
+
+    if edges.count() < _BFS_DRIVER_GATE and not force_distributed:
+        import ray
+
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
+        if tabs:
+            full = pa.concat_tables(
+                [t.select(["lo", "hi"]) for t in tabs]).combine_chunks()
+            lo = full.column("lo").to_numpy(zero_copy_only=False)
+            hi = full.column("hi").to_numpy(zero_copy_only=False)
+        else:
+            lo = hi = np.empty(0, dtype=np.int64)
+        rows_n = [np.array([seed], dtype=np.int64)]
+        rows_d = [np.array([0], dtype=np.int64)]
+        visited = np.array([seed], dtype=np.int64)
+        frontier = visited
+        for h in range(1, k + 1):
+            nbrs = np.unique(np.concatenate([
+                hi[np.isin(lo, frontier)], lo[np.isin(hi, frontier)]
+            ])) if frontier.size else np.empty(0, dtype=np.int64)
+            nbrs = nbrs[~np.isin(nbrs, visited)]
+            if nbrs.size == 0:
+                break
+            rows_n.append(nbrs)
+            rows_d.append(np.full(nbrs.size, h, dtype=np.int64))
+            visited = np.union1d(visited, nbrs)
+            frontier = nbrs
+        out = pd.DataFrame({
+            "node": np.concatenate(rows_n).astype(np.int64),
+            "dist": np.concatenate(rows_d).astype(np.int64),
+        })
+        return out.sort_values("node").reset_index(drop=True)
+
+    def sym(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array(np.concatenate([lo, hi]), pa.int64()),
+             "dst": pa.array(np.concatenate([hi, lo]), pa.int64())}
+        )
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    seed_tbl = pa.table({"node": pa.array([seed], pa.int64())})
+    frontier_ds = rd.from_arrow(seed_tbl).materialize()
+    visited_ds = rd.from_arrow(seed_tbl).materialize()
+    levels = [pd.DataFrame({"node": pd.Series([seed], dtype="int64"),
+                            "dist": pd.Series([0], dtype="int64")})]
+    for h in range(1, k + 1):
+        nb = semi_anti_join(
+            edges_sym, frontier_ds, on="src", assume_distinct=True
+        )
+        nxt = hash_bucket_sum(
+            nb.select_columns(["dst"]), ["dst"], [], count_alias="n_in"
+        ).map_batches(
+            pin_schema({"dst": "int64"}), batch_format="pandas"
+        ).map_batches(
+            lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        nxt = semi_anti_join(
+            nxt, visited_ds, on="node", anti=True, assume_distinct=True
+        ).materialize()
+        if nxt.count() == 0:
+            break
+        lv = nxt.to_pandas()  # the result adapter: output-sized per hop
+        lv["dist"] = np.int64(h)
+        levels.append(lv.astype({"node": "int64", "dist": "int64"}))
+        frontier_ds = nxt
+        visited_ds = visited_ds.union(nxt).materialize()
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values("node").reset_index(drop=True)

@@ -132,3 +132,69 @@ def test_triangle_count_edges_direct(ray_session):
         )
         == n_tri
     )
+
+
+# --- BFS -------------------------------------------------------------------
+
+
+def _bfs_brute(edges, seed, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    dist = {seed: 0}
+    frontier = {seed}
+    for h in range(1, k + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj[u]
+        nxt -= set(dist)
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return sorted(dist.items())
+
+
+def test_bfs_hops_matches_brute_and_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.RandomState(71)
+    m = 300
+    lo = rng.randint(0, 60, size=m).astype(np.int64)
+    hi = rng.randint(0, 60, size=m).astype(np.int64)
+    keep = lo != hi
+    lo2 = np.minimum(lo[keep], hi[keep])
+    hi2 = np.maximum(lo[keep], hi[keep])
+    pk = np.unique(lo2 * (1 << 32) + hi2)
+    tbl = pa.table({"lo": pa.array(pk >> 32, pa.int64()),
+                    "hi": pa.array(pk & ((1 << 32) - 1), pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    exp = pd.DataFrame(
+        _bfs_brute(list(zip(tbl["lo"].to_pylist(), tbl["hi"].to_pylist())),
+                   0, 3),
+        columns=["node", "dist"],
+    ).astype("int64")
+    loc = bfs_hops(ds, seed=0, k=3)
+    dist = bfs_hops(ds, seed=0, k=3, force_distributed=True)
+    pd.testing.assert_frame_equal(loc, exp)
+    pd.testing.assert_frame_equal(dist.reset_index(drop=True), exp)
+
+
+def test_bfs_isolated_seed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.graph import bfs_hops
+
+    tbl = pa.table({"lo": pa.array([5], pa.int64()),
+                    "hi": pa.array([6], pa.int64())})
+    out = bfs_hops(rd.from_arrow(tbl), seed=0, k=3)
+    assert out.to_dict("records") == [{"node": 0, "dist": 0}]
