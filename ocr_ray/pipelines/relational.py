@@ -272,8 +272,14 @@ def part_filter(sf_dir: str) -> pd.DataFrame:
         return t.filter(mask).select(["p_partkey", "p_name", "p_size", "p_retailprice"])
 
     df = ds.map_batches(flt, batch_format="pyarrow").to_pandas()
-    if df.empty:  # preserve schema on empty results
-        df = pd.DataFrame(columns=["p_partkey", "p_name", "p_size", "p_retailprice"])
+    if df.empty:  # preserve schema AND dtypes on empty results (an
+        # all-object empty frame red-flagged the sf0.001 dtype check)
+        df = pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "p_name": pd.Series([], dtype="object"),
+            "p_size": pd.Series([], dtype="int32"),
+            "p_retailprice": pd.Series([], dtype="float64"),
+        })
     return df.sort_values("p_partkey").reset_index(drop=True)
 
 
