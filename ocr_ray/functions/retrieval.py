@@ -188,40 +188,69 @@ def inverted_index(docs: rd.Dataset, min_df: int = 3) -> rd.Dataset:
         toks = split_ws(pc.utf8_lower(text))
         flat = contiguous_array(pc.list_flatten(toks))
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        did = np.repeat(
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-            lens.astype(np.int64),
-        )
+        # per-doc LOCAL row index (0..num_rows) — packable with the
+        # dictionary code, unlike the raw int64 doc_id
+        loc = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                        lens.astype(np.int64))
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        g = (
-            pd.DataFrame(
-                {"term": flat.to_pandas().to_numpy()[keep], "doc_id": did[keep]}
-            )
-            .groupby(["term", "doc_id"], as_index=False, sort=False)
-            .size()
-            .rename(columns={"size": "tf"})
-        )
-        return _from_pandas(g)
+        kept = flat.filter(pa.array(keep))
+        if len(kept) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
+        # dictionary-encode + packed np.unique (the token-entropy kernel
+        # idiom): one C pass replaces the pandas string groupby that
+        # dominated the index build at volume
+        enc = kept.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        n_rows = np.int64(t.num_rows)
+        u, c = np.unique(codes * n_rows + loc[keep], return_counts=True)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": enc.dictionary.take(pa.array(u // n_rows)),
+            "doc_id": pa.array(doc_ids[u % n_rows], pa.int64()),
+            "tf": pa.array(c.astype(np.int64)),
+        })
 
     bucketed = docs.map_batches(tf_rows, batch_format="pyarrow").map_batches(
         lambda t: add_hash_bucket(t, ["term"], 64), batch_format="pyarrow"
     )
 
     def build_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass: term runs via change mask, df/total_tf by
+        # reduceat, the min_df cut BEFORE any posting string exists, and
+        # posting lists via Arrow's C-level int->string cast +
+        # binary_join on a run-offset ListArray (the pandas
+        # astype(str) + ",".join groupby was ~all of the build wall
+        # time at 24M posting rows)
         cols = {"term": "object", "df": "int64", "total_tf": "int64",
                 "postings": "object"}
         if not len(g) or "term" not in g.columns:
             return pd.DataFrame({c: pd.Series([], dtype=d) for c, d in cols.items()})
         g = g.sort_values(["term", "doc_id"], kind="mergesort")
-        agg = g.groupby("term", sort=False).agg(
-            df=("doc_id", "size"), total_tf=("tf", "sum"),
+        terms = g["term"].to_numpy()
+        did = g["doc_id"].to_numpy(np.int64)
+        tf = g["tf"].to_numpy(np.int64)
+        new = np.r_[True, terms[1:] != terms[:-1]]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(g)))
+        total = np.add.reduceat(tf, starts)
+        keep = cnt >= min_df
+        rows_keep = np.repeat(keep, cnt)
+        cnt_k = cnt[keep]
+        doc_str = pc.cast(pa.array(did[rows_keep]), pa.string())
+        offsets = np.r_[0, np.cumsum(cnt_k)]
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int64()).cast(pa.int32()), doc_str
         )
-        agg["postings"] = (
-            g.assign(s=g["doc_id"].astype(str))
-            .groupby("term", sort=False)["s"].agg(",".join)
-        )
-        agg = agg[agg["df"] >= min_df].reset_index()
-        return agg[list(cols)].astype(cols)
+        postings = pc.binary_join(la, ",").to_pandas().to_numpy()
+        out = pd.DataFrame({
+            "term": terms[starts][keep],
+            "df": cnt_k.astype(np.int64),
+            "total_tf": total[keep].astype(np.int64),
+            "postings": postings,
+        })
+        return out[list(cols)].astype(cols)
 
     from ..stages.partial_agg import pin_schema
 
