@@ -1017,6 +1017,15 @@ def _q_docs_weighted_sample(sf_dir: str):
     )
 
 
+def _q_graph_communities(sf_dir: str):
+    """Synchronous label-propagation communities (3 rounds,
+    deterministic mode/min tie-break) over the co-part graph — the
+    iterative mode-consensus shape; unrolled per-round oracle."""
+    from ocr_ray.pipelines.graph import copart_edges, label_propagation
+
+    return label_propagation(copart_edges(sf_dir), rounds=3)
+
+
 def _q_graph_bfs(sf_dir: str):
     """BFS hop distance (0..3) from supplier 0 over the co-part graph —
     the frontier-expansion member of the graph family; unrolled
@@ -1599,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_kl": _q_docs_source_kl,
         # BFS level sets over the co-part graph (frontier expansion)
         "graph_bfs_hops": _q_graph_bfs,
+        # label-propagation communities (iterative mode consensus)
+        "graph_communities": _q_graph_communities,
         # ---- rows-only tail (no SQL oracle; pytest/golden covered) ----
         "extract_spans": _q_extract_spans,
         "extract_units": _q_extract_units,
@@ -5434,5 +5445,50 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT node, 2 FROM d2
         UNION ALL SELECT node, 3 FROM d3
         ORDER BY node
+    """
+    out["graph_communities"] = """
+        -- synchronous label propagation, 3 unrolled rounds: every node
+        -- adopts the most frequent label among its neighbors' PREVIOUS
+        -- labels, ties to the smallest label (count desc, label asc)
+        WITH ps AS (
+          SELECT DISTINCT p_partkey AS p,
+                 (p_partkey + i * ((SELECT count(*) FROM supplier)
+                                   // 4 + 1))
+                   % (SELECT count(*) FROM supplier) AS s
+          FROM part, range(4) t(i)
+        ), e AS (
+          SELECT DISTINCT x.s AS lo, y.s AS hi
+          FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+        ), es AS (
+          SELECT lo AS src, hi AS dst FROM e
+          UNION ALL SELECT hi, lo FROM e
+        ), l0 AS (
+          SELECT DISTINCT src AS node, src AS lab FROM es
+        ), c1 AS (
+          SELECT es.dst AS node, l0.lab, count(*) AS c
+          FROM es JOIN l0 ON l0.node = es.src GROUP BY 1, 2
+        ), l1 AS (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c1
+          ) WHERE rn = 1
+        ), c2 AS (
+          SELECT es.dst AS node, l1.lab, count(*) AS c
+          FROM es JOIN l1 ON l1.node = es.src GROUP BY 1, 2
+        ), l2 AS (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c2
+          ) WHERE rn = 1
+        ), c3 AS (
+          SELECT es.dst AS node, l2.lab, count(*) AS c
+          FROM es JOIN l2 ON l2.node = es.src GROUP BY 1, 2
+        ), l3 AS (
+          SELECT node, lab FROM (
+            SELECT node, lab, row_number() OVER (
+              PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c3
+          ) WHERE rn = 1
+        )
+        SELECT node, lab AS community FROM l3 ORDER BY node
     """
     return out

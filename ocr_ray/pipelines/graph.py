@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..pqread import read_parquet as _read_parquet
-from ..stages.partial_agg import hash_bucket_sum, pin_schema
+from ..stages.partial_agg import add_hash_bucket, hash_bucket_sum, pin_schema
 
 __all__ = [
     "trade_edges",
@@ -63,6 +63,7 @@ __all__ = [
     "triangle_count_copart",
     "triangle_count_edges",
     "bfs_hops",
+    "label_propagation",
     "SUPP_NODE_NEG_BASE",
     "PR_SCALE",
     "PR_ITERS",
@@ -652,3 +653,137 @@ def bfs_hops(
         visited_ds = visited_ds.union(nxt).materialize()
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values("node").reset_index(drop=True)
+
+
+# --- label propagation (communities) ---------------------------------------
+
+LP_ROUNDS = 3
+_LP_DRIVER_GATE = 20_000  # edges; the triangle/BFS gate class
+
+
+def _lp_round_local(lo: np.ndarray, hi: np.ndarray,
+                    nodes: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """One synchronous LPA round on packed arrays: every node takes the
+    most frequent label among its neighbors' PREVIOUS labels, ties to
+    the smallest label — the shared kernel of the local path and the
+    distributed per-bucket argmax (same (count desc, label asc) rule)."""
+    src = np.concatenate([lo, hi])
+    dst = np.concatenate([hi, lo])
+    # nodes is sorted (np.unique) — positional lookup via searchsorted
+    lab = labels[np.searchsorted(nodes, src)]
+    d = np.searchsorted(nodes, dst).astype(np.int64)
+    # (dst, lab) counts via packed unique
+    n = np.int64(len(nodes))
+    base = np.int64(labels.max()) + 1
+    u, c = np.unique(d * base + lab, return_counts=True)
+    du, lu = u // base, u % base
+    # argmax per dst with (count desc, label asc): lexsort then first
+    order = np.lexsort((lu, -c, du))
+    first = np.r_[True, du[order][1:] != du[order][:-1]]
+    out = labels.copy()
+    out[du[order][first]] = lu[order][first]
+    return out
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    rounds: int = LP_ROUNDS,
+    *,
+    force_distributed: bool = False,
+) -> pd.DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    deterministic variant) over an undirected (lo, hi) edge list:
+    labels init to node ids; each round every node adopts the most
+    frequent label among its neighbors' previous labels, ties broken by
+    the smallest label. Emits (node, community) after ``rounds``
+    rounds, nodes = every edge endpoint. The fifth graph-family shape:
+    iterative MODE consensus (vs components' min consensus).
+
+    Scale shape: per round, labels ride back onto the symmetric edge
+    table via ONE partitioned bucket hash join (labels are 1 row/node —
+    the pagerank state layout), neighbor-label counts fold by one
+    bucketed grouped sum, and the per-node argmax is a vectorized
+    (count desc, label asc) first-per-run pick inside the same bucket
+    pass. Constant rounds, so the plan is ``rounds`` sequential
+    exchanges; no task ever holds a node's full neighborhood beyond its
+    grouped (dst, label) count rows."""
+    from .joins import bucket_hash_join
+
+    edges = edges.materialize()
+
+    if edges.count() < _LP_DRIVER_GATE and not force_distributed:
+        import ray
+
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows > 0]
+        if not tabs:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "community": pd.Series([], dtype="int64")})
+        full = pa.concat_tables(
+            [t.select(["lo", "hi"]) for t in tabs]).combine_chunks()
+        lo = full.column("lo").to_numpy(zero_copy_only=False)
+        hi = full.column("hi").to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([lo, hi]))
+        labels = nodes.copy()
+        for _ in range(rounds):
+            labels = _lp_round_local(lo, hi, nodes, labels)
+        return pd.DataFrame({"node": nodes.astype(np.int64),
+                             "community": labels.astype(np.int64)})
+
+    def sym(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": pa.array(np.concatenate([lo, hi]), pa.int64()),
+             "dst": pa.array(np.concatenate([hi, lo]), pa.int64())}
+        )
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = hash_bucket_sum(
+        edges_sym.select_columns(["src"]), ["src"], [], count_alias="deg"
+    ).map_batches(
+        pin_schema({"src": "int64"}), batch_format="pandas"
+    ).map_batches(
+        lambda t: pa.table({"src": t.column("src"),
+                            "lab": t.column("src")}),
+        batch_format="pyarrow",
+    ).materialize()  # (src=node, lab), 1 row/node
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket argmax: every (dst, lab) count row for a node lives
+        # in ONE bucket after the grouped sum
+        if not len(df) or "dst" not in df.columns:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "lab": pd.Series([], dtype="int64")})
+        df = df.sort_values(["dst", "n", "lab"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = df[~df["dst"].duplicated()]
+        return pd.DataFrame({"src": top["dst"].to_numpy(np.int64),
+                             "lab": top["lab"].to_numpy(np.int64)})
+
+    for _ in range(rounds):
+        nbl = bucket_hash_join(
+            edges_sym, labels, on="src", arrow_kernel=True
+        ).map_batches(
+            lambda t: pa.table({"dst": t.column("dst"),
+                                "lab": t.column("lab")}),
+            batch_format="pyarrow",
+        )
+        counts = hash_bucket_sum(nbl, ["dst", "lab"], [], count_alias="n")
+        # re-bucket by dst ONLY before the argmax: the grouped sum's
+        # buckets hash (dst, lab) jointly, so one node's label rows span
+        # buckets there
+        labels = counts.map_batches(
+            lambda t: add_hash_bucket(t, ["dst"], 64),
+            batch_format="pyarrow",
+        ).groupby("bucket").map_groups(
+            pick, batch_format="pandas"
+        ).map_batches(
+            pin_schema({"src": "int64", "lab": "int64"}),
+            batch_format="pandas",
+        ).materialize()
+
+    out = labels.to_pandas().rename(
+        columns={"src": "node", "lab": "community"})
+    return (out.astype({"node": "int64", "community": "int64"})
+            .sort_values("node").reset_index(drop=True))

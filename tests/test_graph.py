@@ -198,3 +198,64 @@ def test_bfs_isolated_seed(ray_session):
                     "hi": pa.array([6], pa.int64())})
     out = bfs_hops(rd.from_arrow(tbl), seed=0, k=3)
     assert out.to_dict("records") == [{"node": 0, "dist": 0}]
+
+
+# --- label propagation -----------------------------------------------------
+
+
+def _lp_brute(edges, rounds):
+    import collections
+
+    adj = collections.defaultdict(list)
+    nodes = set()
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+        nodes.add(a)
+        nodes.add(b)
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            c = collections.Counter(lab[v] for v in adj[n])
+            # most frequent, ties to smallest label
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lab = new
+    return sorted(lab.items())
+
+
+def test_label_propagation_matches_brute_and_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.pipelines.graph import label_propagation
+
+    rng = np.random.RandomState(79)
+    # two planted cliques + random bridges: communities must emerge
+    edges = set()
+    for base in (0, 40):
+        members = list(range(base, base + 12))
+        for i in members:
+            for j in members:
+                if i < j and rng.rand() < 0.6:
+                    edges.add((i, j))
+    for _ in range(15):
+        a, b = int(rng.randint(0, 52)), int(rng.randint(0, 52))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    tbl = pa.table({"lo": pa.array([a for a, _ in edges], pa.int64()),
+                    "hi": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    exp = pd.DataFrame(_lp_brute(edges, 3), columns=["node", "community"]
+                       ).astype("int64")
+    loc = label_propagation(ds, rounds=3)
+    dist = label_propagation(ds, rounds=3, force_distributed=True)
+    pd.testing.assert_frame_equal(loc, exp)
+    pd.testing.assert_frame_equal(dist.reset_index(drop=True), exp)
+    # the two cliques must collapse to few labels
+    assert loc[loc.node < 12]["community"].nunique() <= 3
